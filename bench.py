@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Methodology per BASELINE.md: warm session (one untimed warmup pass of q1),
+median of 3 runs per query, session bootstrap excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from impalatogo_spark.queries import all_queries
+from impalatogo_spark.session import DEFAULT_SF_DIR, get_spark
+
+# Headline set: the scan/agg/join/topk/window/dedup/similarity spine.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+]
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("impalatogo-spark-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warmup: pay codegen/JIT/session costs outside the measurement
+    registry[names[0]].spark_fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name].spark_fn
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_median_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""SparkSession bootstrap + table registration.
+
+Capability parity target: the reference engine's session / catalog layer
+(`be/src/service/impala-server.cc`, `fe/.../catalog/Catalog.java`) — here a thin
+Spark-native layer: one SparkSession, tables registered as temp views over
+parquet, scale-aware configuration.
+
+Scale notes (designed for ~100 TB on a 1000-executor cluster, tested on
+local[32]):
+  * AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+    and dynamic broadcast conversion replace the reference's static
+    broadcast-vs-partitioned cost model (`fe/.../planner/DistributedPlanner.java:284-385`).
+  * `spark.sql.shuffle.partitions` here defaults to the local core count; on a
+    real cluster set it ~2-3x total cores (AQE coalesces down, so erring high
+    is safe).
+  * Parquet scans rely on DataSource V2 predicate pushdown + column pruning —
+    the Spark-native equivalent of the reference's HdfsScanNode conjunct
+    evaluation (`be/src/exec/hdfs-scan-node.cc`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are small at ANY scale factor (fixed cardinality in
+# TPC-H: 5 regions, 25 nations). Always broadcast-joinable.
+FIXED_SIZE_TABLES = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "impalatogo-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Config choices mirror the reference's query options surface
+    (`be/src/service/query-options.cc`) where a Spark conf exists:
+    NUM_NODES/NUM_SCANNER_THREADS -> local[N] + shuffle partitions,
+    MEM_LIMIT -> spark.driver.memory, DISABLE_CODEGEN -> (never; we want
+    whole-stage codegen), APPX_COUNT_DISTINCT -> see functions.registry.
+    """
+    n = cpus or default_cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view over its parquet file.
+
+    Equivalent of the reference's catalog table resolution
+    (`fe/.../catalog/HdfsTable.java`): Spark's parquet source handles split
+    planning, column pruning and predicate pushdown natively.
+    """
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
