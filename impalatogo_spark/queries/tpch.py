@@ -227,3 +227,834 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 (adapted): min-price supplier per part — correlated-scalar-subquery shape.
+# No partsupp table -> lineitem is the part↔supplier bridge; "cost" = avg sale
+# price. Same plan shape as the reference workload's q2 (agg + rejoin on min).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q2",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         round(avg(l_extendedprice), 2) AS avg_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_name, s_name, ps.avg_price
+FROM ps
+JOIN (SELECT partkey, min(avg_price) AS min_price FROM ps GROUP BY partkey) m
+  ON ps.partkey = m.partkey AND ps.avg_price = m.min_price
+JOIN part     ON p_partkey = ps.partkey
+JOIN supplier ON s_suppkey = ps.suppkey
+WHERE p_type = 'LARGE'
+ORDER BY p_partkey, s_name
+""",
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-price supplier per LARGE part. avg is rounded to 2dp on both sides
+    before the min-equality join so float noise cannot flip the argmin."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    supp = _t(spark, sf_dir, "supplier")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    mins = ps.groupBy("partkey").agg(F.min("avg_price").alias("min_price"))
+    return (
+        ps.join(mins, (ps.partkey == mins.partkey) & (ps.avg_price == mins.min_price))
+        .drop(mins.partkey)
+        .join(part, F.col("partkey") == F.col("p_partkey"))
+        .join(supp, F.col("suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "avg_price")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4: order priority checking — EXISTS correlated subquery -> left-semi join.
+# Adapted: no l_commitdate/l_receiptdate -> "late" = shipped after order date.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("tpch", "subquery", "semi-join"),
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS -> left_semi join (the Spark-native equivalent of the
+    reference's StmtRewriter subquery-to-join rewrite,
+    fe/.../analysis/StmtRewriter.java:110-301)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between two nations — self-joined dims, disjunctive
+# pair predicate, group by derived year.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q7",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("tpch", "join"),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair trade volume; both nation copies broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share — conditional aggregation ratio per year.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q8",
+    oracle="""
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("tpch", "join", "aggregation"),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of NATION_3 suppliers in AMERICA for PROMO parts."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted): product-type profit. No ps_supplycost -> cost proxy =
+# 0.5 * p_retailprice * l_quantity. Same join graph + group by (nation, year).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q9",
+    oracle="""
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    tags=("tpch", "join", "aggregation"),
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year for '%gear%' parts."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting — join + agg + top-20 with tie-break.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q10",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("tpch", "join", "topn"),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned revenue in 1996Q4."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted): important-stock — HAVING against a scalar subquery of the
+# global total. partsupp -> lineitem revenue per part.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q11",
+    oracle="""
+SELECT l_partkey AS partkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * (1 - l_discount)) >
+       (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0006 FROM lineitem)
+ORDER BY value DESC, partkey
+""",
+    tags=("tpch", "subquery", "aggregation"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 0.06% of global revenue. The scalar total is
+    a 1-row broadcast cross join — Spark's native shape for uncorrelated
+    scalar subqueries; at 100 TB the total is one shuffle-free reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(rev).alias("raw_value")
+    )
+    total = li.agg((F.sum(rev) * 0.0006).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("partkey", F.round("raw_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted): late-shipment priority counting. No l_shipmode/receiptdate ->
+# "late" = shipped >60 days after order date; groups by l_linestatus.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q12",
+    oracle="""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    tags=("tpch", "join", "conditional"),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation counts of high/low priority late shipments."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution — LEFT OUTER join + double agg.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("tpch", "outer-join", "aggregation"),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order counts per customer (zeros included via left
+    outer join; the join-side filter stays in the ON clause)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14: promotion effect — conditional-agg ratio over one month.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q14",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""",
+    tags=("tpch", "join", "conditional"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of September-1997 revenue from PROMO parts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier — derived revenue view + max-equality (scalar subquery).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    tags=("tpch", "subquery", "aggregation"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with max quarterly revenue; revenue rounded before the
+    max-equality so both engines agree on ties."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted): supplier count per part attribute — NOT IN subquery
+# (null-aware anti join) + count distinct. lineitem bridges part↔supplier.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q16",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("tpch", "anti-join", "distinct"),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN -> null-aware anti join (reference: NULL_AWARE_LEFT_ANTI_JOIN,
+    common/thrift/PlanNodes.thrift:156-169). s_suppkey is non-null here so
+    left_anti is semantically identical; the SQL-string path through
+    spark.sql would plan the null-aware variant."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — correlated scalar subquery (per-part avg).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q17",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+    tags=("tpch", "subquery", "aggregation"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery as groupBy+rejoin. Quantities are integral
+    doubles, so avg = exact_sum/exact_count is bit-identical on both engines —
+    no rounding needed at the comparison boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_threshold")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume customers — HAVING on grouped sum, 3-way join, top-k.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q18",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    tags=("tpch", "subquery", "topn"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with HAVING -> semi join against the grouped keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "bk"),
+                    F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _fmt_date("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19: discounted revenue — disjunction of conjunct bundles (OR'd predicates
+# across the join), the reference's theta-join stress shape.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q19",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 15
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+    tags=("tpch", "join", "predicate"),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-conjunct-bundles post-join predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    def bundle(brand, smin, smax, qmin, qmax):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            bundle("Brand#1", 1, 10, 1, 20)
+            | bundle("Brand#2", 5, 15, 10, 30)
+            | bundle("Brand#3", 10, 25, 20, 40)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted): potential part promotion — nested IN subqueries -> chained
+# semi joins. lineitem substitutes for partsupp availability.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q20",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50
+)
+ORDER BY s_suppkey
+""",
+    tags=("tpch", "subquery", "semi-join"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN subqueries as chained semi joins."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red_parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted): suppliers who kept orders waiting. No commit/receipt dates ->
+# "waiting" = supplier shipped last in a multi-supplier order, strictly after
+# the earliest shipment. Same exists/not-exists correlated shape.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q21",
+    oracle="""
+WITH order_stats AS (
+  SELECT l_orderkey AS okey,
+         max(l_shipdate) AS max_ship,
+         min(l_shipdate) AS min_ship,
+         count(DISTINCT l_suppkey) AS nsupp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+FROM lineitem
+JOIN order_stats ON l_orderkey = okey
+JOIN supplier    ON s_suppkey = l_suppkey
+WHERE nsupp >= 2
+  AND l_shipdate = max_ship
+  AND l_shipdate > min_ship
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+    tags=("tpch", "join", "window-shape"),
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-to-ship supplier per multi-supplier order; the grouped order_stats
+    rejoin replaces the reference's correlated EXISTS/NOT EXISTS pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    stats = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    return (
+        li.join(stats, F.col("l_orderkey") == F.col("okey"))
+        .filter(
+            (F.col("nsupp") >= 2)
+            & (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("l_shipdate") > F.col("min_ship"))
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted): global sales opportunity — scalar subquery + NOT EXISTS.
+# No c_phone -> country code proxy = c_custkey % 7.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q22",
+    oracle="""
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT c_custkey % 7 AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+    tags=("tpch", "anti-join", "subquery"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no recent orders: scalar-subquery
+    threshold broadcast + anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select((F.col("c_custkey") % 7).alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
