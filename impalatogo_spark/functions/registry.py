@@ -1,0 +1,141 @@
+"""Impala-named builtin functions that Spark lacks (or names differently),
+as thin Column-expression builders — JVM-side, whole-stage-codegen friendly,
+never Python UDFs.
+
+Reference registry: common/function-registry/impala_functions.py (the
+authoritative list) and fe/.../catalog/BuiltinsDb.java:522-867. Each shim
+cites its reference entry. Functions with identical Spark names (abs, upper,
+concat_ws, ...) need no shim and are not listed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# -- string (impala_functions.py:371-417) -----------------------------------
+
+def strleft(col, n) -> Column:
+    """strleft(s, n): leftmost n chars. Reference: impala_functions.py:382."""
+    return F.substring(_c(col), 1, n)
+
+
+def strright(col, n) -> Column:
+    """strright(s, n): rightmost n chars. Reference: impala_functions.py:383."""
+    return F.substring(_c(col), -n, n)
+
+
+# -- conditional (impala_functions.py:422-485) -------------------------------
+
+def zeroifnull(col) -> Column:
+    """Reference: conditional-functions.cc zeroifnull."""
+    return F.coalesce(_c(col), F.lit(0))
+
+
+def nullifzero(col) -> Column:
+    """Reference: conditional-functions.cc nullifzero."""
+    return F.nullif(_c(col), F.lit(0))
+
+
+def isnull(col, alt) -> Column:
+    """Impala isnull(a, b) == ifnull == nvl. Reference: impala_functions.py:441-447."""
+    return F.coalesce(_c(col), _c(alt) if isinstance(alt, (Column, str)) else F.lit(alt))
+
+
+ifnull = isnull
+nvl = isnull
+
+
+def decode(col, *pairs, default=None) -> Column:
+    """Impala decode(expr, s1, r1[, s2, r2...][, default]) — rewritten to CASE
+    exactly like the reference FE (fe/.../analysis/CaseExpr.java:68-115)."""
+    c = _c(col)
+    expr = None
+    it = iter(pairs)
+    for search in it:
+        result = next(it)
+        cond = c.eqNullSafe(search if isinstance(search, Column) else F.lit(search))
+        branch = result if isinstance(result, Column) else F.lit(result)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    if expr is None:
+        return F.lit(default)
+    return expr.otherwise(default if isinstance(default, Column) else F.lit(default))
+
+
+# -- math (impala_functions.py:227-344) --------------------------------------
+
+def quotient(a, b) -> Column:
+    """Integer division (Impala `quotient`/DIV). Reference: impala_functions.py:318."""
+    return (_c(a).cast("long") / _c(b).cast("long")).cast("long")
+
+
+def is_inf(col) -> Column:
+    """Reference: impala_functions.py:77-79 (is_inf)."""
+    c = _c(col)
+    return (c == float("inf")) | (c == float("-inf"))
+
+
+# -- aggregates (BuiltinsDb.java:522-867) -------------------------------------
+
+def ndv(col, rsd: float = 0.05) -> Column:
+    """Impala ndv()/appx_count_distinct(): HyperLogLog estimate.
+
+    Reference: aggregate-functions.cc:994-1013 (HLL precision 10, 1024
+    registers). Spark's approx_count_distinct is HLL++ — same capability,
+    different constants, so estimates differ from the reference and from
+    DuckDB: correctness-checked rows-only (see queries) plus a relative-error
+    bound test in tests/test_functions.py.
+    """
+    return F.approx_count_distinct(_c(col), rsd)
+
+
+def group_concat(col, sep: str = ", ", *, sorted_: bool = True) -> Column:
+    """Impala group_concat(expr[, sep]). Reference: BuiltinsDb.java:771-782.
+
+    The reference's concat order is nondeterministic (insertion order per
+    node); for testability we default to sorted order — the deterministic
+    variant the reference's own tests force by sorting inputs.
+    """
+    lst = F.collect_list(_c(col))
+    if sorted_:
+        lst = F.array_sort(lst)
+    return F.array_join(lst, sep)
+
+
+def appx_median(col) -> Column:
+    """Impala appx_median = reservoir-sample median (aggregate-functions.cc:723-858).
+    Spark-native equivalent: percentile_approx at p=0.5."""
+    return F.percentile_approx(_c(col), 0.5, 10000)
+
+
+# -- SQL-dialect name rewrites ------------------------------------------------
+# Impala function name -> Spark SQL equivalent expression template, used by
+# the dialect translator (impalatogo_spark.dialect) for SQL-string queries.
+# `{0}`, `{1}`... are argument slots.
+IMPALA_SQL_FUNCTION_REWRITES: dict[str, str] = {
+    "strleft": "substring({0}, 1, {1})",
+    "strright": "substring({0}, -({1}), {1})",
+    "zeroifnull": "coalesce({0}, 0)",
+    "nullifzero": "nullif({0}, 0)",
+    "isnull": "coalesce({0}, {1})",
+    "ifnull": "coalesce({0}, {1})",
+    "nvl": "coalesce({0}, {1})",
+    "ndv": "approx_count_distinct({0})",
+    "appx_count_distinct": "approx_count_distinct({0})",
+    "appx_median": "percentile_approx({0}, 0.5)",
+    "group_concat": "array_join(array_sort(collect_list({0})), {1})",
+    "quotient": "CAST({0} AS BIGINT) DIV CAST({1} AS BIGINT)",
+    "is_inf": "({0} = double('inf') OR {0} = double('-inf'))",
+    "is_nan": "isnan({0})",
+    "fnv_hash": "xxhash64({0})",  # different algorithm; documented in SURVEY §2.10
+    "lcase": "lower({0})",
+    "ucase": "upper({0})",
+    "char_length": "length({0})",
+}

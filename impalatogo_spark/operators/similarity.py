@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — correct at any scale if the query set is
+small (broadcast queries x partitioned corpus: embarrassingly parallel, no
+shuffle until the final per-query top-k, which TakeOrderedAndProject handles).
+
+Scale path: random-hyperplane LSH bucketing — corpus hashed once (linear
+scan), queries probe only their bucket. Hyperplane components are derived
+from md5 so the index is deterministic and reproducible across runs/clusters.
+
+All vector math stays JVM-side (zip_with/aggregate on array<double>), no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cast array<float> -> array<double> so all arithmetic is double
+    precision (matches the oracle's arithmetic; avoids float32 accumulation
+    drift)."""
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    queries: (q_id, q_emb) — small, broadcast; corpus: (vec_id, embedding).
+    Ranking uses the ROUNDED similarity with vec_id tie-break so the result
+    set is deterministic and oracle-comparable.
+    """
+    from pyspark.sql import Window as W
+
+    joined = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+def cosine_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine >= threshold (embedding near-dup detection).
+    Exact quadratic form for oracle parity; lsh_buckets() is the scale path.
+    """
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _plane_component(table_i: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived. Computed driver-side (hashlib) so the per-row expression is
+    a plain float literal — the in-expression F.md5(F.lit(...)) variant built
+    a 1000+-node tree Catalyst wouldn't fold, costing ~25s/query."""
+    import hashlib
+
+    h = hashlib.md5(f"t{table_i}_plane{plane}_dim{dim}".encode()).hexdigest()
+    return int(h[:8], 16) / 2147483648.0 - 1.0
+
+
+def lsh_bucket(emb: Column, n_dims: int, table_i: int = 0,
+               n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH bucket id for one hash table:
+    bit p = sign(dot(emb, plane_p)). Planes are array literals + zip_with
+    folds (compact expression tree; a 64-term add-chain per plane made
+    codegen the bottleneck)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(_plane_component(table_i, p, d)) for d in range(n_dims)]
+        )
+        dot = F.aggregate(
+            F.zip_with(emb, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def _with_table_buckets(df: DataFrame, emb_col: str, n_dims: int,
+                        n_tables: int, n_planes: int) -> DataFrame:
+    """Explode df into (row, table, bucket) — one bucket per hash table.
+    Recall/cost trade-off: more tables -> higher recall, more candidates
+    (candidate if the pair collides in ANY table)."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(emb_col), n_dims, t, n_planes).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select("*", F.explode(buckets).alias("tb")).select(
+        *df.columns, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, n_dims: int, k: int = 5,
+                 n_tables: int = 4, n_planes: int = 4) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN top-k: a corpus vector is a candidate
+    for a query if they share a bucket in ANY of the n_tables hash tables
+    (standard OR-construction — single-probe recall on high-dim data is near
+    zero, see tests/test_similarity.py). At 100 TB: corpus hashed once
+    (linear, embarrassingly parallel), candidates via bucketed hash join,
+    exact rescoring only on candidates."""
+    from pyspark.sql import Window as W
+
+    c = _with_table_buckets(corpus, "embedding", n_dims, n_tables, n_planes)
+    q = _with_table_buckets(queries, "q_emb", n_dims, n_tables, n_planes)
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )

@@ -1,6 +1,413 @@
 """Training-data pipeline queries over documents/embeddings/events:
-deduplication, similarity search, text analysis, multimodal plumbing,
-sessionization. Populated incrementally.
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + LSH ANN), text analysis, multimodal
+plumbing, and event sessionization / JSON extraction.
+
+Every deterministic operator carries a full DuckDB oracle (md5-based hashing
+keeps both engines bit-identical); inherently approximate or Python-UDF ops
+are rows-only with accuracy/recall tests in tests/.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from impalatogo_spark.operators import dedup as D
+from impalatogo_spark.operators import multimodal as M
+from impalatogo_spark.operators import similarity as S
+from impalatogo_spark.operators import text as X
+from impalatogo_spark.queries import register
+from impalatogo_spark.session import register_tables, table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
+FROM documents GROUP BY md5(text)
+""",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (shuffle carries the 32-byte
+    hash, not the document)."""
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents")).select(
+        "fp", "keep_id", "copies"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=D.minhash_lsh_oracle(threshold=0.5),
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->verify near-dup pipeline: word-3-gram shingles,
+    16 md5 minhashes, 4 bands x 4 rows, exact-Jaccard verification >= 0.5 on
+    candidates only. Deterministic (md5) so the DuckDB oracle reproduces it
+    exactly. Scale: one groupBy for signatures, bucketed join for candidates
+    — never an all-pairs product."""
+    sh = D.word_shingles(_t(spark, sf_dir, "documents"))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
+    return D.verify_jaccard(cand, sh, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=D.simhash_oracle(),
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (16 conditional sums in one groupBy)."""
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH sims AS ({D.simhash_oracle()})
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    tags=("dedup",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming<=3 using the BANDED simhash join (pigeonhole
+    over 4 bit-chunks) — the scale path; the oracle uses the quadratic form,
+    proving the banding loses nothing."""
+    sim = D.simhash(_t(spark, sf_dir, "documents"))
+    return D.simhash_pairs_banded(sim, max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({D.word_shingles_oracle()}),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+SELECT id_a, id_b, round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+FROM pairs JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.3
+""",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard >= 0.3 via the shingle-join form: pairs sharing
+    zero shingles never materialize (the join on `g` is the candidate
+    generator — no cross product)."""
+    sh = D.word_shingles(_t(spark, sf_dir, "documents"))
+    sa = sh.select(F.col("id").alias("id_a"), "g")
+    sb = sh.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        sa.join(sb, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+             4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+            4) >= 0.45
+""",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.45). Double-precision arithmetic
+    on both sides; similarity rounded to 4dp before thresholding."""
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    return S.cosine_pairs(e, threshold=0.45)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+@register(
+    "ann_topk_bruteforce",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, vec_id,
+         round(list_dot_product(q_emb, emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))),
+               4) AS cos_sim
+  FROM q JOIN e ON q_id <> vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+""",
+    tags=("similarity",),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 5): broadcast queries x
+    partitioned corpus, per-query top-k via window — the correct baseline at
+    any corpus size when |queries| is small."""
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.brute_force_topk(e, q, k=5)
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=None,  # approximate by construction; recall vs brute force asserted in tests/test_similarity.py
+    tags=("similarity", "approx"),
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-5 (8 md5-derived planes, bucket probe).
+    Rows-only at the driver; recall >= 0.4 vs brute force is asserted in
+    tests/test_similarity.py (single-probe LSH on 64-dim data)."""
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return S.lsh_ann_topk(e, q, n_dims=64, k=5)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+@register(
+    "text_lang_id",
+    oracle=X.lang_scores_oracle().replace(
+        "SELECT doc_id, lang,", "SELECT doc_id, lang,"
+    ),
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic; outputs prediction next to the
+    dataset's lang label (the synthetic corpus shares one vocabulary across
+    labels, so accuracy is not the test — engine parity is)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.lang_scores(docs).select("doc_id", "lang", "pred_lang")
+
+
+@register(
+    "text_quality",
+    oracle=X.quality_features_oracle(),
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features + composite score."""
+    return X.quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_stats",
+    oracle=X.TOKEN_STATS_ORACLE,
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + distinct + BPE-ish chars/4 estimate)."""
+    return X.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=X.fingerprint_oracle(),
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of space-collapsed text) + 60-bit numeric key."""
+    return X.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Multimodal plumbing (Pandas UDF / mapInPandas path)
+# ===========================================================================
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       [ (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16.0
+         + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1),
+         (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16.0
+         + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1),
+         (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16.0
+         + (strpos('0123456789abcdef', substr(md5(text), 6, 1)) - 1),
+         (strpos('0123456789abcdef', substr(md5(text), 7, 1)) - 1) * 16.0
+         + (strpos('0123456789abcdef', substr(md5(text), 8, 1)) - 1) ]
+       :: DOUBLE[] AS feature_scaled
+FROM documents
+""",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (Arrow-batched).
+    Decode is a deterministic fake (md5-derived bytes) so the oracle can
+    reproduce it; the binary plumbing (encode -> mapInPandas -> typed array
+    output) is the real thing. feature_scaled = raw md5 bytes (x255) to keep
+    the oracle in exact integer-valued doubles."""
+    payload = M.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    feats = M.extract_features(payload)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        F.transform(F.col("feature"), lambda v: F.round(v * 255.0, 1)).alias(
+            "feature_scaled"
+        ),
+    )
+
+
+# ===========================================================================
+# Events: sessionization, JSON extraction, time-window rollups
+# ===========================================================================
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("events", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    session ids, then per-session rollup — the standard scalable form (two
+    window passes over user_id partitions, no iterative logic)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column — the Spark-native
+    equivalent of the reference's NESTED PATH JSON scan (SURVEY.md §2.1,
+    be/src/exec/delimited-text-parser-json.cc): get_json_object flattens the
+    document into scalar columns at scan time."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("events", "window"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window rollup (batch form; the streaming twin with
+    watermarks lives in impalatogo_spark.streaming and is checked against
+    this exact query in tests/test_streaming.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

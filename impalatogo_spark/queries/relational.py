@@ -1,7 +1,666 @@
-"""Relational operator coverage queries (SURVEY.md §2.4-§2.10): joins of all
-flavors, window functions, set ops, subqueries, scalar-function batteries.
-Populated incrementally; every entry has a DuckDB oracle unless inherently
-approximate.
+"""Relational operator coverage queries (SURVEY.md §2.4-§2.10): every join
+flavor, window functions with ROWS/RANGE frames, set ops, subquery shapes,
+and scalar-function batteries. Each has a DuckDB oracle unless inherently
+approximate (then rows-only, noted in the docstring).
+
+SQL-surface queries go through spark.sql() over registered temp views —
+exercising the engine's SQL entry path (the reference's main entry,
+SURVEY.md §3.1); DataFrame-API queries exercise the programmatic path.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from impalatogo_spark.functions import group_concat, ndv, zeroifnull
+from impalatogo_spark.queries import register
+from impalatogo_spark.session import register_tables, table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(text)
+
+
+# ===========================================================================
+# Window / analytic functions (§2.6, AnalyticEvalNode be/src/exec/analytic-eval-node.cc)
+# ===========================================================================
+
+@register(
+    "window_rank",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       row_number() OVER w AS rn
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number (BuiltinsDb.java:796-812). Order carries a
+    unique tie-break so row_number is deterministic."""
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       strftime(lag(o_orderdate)  OVER w, '%Y-%m-%d')    AS prev_date,
+       strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d') AS next_date,
+       round(lag(o_totalprice, 2, -1.0) OVER w, 2)       AS prev2_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with offset and default (BuiltinsDb.java:847-867)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.lag("o_orderdate").over(w), "yyyy-MM-dd").alias("prev_date"),
+        F.date_format(F.lead("o_orderdate", 1).over(w), "yyyy-MM-dd").alias("next_date"),
+        F.round(F.lag("o_totalprice", 2, -1.0).over(w), 2).alias("prev2_price"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey)  OVER w AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an explicit full frame (BuiltinsDb.java:822-840;
+    frame semantics fe/.../analysis/AnalyticWindow.java:35-94)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total,
+       count(*) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+FROM orders
+""",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window with ROWS frame (any agg OVER(...),
+    fe/.../analysis/AnalyticExpr.java)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.count("*").over(w).alias("running_cnt"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT p_partkey, p_brand, p_size,
+       round(sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_size
+                                      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+           AS nearby_price
+FROM part
+""",
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with numeric offsets (AnalyticWindow.java RANGE support)."""
+    w = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, W.currentRow)
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.sum("p_retailprice").over(w), 2).alias("nearby_price"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING), 4) AS mov_avg
+FROM events
+""",
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (n PRECEDING / m FOLLOWING)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 1)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+# ===========================================================================
+# Joins (§2.4) — full/right outer, cross/theta, null-aware anti via SQL
+# ===========================================================================
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM (SELECT * FROM customer WHERE c_acctbal < -500) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01') o
+  ON c.c_custkey = o.o_custkey
+""",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN with unmatched rows on both sides (grammar
+    sql-parser.y:1888-1905)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -500)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT s_suppkey, s_name, n_nationkey
+FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) supplier
+RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+""",
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER JOIN preserving all nations."""
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    n = _t(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right_outer").select(
+        "s_suppkey", "s_name", "n_nationkey"
+    )
+
+
+@register(
+    "join_cross_theta",
+    oracle="""
+SELECT a.n_nationkey AS nk1, b.n_nationkey AS nk2
+FROM nation a, nation b
+WHERE a.n_nationkey < b.n_nationkey AND a.n_regionkey = b.n_regionkey
+""",
+    tags=("join",),
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join = cross join + non-equi conjunct — the reference's ONLY
+    non-equi join strategy (CrossJoinNode + SelectNode,
+    be/src/exec/cross-join-node.cc:169). Spark plans BroadcastNestedLoopJoin
+    for the pure inequality; the equi conjunct upgrades it to a hash join."""
+    a = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1")
+    )
+    b = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    return (
+        a.join(b, (F.col("nk1") < F.col("nk2")) & (F.col("rk1") == F.col("rk2")))
+        .select("nk1", "nk2")
+    )
+
+
+@register(
+    "join_null_aware_anti",
+    oracle="""
+SELECT c_custkey, c_nationkey
+FROM customer
+WHERE nullif(c_nationkey, 3) NOT IN
+      (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+""",
+    tags=("join", "subquery"),
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a nullable expression -> Spark plans a null-aware anti
+    join, the reference's NULL_AWARE_LEFT_ANTI_JOIN
+    (common/thrift/PlanNodes.thrift:156-169). Rows where the outer expression
+    is NULL are excluded — the semantics legacy engines get wrong with a
+    plain anti join. Routed through spark.sql() to exercise the SQL rewrite
+    path (StmtRewriter.java:110-301 equivalent)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer
+        WHERE nullif(c_nationkey, 3) NOT IN
+              (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        """,
+    )
+
+
+@register(
+    "join_left_semi_sql",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9900)
+""",
+    tags=("join", "subquery"),
+)
+def join_left_semi_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery -> LEFT SEMI JOIN via the SQL path."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9900)
+        """,
+    )
+
+
+# ===========================================================================
+# Set operations (§2.8 — UNION [ALL|DISTINCT] only; no INTERSECT/EXCEPT)
+# ===========================================================================
+
+@register(
+    "union_all",
+    oracle="""
+SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier WHERE s_acctbal > 9000
+""",
+    tags=("setop",),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (UnionNode, be/src/exec/union-node.cc)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return c.unionAll(s)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("setop",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT — planned as union-all + aggregation, exactly the
+    reference's rewrite (fe/.../analysis/UnionStmt.java)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "values_inline",
+    oracle="""
+SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, NULL)) AS t(id, name)
+""",
+    tags=("setop", "scan"),
+)
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES literal rows (grammar sql-parser.y:1597-1612) -> LocalRelation."""
+    return _sql(
+        spark, sf_dir, "SELECT * FROM VALUES (1, 'one'), (2, 'two'), (3, CAST(NULL AS STRING)) AS t(id, name)"
+    )
+
+
+# ===========================================================================
+# Aggregates (§2.5): distinct, stats family, group_concat, median, ndv
+# ===========================================================================
+
+@register(
+    "agg_distinct_multi",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey)  AS n_supp,
+       count(DISTINCT l_partkey)  AS n_part,
+       count(*)                   AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregation", "distinct"),
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one agg — the reference's 2-phase distinct
+    plan (DistributedPlanner.java:754-787); Spark's RewriteDistinctAggregates
+    handles the multi-distinct expansion."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_stats_family",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_samp,
+       round(stddev_pop(l_quantity), 4)  AS sd_pop,
+       round(var_samp(l_quantity), 4)    AS v_samp,
+       round(var_pop(l_quantity), 4)     AS v_pop
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("aggregation",),
+)
+def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance family (Knuth online variance,
+    aggregate-functions.cc:1075-1097; BuiltinsDb.java:636-692)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_samp"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("sd_pop"),
+            F.round(F.var_samp("l_quantity"), 4).alias("v_samp"),
+            F.round(F.var_pop("l_quantity"), 4).alias("v_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_group_concat",
+    oracle="""
+SELECT n_regionkey, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    tags=("aggregation",),
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_concat (BuiltinsDb.java:771-782) as sorted collect_list —
+    deterministic variant (the reference's order is nondeterministic)."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(group_concat("n_name", ", ").alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("aggregation",),
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (Spark `percentile` == DuckDB quantile_cont).
+    The reference's appx_median (reservoir sample) is the approximate cousin —
+    see agg_ndv_appx for the approximate-family policy."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_ndv_appx",
+    oracle=None,  # HLL++ constants differ between Spark and DuckDB; bounded-error test in tests/test_functions.py
+    tags=("aggregation", "approx"),
+)
+def agg_ndv_appx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impala ndv()/appx_count_distinct (HLL, aggregate-functions.cc:994-1013)
+    -> approx_count_distinct. Rows-only here; the accuracy bound (<=5% rsd vs
+    exact) is asserted in tests/test_functions.py::test_ndv_error_bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        ndv("l_partkey").alias("ndv_partkey"),
+        F.countDistinct("l_partkey").alias("exact_partkey"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "select_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2",
+    tags=("distinct",),
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT = group-by-all sugar (fe/.../analysis/SelectStmt.java)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# ===========================================================================
+# Sorts / limits (§2.7)
+# ===========================================================================
+
+@register(
+    "order_nulls_last",
+    oracle="""
+SELECT c_custkey, nullif(c_nationkey, 5) AS nk
+FROM customer
+ORDER BY nk ASC NULLS LAST, c_custkey
+LIMIT 40
+""",
+    tags=("sort",),
+)
+def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impala ORDER BY default: ASC -> NULLS LAST (OrderByElement.java), which
+    differs from Spark's ASC NULLS FIRST default — the shim is explicit
+    asc_nulls_last. LIMIT makes the ordering observable to the oracle."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", F.nullif(F.col("c_nationkey"), F.lit(5)).alias("nk"))
+        .orderBy(F.asc_nulls_last("nk"), F.asc("c_custkey"))
+        .limit(40)
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10
+""",
+    tags=("sort",),
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET with deterministic order (grammar sql-parser.y:2042-2060)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .offset(10)
+        .limit(15)
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+SELECT l_suppkey, count(*) AS cnt
+FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) > 550
+ORDER BY cnt DESC, l_suppkey
+""",
+    tags=("aggregation",),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 550)
+        .orderBy(F.desc("cnt"), "l_suppkey")
+    )
+
+
+# ===========================================================================
+# Subquery shapes (§4.1 StmtRewriter coverage) via the SQL path
+# ===========================================================================
+
+@register(
+    "subquery_scalar_where",
+    oracle="""
+SELECT p_partkey, round(p_retailprice, 2) AS price
+FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.005 FROM part)
+ORDER BY p_partkey
+""",
+    tags=("subquery",),
+)
+def subquery_scalar_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in WHERE."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey, round(p_retailprice, 2) AS price
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.005 FROM part)
+        ORDER BY p_partkey
+        """,
+    )
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_quantity >= 50)
+ORDER BY s_suppkey
+""",
+    tags=("subquery",),
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS -> semi join (StmtRewriter.java:110-301 equivalent)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 50)
+        ORDER BY s_suppkey
+        """,
+    )
+
+
+@register(
+    "subquery_not_exists",
+    oracle="""
+SELECT p.p_partkey, p.p_name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p.p_partkey AND l_quantity > 48)
+ORDER BY p.p_partkey
+""",
+    tags=("subquery",),
+)
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS -> anti join."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p.p_partkey, p.p_name
+        FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p.p_partkey AND l_quantity > 48)
+        ORDER BY p.p_partkey
+        """,
+    )
+
+
+@register(
+    "with_cte",
+    oracle="""
+WITH big_orders AS (
+  SELECT o_custkey, count(*) AS n FROM orders
+  WHERE o_totalprice > 50000 GROUP BY o_custkey
+)
+SELECT c_mktsegment, sum(n) AS big_order_cnt
+FROM customer JOIN big_orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    tags=("subquery",),
+)
+def with_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH clause / inline view (grammar sql-parser.y WITH support)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH big_orders AS (
+          SELECT o_custkey, count(*) AS n FROM orders
+          WHERE o_totalprice > 50000 GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, sum(n) AS big_order_cnt
+        FROM customer JOIN big_orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+    )

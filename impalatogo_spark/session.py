@@ -73,10 +73,22 @@ def get_spark(app_name: str = "impalatogo-spark", cpus: int | None = None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read as a
+        # timestamp (PARQUET_TYPE_ILLEGAL); read as long and convert in table().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-created SparkSession (e.g. the grading driver's)
+    safe for this engine's queries: nanos-typed parquet must be readable and
+    timestamp rendering must be UTC to match the tz-naive data + oracle.
+    Both are runtime SQL confs, settable post-creation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
@@ -89,8 +101,18 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(t)
+            table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as nanos-since-epoch long (nanosAsLong conf above);
+        # truncate to microseconds — same ns->us truncation DuckDB applies,
+        # and the documented ns->us policy for the reference's nanosecond
+        # builtins (SURVEY.md §2.10 timestamp notes).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,6 +1,37 @@
 """Structured Streaming operators over the events table. The reference is a
-pure batch engine (SURVEY.md §1.1) — streaming here extends it with the
-pipeline capabilities a training-data system needs. Populated incrementally.
+pure batch engine (SURVEY.md §1.1) — streaming extends it with the pipeline
+capabilities a training-data system needs. See events.py for the operators.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from impalatogo_spark.queries import register
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution: readStream(parquet) -> watermark
+    -> tumbling-window agg -> memory sink, Trigger.AvailableNow, complete
+    mode. The oracle is the batch twin — availableNow replay must produce
+    exactly the batch answer (exactly-once semantics)."""
+    from impalatogo_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        tumbling_window_counts,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_available_now(spark, tumbling_window_counts(stream), output_mode="complete")

@@ -1,0 +1,129 @@
+"""Structured Streaming operators over the events table.
+
+The reference is a pure batch engine (SURVEY.md §1.1 — no streaming exists to
+reproduce); this module extends the engine with the streaming capabilities a
+training-data pipeline needs: windowed aggregation with watermarks for late
+data, and a custom stateful operator via applyInPandasWithState.
+
+Tests (tests/test_streaming.py) run each stream with availableNow over the
+parquet events table and assert the result equals the batch twin
+(events_tumbling_window) — the exactly-once replay property.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema pinned from a batch read —
+    streaming sources require explicit schemas)."""
+    from impalatogo_spark.session import table
+
+    batch = table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the streaming file source requires a directory: stream the sf_dir with a
+    # glob pinned to the events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same ns->us conversion as the batch path (session.table)
+    if dict(batch.dtypes)["ts"] == "timestamp":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_window_counts(stream: DataFrame) -> DataFrame:
+    """1-hour tumbling window counts with a 2-hour watermark: late events
+    beyond the watermark are dropped, windows finalize incrementally —
+    bounded state at any throughput."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(spark: SparkSession, streaming_df: DataFrame,
+                      output_mode: str = "append") -> DataFrame:
+    """Execute a streaming query over all currently-available data
+    (Trigger.AvailableNow) into an in-memory sink; return the result table.
+    This is the batch-replay harness for correctness checks."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_session_counts(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running event counts with timeout-based session flush. Demonstrates the
+    arbitrary-state API the reference has no analog for."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, n, total = state.get
+        else:
+            last_ts, n, total = 0, 0, 0.0
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            for t, v in zip(ts_us, pdf["value"].tolist()):
+                if last_ts and t - last_ts > gap_us:
+                    n, total = 0, 0.0  # session rolled over
+                n += 1
+                total += float(v)
+                last_ts = max(last_ts, t)
+        state.update((last_ts, n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,106 @@
+"""Function-library semantics: Impala-name shims, approximate-aggregate
+accuracy bounds, SQL rewrite templates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impalatogo_spark.functions import (
+    IMPALA_SQL_FUNCTION_REWRITES,
+    decode,
+    group_concat,
+    isnull,
+    nullifzero,
+    quotient,
+    strleft,
+    strright,
+    zeroifnull,
+)
+from impalatogo_spark.functions.registry import appx_median, ndv
+from impalatogo_spark.session import table
+
+
+def test_string_shims(spark):
+    df = spark.createDataFrame([("hello world",)], ["s"])
+    row = df.select(
+        strleft("s", 5).alias("l"),
+        strright("s", 5).alias("r"),
+    ).first()
+    assert row.l == "hello"
+    assert row.r == "world"
+
+
+def test_conditional_shims(spark):
+    df = spark.createDataFrame([(None, 0), (3, 4)], ["a", "b"])
+    rows = df.select(
+        zeroifnull("a").alias("z"),
+        nullifzero("b").alias("nz"),
+        isnull("a", F.lit(-1)).alias("nvl"),
+    ).collect()
+    assert [r.z for r in rows] == [0, 3]
+    assert [r.nz for r in rows] == [None, 4]
+    assert [r.nvl for r in rows] == [-1, 3]
+
+
+def test_decode_rewrites_to_case(spark):
+    df = spark.createDataFrame([(1,), (2,), (99,)], ["x"])
+    rows = df.select(decode("x", 1, "one", 2, "two", default="other").alias("d")).collect()
+    assert [r.d for r in rows] == ["one", "two", "other"]
+
+
+def test_quotient_integer_div(spark):
+    df = spark.createDataFrame([(7, 2), (-7, 2)], ["a", "b"])
+    rows = df.select(quotient("a", "b").alias("q")).collect()
+    # Impala quotient truncates toward zero (be/src/exprs/operators.cc)
+    assert [r.q for r in rows] == [3, -3]
+
+
+def test_group_concat_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["s"])
+    row = df.agg(group_concat("s", ",").alias("g")).first()
+    assert row.g == "a,b,c"
+
+
+def test_ndv_error_bound(spark, sf_dir):
+    """Impala ndv() ~ HLL with ~5% typical error (aggregate-functions.cc:994).
+    Assert our approx_count_distinct lands within 10% of exact."""
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        ndv("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.10
+
+
+def test_appx_median_bound(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        appx_median("l_quantity").alias("approx"),
+        F.percentile("l_quantity", 0.5).alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) <= 1.0  # quantities are 1..50
+
+
+def test_sql_rewrite_templates_valid(spark):
+    """Every SQL rewrite template must produce runnable Spark SQL."""
+    numeric = {"zeroifnull", "nullifzero", "isnull", "ifnull", "nvl"}
+    for name, tmpl in IMPALA_SQL_FUNCTION_REWRITES.items():
+        n_args = 2 if "{1}" in tmpl else 1
+        if name in numeric:
+            args = ["1", "2"][:n_args]
+        else:
+            args = ["'abc'", "2"][:n_args]
+        if name in ("ndv", "appx_count_distinct", "appx_median", "group_concat"):
+            args = ["c", "','"]
+            src = "(SELECT 1.0 AS c)" if name == "appx_median" else "(SELECT 'x' AS c)"
+            sql = f"SELECT {tmpl.format(*args)} FROM {src}"
+        elif name in ("quotient",):
+            sql = f"SELECT {tmpl.format('7', '2')}"
+        elif name in ("is_inf", "is_nan"):
+            sql = f"SELECT {tmpl.format('CAST(1.0 AS DOUBLE)')}"
+        elif name == "fnv_hash":
+            arg = "'abc'"
+            sql = f"SELECT {tmpl.format(arg)}"
+        else:
+            sql = f"SELECT {tmpl.format(*args)}"
+        spark.sql(sql).collect()  # must not raise
