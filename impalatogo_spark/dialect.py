@@ -1,0 +1,169 @@
+"""Impala-dialect SQL -> Spark SQL translation (SURVEY.md §7: translation,
+not reimplementation — Spark SQL accepts the overwhelming majority of the
+reference grammar unchanged; this layer rewrites the ~dozen Impala-isms).
+
+Handled rewrites (reference citations):
+  * plan hints `[broadcast]` / `[shuffle]` after JOIN
+    (grammar fe/src/main/cup/sql-parser.y:1917-1940) -> Spark join hints
+  * STRAIGHT_JOIN select modifier (same grammar block) -> stripped; Spark
+    equivalent is disabling CBO reorder per-query, approximated by a hint
+  * DIV integer-division operator -> Spark DIV exists; kept (no-op listed
+    for documentation)
+  * function-name shims (functions.registry.IMPALA_SQL_FUNCTION_REWRITES)
+  * `INVALIDATE METADATA [tbl]` / `REFRESH tbl`
+    (sql-parser.y:581-589) -> REFRESH TABLE
+  * `COMPUTE STATS tbl` (sql-parser.y:1249) -> ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR ALL COLUMNS
+
+The tokenizer is deliberately simple (string-literal aware, word-boundary
+regex); golden tests in tests/test_dialect.py pin each rewrite.
+"""
+
+from __future__ import annotations
+
+import re
+
+from impalatogo_spark.functions.registry import IMPALA_SQL_FUNCTION_REWRITES
+
+_STRING_OR_COMMENT = re.compile(
+    r"""('(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*"|--[^\n]*|/\*.*?\*/)""", re.DOTALL
+)
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals / comments with placeholder tokens so
+    rewrites never touch their contents (they restore verbatim). Placeholders
+    contain no parens/commas, so argument scanning stays correct."""
+    stash: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        stash.append(m.group(0))
+        return f"\x00{len(stash) - 1}\x00"
+
+    return _STRING_OR_COMMENT.sub(repl, sql), stash
+
+
+def _restore_literals(sql: str, stash: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], sql)
+
+
+# simple-arg function call rewriter: name(arg[, arg]) for shim names whose
+# template is pure substitution. Nested calls are handled by repeated passes.
+_SIMPLE_TEMPLATES = {
+    name: tmpl
+    for name, tmpl in IMPALA_SQL_FUNCTION_REWRITES.items()
+    # these Spark-side names already exist or the template is 1:1; rewrite all
+}
+
+# Impala defaults for optional trailing arguments (BuiltinsDb.java):
+# group_concat(expr) == group_concat(expr, ', ')
+_DEFAULT_TRAILING_ARGS = {"group_concat": ["', '"]}
+
+
+def _rewrite_functions(chunk: str) -> str:
+    def split_args(argstr: str) -> list[str] | None:
+        args, depth, cur = [], 0, []
+        for ch in argstr:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        args.append("".join(cur).strip())
+        return args
+
+    for _ in range(3):  # fixpoint-ish for nesting
+        changed = False
+        for name, tmpl in _SIMPLE_TEMPLATES.items():
+            pattern = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+            pos = 0
+            while True:
+                m = pattern.search(chunk, pos)
+                if not m:
+                    break
+                # find matching close paren
+                depth, i = 1, m.end()
+                while i < len(chunk) and depth:
+                    if chunk[i] == "(":
+                        depth += 1
+                    elif chunk[i] == ")":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    break  # unbalanced; leave as-is
+                inner = chunk[m.end() : i - 1]
+                args = split_args(inner)
+                n_slots = (max(int(s) for s in re.findall(r"\{(\d)\}", tmpl)) + 1)
+                defaults = _DEFAULT_TRAILING_ARGS.get(name.lower(), [])
+                while len(args) < n_slots and defaults:
+                    args = args + [defaults[len(args) - (n_slots - len(defaults))]]
+                if len(args) == n_slots:
+                    try:
+                        replacement = tmpl.format(*args)
+                    except (IndexError, KeyError):
+                        pos = m.end()
+                        continue
+                    chunk = chunk[: m.start()] + replacement + chunk[i:]
+                    changed = True
+                    pos = m.start() + len(replacement)
+                else:
+                    pos = m.end()
+        if not changed:
+            break
+    return chunk
+
+
+def translate(sql: str) -> str:
+    """Impala SQL -> Spark SQL."""
+    text = sql.strip().rstrip(";")
+    upper = text.upper()
+
+    # statement-level translations -------------------------------------------
+    m = re.match(r"INVALIDATE\s+METADATA\s*(\S*)", upper)
+    if m:
+        tbl = text.split()[-1] if m.group(1) else None
+        return f"REFRESH TABLE {tbl}" if tbl else "RESET"
+    m = re.match(r"REFRESH\s+(?!TABLE\b)(\S+)\s*$", text, re.IGNORECASE)
+    if m:
+        return f"REFRESH TABLE {m.group(1)}"
+    m = re.match(r"COMPUTE\s+(INCREMENTAL\s+)?STATS\s+(\S+)", text, re.IGNORECASE)
+    if m:
+        return f"ANALYZE TABLE {m.group(2)} COMPUTE STATISTICS FOR ALL COLUMNS"
+
+    # token-level rewrites with literals/comments masked ---------------------
+    chunk, stash = _mask_literals(text)
+    # [broadcast] / [shuffle] hints after JOIN: Impala attaches the hint to
+    # the join; Spark hints live after SELECT and name the table/alias.
+    # "JOIN [broadcast] region r ON ..." -> hint BROADCAST(r), bracket removed.
+    hints: list[str] = []
+
+    def lift_hint(m: re.Match) -> str:
+        kind = "BROADCAST" if m.group(1).lower() == "broadcast" else "SHUFFLE_HASH"
+        tbl, alias = m.group(2), m.group(3)
+        target = alias if alias and alias.upper() not in ("ON", "USING") else tbl
+        hints.append(f"{kind}({target})")
+        rest = f" {alias}" if alias and alias.upper() not in ("ON", "USING") else (
+            f" {alias}" if alias else ""
+        )
+        return f"JOIN {tbl}{rest}"
+
+    chunk = re.sub(
+        r"\bJOIN\s*\[\s*(broadcast|shuffle)\s*\]\s+(\w+)(?:\s+(?!ON\b|USING\b)(?:AS\s+)?(\w+))?",
+        lift_hint,
+        chunk,
+        flags=re.IGNORECASE,
+    )
+    if hints:
+        chunk = re.sub(
+            r"\bSELECT\b", f"SELECT /*+ {', '.join(hints)} */", chunk, count=1,
+            flags=re.IGNORECASE,
+        )
+    # straight_join: Impala disables join reordering. Spark: CBO reorder
+    # is off per-plan when hints exist; strip the keyword.
+    chunk = re.sub(r"\bSELECT\s+STRAIGHT_JOIN\b", "SELECT", chunk, flags=re.IGNORECASE)
+    chunk = _rewrite_functions(chunk)
+    return _restore_literals(chunk, stash)

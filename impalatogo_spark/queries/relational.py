@@ -664,3 +664,275 @@ def with_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
     )
+
+
+# ===========================================================================
+# Scalar-function batteries (§2.10, common/function-registry/impala_functions.py)
+# Each battery pairs Spark built-ins with DuckDB equivalents; semantic
+# mismatches (dayofweek origin, cast truncation, fmod) are normalized in the
+# ORACLE so the Spark side stays the Impala-faithful form.
+# ===========================================================================
+
+@register(
+    "func_string",
+    oracle="""
+SELECT p_partkey,
+       substr(p_name, 1, 4)                                  AS sub4,
+       upper(p_name)                                         AS up,
+       lower(p_brand)                                        AS lo,
+       length(p_name)                                        AS len,
+       lpad(p_brand, 12, '*')                                AS lp,
+       rpad(p_brand, 12, '#')                                AS rp,
+       reverse(p_name)                                       AS rev,
+       translate(p_name, 'aeiou', 'AEIOU')                   AS tr,
+       strpos(p_name, 'a')                                   AS pos_a,
+       concat_ws('-', p_brand, p_type)                       AS cw,
+       repeat('x', p_size % 3)                               AS rep,
+       ascii(substr(p_name, 1, 1))                           AS asc1,
+       upper(substr(lower(p_brand), 1, 1)) || substr(lower(p_brand), 2) AS icap,
+       trim(concat('  ', p_type, '  '))                      AS trm,
+       substr(p_name, 1, 3)                                  AS sleft,
+       substr(p_name, -3, 3)                                 AS sright
+FROM part
+""",
+    tags=("functions", "string"),
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery (impala_functions.py:371-417): substr/upper/lower/
+    length/lpad/rpad/reverse/translate/instr/concat_ws/repeat/ascii/initcap/
+    trim + strleft/strright shims. Impala 1-indexed substr preserved."""
+    from impalatogo_spark.functions import strleft, strright
+
+    p = _t(spark, sf_dir, "part")
+    name, brand = F.col("p_name"), F.col("p_brand")
+    return p.select(
+        "p_partkey",
+        F.substring(name, 1, 4).alias("sub4"),
+        F.upper(name).alias("up"),
+        F.lower(brand).alias("lo"),
+        F.length(name).alias("len"),
+        F.lpad(brand, 12, "*").alias("lp"),
+        F.rpad(brand, 12, "#").alias("rp"),
+        F.reverse(name).alias("rev"),
+        F.translate(name, "aeiou", "AEIOU").alias("tr"),
+        F.instr(name, "a").alias("pos_a"),
+        F.concat_ws("-", brand, F.col("p_type")).alias("cw"),
+        F.repeat(F.lit("x"), (F.col("p_size") % 3)).alias("rep"),
+        F.ascii(F.substring(name, 1, 1)).alias("asc1"),
+        F.initcap(F.lower(brand)).alias("icap"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("trm"),
+        strleft(name, 3).alias("sleft"),
+        strright(name, 3).alias("sright"),
+    )
+
+
+@register(
+    "func_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05)                    AS ab,
+       sign(l_discount - 0.05)                   AS sg,
+       ceil(l_extendedprice / 1000)              AS ce,
+       floor(l_extendedprice / 1000)             AS fl,
+       floor(l_extendedprice / 7 * 10) / 10      AS rnd,
+       round(exp(l_discount), 6)                 AS ex,
+       round(ln(l_extendedprice), 6)             AS lnv,
+       round(log10(l_extendedprice), 6)          AS lg10,
+       round(log2(l_quantity), 6)                AS lg2,
+       round(sqrt(l_quantity), 6)                AS sq,
+       round(pow(l_tax, 2), 6)                   AS pw,
+       ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS pm,
+       greatest(l_quantity, 25.0)                AS gr,
+       least(l_quantity, 25.0)                   AS le,
+       round(sin(l_discount), 6)                 AS sn,
+       round(degrees(l_discount), 6)             AS dg
+FROM lineitem
+WHERE l_orderkey <= 500
+""",
+    tags=("functions", "math"),
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery (impala_functions.py:227-344). pmod expressed natively in
+    Spark; the oracle normalizes DuckDB's sign-of-dividend % to positive-mod."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.ceil(price / 1000).alias("ce"),
+        F.floor(price / 1000).alias("fl"),
+        (F.floor(price / 7 * 10) / 10).alias("rnd"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log(price), 6).alias("lnv"),
+        F.round(F.log10(price), 6).alias("lg10"),
+        F.round(F.log2("l_quantity"), 6).alias("lg2"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.pow("l_tax", F.lit(2)), 6).alias("pw"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("pm"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("gr"),
+        F.least("l_quantity", F.lit(25.0)).alias("le"),
+        F.round(F.sin("l_discount"), 6).alias("sn"),
+        F.round(F.degrees("l_discount"), 6).alias("dg"),
+    )
+
+
+@register(
+    "func_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)                                         AS yr,
+       month(o_orderdate)                                        AS mo,
+       day(o_orderdate)                                          AS dy,
+       dayofweek(o_orderdate) + 1                                AS dw,
+       dayofyear(o_orderdate)                                    AS doy,
+       weekofyear(o_orderdate)                                   AS woy,
+       quarter(o_orderdate)                                      AS qt,
+       CAST(epoch(o_orderdate) AS BIGINT)                        AS ep,
+       date_diff('day', o_orderdate, TIMESTAMP '2000-01-01')     AS dd,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')       AS plus30,
+       strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d')      AS plus2m,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')    AS mstart,
+       strftime(last_day(o_orderdate), '%Y-%m-%d')               AS mend,
+       extract(month FROM o_orderdate)                           AS exm
+FROM orders
+WHERE o_orderkey <= 500
+""",
+    tags=("functions", "date"),
+)
+def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp/date battery (impala_functions.py:110-223): extract family,
+    INTERVAL arithmetic (TimestampArithmeticExpr, sql-parser.y:2262-2297),
+    trunc, datediff, unix_timestamp. Oracle normalizes DuckDB's 0-based
+    dayofweek to Impala/Spark's 1-based (Sunday=1)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.dayofweek(d).alias("dw"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("woy"),
+        F.quarter(d).alias("qt"),
+        F.unix_timestamp(d).alias("ep"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), d).alias("dd"),
+        F.date_format(d + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus2m"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("mstart"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("mend"),
+        F.month(d).alias("exm"),
+    )
+
+
+@register(
+    "func_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END                                    AS tier,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2
+            ELSE 0 END                                         AS seg_code,
+       CASE WHEN c_acctbal > 0 THEN round(c_acctbal, 2) ELSE 0.0 END AS pos_bal,
+       nullif(c_nationkey, 0)                                  AS nk_nz,
+       coalesce(nullif(c_nationkey, 0), -1)                    AS nk_co,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT')   AS seg_nvl,
+       (c_acctbal IS NULL)                                     AS is_n,
+       (c_acctbal IS NOT NULL)                                 AS is_nn
+FROM customer
+""",
+    tags=("functions", "conditional"),
+)
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional battery (impala_functions.py:422-485, conditional-functions.cc):
+    searched+simple CASE, if(), nullif, coalesce/nvl/isnull, zeroifnull-style,
+    IS [NOT] NULL."""
+    from impalatogo_spark.functions import isnull
+
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high").alias("tier"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .when(F.col("c_mktsegment") == "MACHINERY", 2)
+        .otherwise(0)
+        .alias("seg_code"),
+        F.when(bal > 0, F.round(bal, 2)).otherwise(0.0).alias("pos_bal"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_nz"),
+        isnull(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias("nk_co"),
+        isnull(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "seg_nvl"
+        ),
+        bal.isNull().alias("is_n"),
+        bal.isNotNull().alias("is_nn"),
+    )
+
+
+@register(
+    "func_cast",
+    oracle="""
+SELECT l_orderkey,
+       CAST(trunc(l_extendedprice) AS BIGINT)     AS d2l,
+       CAST(trunc(l_quantity) AS INTEGER)         AS d2i,
+       CAST(l_linenumber AS DOUBLE)               AS i2d,
+       CAST(l_orderkey AS VARCHAR)                AS l2s,
+       try_cast(l_returnflag AS INTEGER)          AS bad_cast,
+       CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS q2s,
+       CAST('123' AS BIGINT)                      AS s2l,
+       CAST(strftime(l_shipdate, '%Y-%m-%d') AS VARCHAR) AS ts2s
+FROM lineitem
+WHERE l_orderkey <= 300
+""",
+    tags=("functions", "cast"),
+)
+def func_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast battery (be/src/exprs/cast-functions.cc; lattice TypesUtil.java).
+    Impala semantics pinned: double->int TRUNCATES (oracle mirrors with
+    trunc(); DuckDB's bare cast would round), garbage string->int -> NULL
+    (ANSI off; oracle mirrors with try_cast)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("long").alias("d2l"),
+        F.col("l_quantity").cast("int").alias("d2i"),
+        F.col("l_linenumber").cast("double").alias("i2d"),
+        F.col("l_orderkey").cast("string").alias("l2s"),
+        F.col("l_returnflag").cast("int").alias("bad_cast"),
+        F.col("l_quantity").cast("int").cast("string").alias("q2s"),
+        F.lit("123").cast("long").alias("s2l"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").cast("string").alias("ts2s"),
+    )
+
+
+@register(
+    "func_regexp",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, 'Customer#(\\d+)', 1)      AS cust_num,
+       regexp_replace(c_name, '\\d', '', 'g')             AS no_digits,
+       regexp_matches(c_name, '^Customer#0*1')            AS starts_1,
+       (c_name LIKE 'Customer#%')                         AS like_pre,
+       (c_name LIKE '%42%')                               AS like_in
+FROM customer
+WHERE c_custkey <= 300
+""",
+    tags=("functions", "regexp"),
+)
+def func_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE/RLIKE/regexp battery (be/src/exprs/like-predicate.h:20-74).
+    Patterns restricted to the RE2-and-Java-common subset (SURVEY.md §7 risk:
+    dialect divergence) — \\d classes, anchors, literal alternation only."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract(name, r"Customer#(\d+)", 1).alias("cust_num"),
+        F.regexp_replace(name, r"\d", "").alias("no_digits"),
+        name.rlike(r"^Customer#0*1").alias("starts_1"),
+        name.like("Customer#%").alias("like_pre"),
+        name.like("%42%").alias("like_in"),
+    )

@@ -89,6 +89,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     Both are runtime SQL confs, settable post-creation."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Impala semantics (pre-ANSI): bad casts -> NULL, no overflow errors
+    # (SURVEY.md §2.10 cast notes; be/src/exprs/cast-functions.cc). Spark 4
+    # defaults ANSI on, which would throw instead.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,159 @@
+"""DDL & catalog surface (SURVEY.md §2.12): CREATE/DROP TABLE & VIEW, CTAS,
+INSERT INTO/OVERWRITE with dynamic partitions, ANALYZE/COMPUTE STATS,
+SHOW/DESCRIBE, and the NESTED PATH JSON feature. All writes go to a temp
+warehouse dir."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from impalatogo_spark.engine import Engine
+from impalatogo_spark.session import register_tables, table
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    e = Engine(spark)
+    register_tables(spark, sf_dir)
+    e.drop_database("i2s_test")
+    e.create_database("i2s_test")
+    yield e
+    e.drop_database("i2s_test")
+
+
+def test_ctas_and_select(eng):
+    eng.ctas(
+        "i2s_test.nation_copy",
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    )
+    assert eng.sql("SELECT count(*) AS c FROM i2s_test.nation_copy").first().c == 25
+
+
+def test_partitioned_ctas_prunes(eng, spark):
+    eng.ctas(
+        "i2s_test.nation_part",
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        partition_by=("n_regionkey",),
+    )
+    df = spark.sql("SELECT * FROM i2s_test.nation_part WHERE n_regionkey = 2")
+    assert df.count() == 5
+    # partition pruning: only one partition directory scanned
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+
+
+def test_insert_into_and_overwrite(eng, spark, sf_dir):
+    eng.ctas("i2s_test.region_copy", "SELECT * FROM region WHERE 1=0")
+    eng.insert_into("i2s_test.region_copy", table(spark, sf_dir, "region"))
+    assert spark.table("i2s_test.region_copy").count() == 5
+    eng.insert_into(
+        "i2s_test.region_copy",
+        table(spark, sf_dir, "region").limit(2),
+        overwrite=True,
+    )
+    assert spark.table("i2s_test.region_copy").count() == 2
+
+
+def test_dynamic_partition_overwrite(eng, spark, sf_dir):
+    """INSERT OVERWRITE with dynamic partitions replaces only the partitions
+    present in the input (the reference's per-partition overwrite,
+    be/src/exec/hdfs-table-sink.cc)."""
+    eng.ctas(
+        "i2s_test.nation_dyn",
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        partition_by=("n_regionkey",),
+    )
+    n = table(spark, sf_dir, "nation")
+    replacement = (
+        n.filter(F.col("n_regionkey") == 0)
+        .withColumn("n_name", F.lit("REPLACED"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    eng.insert_into("i2s_test.nation_dyn", replacement, overwrite=True)
+    t = spark.table("i2s_test.nation_dyn")
+    assert t.filter("n_regionkey = 0").filter("n_name = 'REPLACED'").count() == 5
+    # other partitions untouched
+    assert t.filter("n_regionkey <> 0").count() == 20
+
+
+def test_views(eng, spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW big_cust AS "
+        "SELECT * FROM customer WHERE c_acctbal > 9000"
+    )
+    assert spark.table("big_cust").count() > 0
+    spark.sql("DROP VIEW big_cust")
+
+
+def test_compute_stats_feeds_cbo(eng, spark):
+    eng.ctas("i2s_test.stats_t", "SELECT * FROM supplier")
+    eng.compute_stats("i2s_test.stats_t")
+    desc = spark.sql("DESCRIBE EXTENDED i2s_test.stats_t").collect()
+    stats_rows = [r for r in desc if r.col_name == "Statistics"]
+    assert stats_rows and "rows" in stats_rows[0].data_type
+
+
+def test_show_and_describe(eng):
+    tables = {r.tableName for r in eng.sql("SHOW TABLES IN i2s_test").collect()}
+    assert "nation_copy" in tables
+    cols = {r.col_name for r in eng.describe("i2s_test.nation_copy").collect()}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
+
+
+def test_alter_table_add_drop_column(eng, spark):
+    """ALTER TABLE ADD/DROP COLUMN (AlterTableAddReplaceColsStmt.java)."""
+    eng.ctas("i2s_test.alter_t", "SELECT n_nationkey FROM nation")
+    spark.sql("ALTER TABLE i2s_test.alter_t ADD COLUMN (extra STRING)")
+    assert "extra" in spark.table("i2s_test.alter_t").columns
+    # parquet tables don't support DROP COLUMN in place; RENAME is metadata-only
+    spark.sql("ALTER TABLE i2s_test.alter_t RENAME TO i2s_test.alter_t2")
+    assert spark.table("i2s_test.alter_t2").count() == 25
+
+
+def test_nested_path_json_table(eng, spark):
+    """ImpalaToGo NESTED PATH: scalar columns bound to dotted JSON paths
+    (fe/.../analysis/ColumnDef.java:41-54; delimited-text-parser-json.cc)."""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "docs.json")
+        with open(path, "w") as f:
+            for i in range(3):
+                f.write(
+                    json.dumps(
+                        {"id": i, "user": {"name": f"u{i}", "score": i * 1.5},
+                         "tags": {"primary": "x"}}
+                    )
+                    + "\n"
+                )
+        flat = eng.create_json_table(
+            "json_flat",
+            path,
+            {
+                "id": ("bigint", "id"),
+                "user_name": ("string", "user.name"),
+                "user_score": ("double", "user.score"),
+                "primary_tag": ("string", "tags.primary"),
+            },
+        )
+        rows = {r.id: r for r in flat.collect()}
+        assert rows[2].user_name == "u2" and rows[2].user_score == 3.0
+        assert spark.table("json_flat").count() == 3
+
+
+def test_csv_and_json_round_trip(eng, spark, sf_dir):
+    """Text-format scan/sink parity (hdfs-text-scanner.cc / text writer):
+    csv with custom delimiter + json lines, written and read back."""
+    n = table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        csv_dir = os.path.join(d, "csv")
+        n.write.options(sep="|", header=True).csv(csv_dir)
+        back = spark.read.options(sep="|", header=True, inferSchema=True).csv(csv_dir)
+        assert back.count() == 25 and set(back.columns) == set(n.columns)
+        json_dir = os.path.join(d, "json")
+        n.write.json(json_dir)
+        jback = spark.read.json(json_dir)
+        assert jback.count() == 25

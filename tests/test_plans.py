@@ -1,0 +1,57 @@
+"""Golden-plan assertions (reference: PlannerTest.java): pushdown reaches the
+scan, broadcast is chosen for small dims, top-k compiles to
+TakeOrderedAndProject, aggregations are 2-phase, projections prune columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from impalatogo_spark import plans
+from impalatogo_spark.queries.tpch import tpch_q1, tpch_q3, tpch_q5, tpch_q6
+from impalatogo_spark.session import table
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    df = tpch_q6(spark, sf_dir)
+    # all four predicates must reach the parquet scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert plans.has_pushed_filter(df, col), f"{col} not pushed"
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = tpch_q1(spark, sf_dir)
+    cols = plans.scan_read_schema(df)
+    assert cols, "no ReadSchema found"
+    # 11-column table, query needs 7 — the scan must not read the rest
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert "l_quantity" in cols and "l_shipdate" in cols
+
+
+def test_q1_two_phase_aggregation(spark, sf_dir):
+    assert plans.has_partial_aggregate(tpch_q1(spark, sf_dir))
+
+
+def test_q3_take_ordered(spark, sf_dir):
+    assert plans.uses_take_ordered(tpch_q3(spark, sf_dir))
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    assert plans.uses_broadcast_join(tpch_q5(spark, sf_dir))
+
+
+def test_projection_prunes_to_two_columns(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    cols = plans.scan_read_schema(df)
+    assert sorted(cols) == ["l_extendedprice", "l_orderkey"]
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    assert plans.codegen_stage_count(tpch_q1(spark, sf_dir)) >= 1
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    """Q1's ideal plan: scan -> partial agg -> ONE exchange -> final agg ->
+    sort (the sort exchange is collapsed at this size by AQE or counted as
+    the global-order exchange) — no join shuffles, no extra repartitions."""
+    n = plans.count_shuffles(tpch_q1(spark, sf_dir))
+    assert n <= 2, f"q1 has {n} exchanges"
