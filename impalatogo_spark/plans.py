@@ -63,8 +63,12 @@ def count_shuffles(df: DataFrame) -> int:
     return simple_plan(df).count("Exchange")
 
 
-def codegen_stage_count(df: DataFrame) -> int:
-    """WholeStageCodegen spans in the FINAL plan. Under AQE the final plan
-    only exists after execution, so materialize first."""
+def codegen_operator_count(df: DataFrame) -> int:
+    """Operators inside WholeStageCodegen spans (the `*`-starred nodes in the
+    formatted plan). Under AQE the final plan only exists after execution, so
+    materialize first."""
+    import re
+
     df.collect()
-    return simple_plan(df).count("WholeStageCodegen")
+    plan = formatted_plan(df)
+    return len(re.findall(r"\*\s+\w", plan))

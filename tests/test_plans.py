@@ -46,7 +46,7 @@ def test_projection_prunes_to_two_columns(spark, sf_dir):
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
-    assert plans.codegen_stage_count(tpch_q1(spark, sf_dir)) >= 1
+    assert plans.codegen_operator_count(tpch_q1(spark, sf_dir)) >= 4
 
 
 def test_q1_single_shuffle(spark, sf_dir):
