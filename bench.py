@@ -21,12 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from impalatogo_spark.queries import all_queries
 from impalatogo_spark.session import DEFAULT_SF_DIR, get_spark
 
-# Headline set: the scan/agg/join/topk/window/dedup/similarity spine.
-HEADLINE = [
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
+# Headline set: full TPC-H suite + the pipeline-operator spine
+# (dedup, similarity, text, sessionization, streaming).
+HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
+    "window_rank",
+    "window_running_sum",
+    "agg_distinct_multi",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "text_token_stats",
+    "events_sessionize",
+    "events_json_extract",
+    "events_tumbling_window",
 ]
 RUNS = 3
 

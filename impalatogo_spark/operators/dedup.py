@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 N_HASHES = 16
 BANDS = 4  # rows per band = N_HASHES // BANDS = 4
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 HEX = "0123456789abcdef"
 
 
@@ -38,14 +38,17 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     Whole-stage-codegen friendly: split + transform + explode, no Python.
     """
-    words = F.split(F.col(text_col), " ")
+    # materialize the split ONCE per row: referencing F.split(...) inside the
+    # transform lambda re-evaluates the split per element (~200x per doc)
+    words = F.col("__words")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)]),
     )
     return (
-        df.filter(F.size(words) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__words"))
+        .filter(F.size(words) >= n)
+        .select("id", F.explode(grams).alias("g"))
         .distinct()
     )
 
@@ -179,10 +182,11 @@ WHERE inter * 1.0 / (na.n + nb.n - inter) >= {threshold}
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per document. Bit b of token t = parity of hex digit b
-    of md5(t); v[b] = sum(+1/-1 over token occurrences); bit = v[b] > 0.
-    Computed as 16 conditional sums in one groupBy — no token x bit blowup.
-    """
+    """32-bit SimHash per document. Bit b of token t = parity of hex digit b
+    of md5(t) (all 32 hex chars used); v[b] = sum(+1/-1 over token
+    occurrences); bit = v[b] > 0. Computed as 32 conditional sums in one
+    groupBy — no token x bit blowup. 16 bits proved too weak at 5k docs
+    (21k hamming<=3 pairs, mostly false); 32 bits is discriminative."""
     tokens = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),

@@ -56,7 +56,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. Deterministic (md5) so the DuckDB oracle reproduces it
     exactly. Scale: one groupBy for signatures, bucketed join for candidates
     — never an all-pairs product."""
-    sh = D.word_shingles(_t(spark, sf_dir, "documents"))
+    # the shingle set feeds three consumers (signatures + both verify sides);
+    # persist so the explode runs once. At 100 TB use DISK_ONLY or a
+    # checkpointed table instead of memory cache.
+    sh = D.word_shingles(_t(spark, sf_dir, "documents")).persist()
     cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     return D.verify_jaccard(cand, sh, threshold=0.5)
 
@@ -110,7 +113,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard >= 0.3 via the shingle-join form: pairs sharing
     zero shingles never materialize (the join on `g` is the candidate
     generator — no cross product)."""
-    sh = D.word_shingles(_t(spark, sf_dir, "documents"))
+    sh = D.word_shingles(_t(spark, sf_dir, "documents")).persist()
     sa = sh.select(F.col("id").alias("id_a"), "g")
     sb = sh.select(F.col("id").alias("id_b"), "g")
     inter = (
