@@ -936,3 +936,127 @@ def func_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         name.like("Customer#%").alias("like_pre"),
         name.like("%42%").alias("like_in"),
     )
+
+
+# ===========================================================================
+# AMPLab big-data benchmark shapes (reference workload:
+# testdata/workloads/hive-benchmark/queries/hive-benchmark.test — GREP scan,
+# rankings scan+topk, uservisits join+agg) adapted to documents/events.
+# ===========================================================================
+
+@register(
+    "amplab_grep",
+    oracle="""
+SELECT doc_id, n_chars FROM documents
+WHERE text LIKE '%batch batch%'
+ORDER BY doc_id
+""",
+    tags=("amplab", "scan"),
+)
+def amplab_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREP: full-scan LIKE filter (hive-benchmark.test GREP1GB Q1)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").like("%batch batch%"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "amplab_rankings",
+    oracle="""
+SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n
+FROM events
+WHERE event_type = 'view'
+GROUP BY user_id
+HAVING sum(value) > 0
+ORDER BY total_value DESC, user_id
+LIMIT 25
+""",
+    tags=("amplab", "topn"),
+)
+def amplab_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rankings: scan+agg+top-k (hive-benchmark WEB_Q1 shape)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"), F.count("*").alias("n"))
+        .filter(F.col("total_value") > 0)
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(25)
+    )
+
+
+@register(
+    "amplab_uservisits_join",
+    oracle="""
+SELECT c_mktsegment,
+       round(sum(e.value), 2)        AS revenue,
+       count(DISTINCT e.user_id)     AS buyers
+FROM events e
+JOIN customer ON e.user_id = c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c_mktsegment
+ORDER BY revenue DESC, c_mktsegment
+""",
+    tags=("amplab", "join"),
+)
+def amplab_uservisits_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UserVisits x Rankings join+agg (hive-benchmark WEB_Q3 shape):
+    fact-events joined to the customer dim on user key."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("value"), 2).alias("revenue"),
+            F.countDistinct("user_id").alias("buyers"),
+        )
+        .orderBy(F.desc("revenue"), "c_mktsegment")
+    )
+
+
+# ===========================================================================
+# DECIMAL semantics (§1.2: DECIMAL(p,s) storage tiers, decimal-value.h:33-40;
+# arithmetic result types decimal-operators.cc)
+# ===========================================================================
+
+@register(
+    "func_decimal",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DECIMAL(12,2))                          AS dec_price,
+       CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(6,3)) AS dec_add,
+       CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,3)) AS dec_mul,
+       round(CAST(l_extendedprice AS DECIMAL(12,2)) / 7, 4)            AS dec_div,
+       CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) OVER (PARTITION BY l_orderkey) AS DECIMAL(14,2)) AS dec_sum
+FROM lineitem
+WHERE l_orderkey <= 200
+""",
+    tags=("functions", "decimal"),
+)
+def func_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL battery: cast tiers, +, *, /, windowed sum. Result p/s rules
+    differ between engines (Spark vs DuckDB widening) but VALUES are equal —
+    the compare normalizes Decimal->float. Impala's own rules
+    (fe/.../analysis/TypesUtil.java) match neither engine exactly; SURVEY §7
+    documents this as an accepted divergence pinned here by value."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        price.alias("dec_price"),
+        (price + F.col("l_tax").cast("decimal(6,3)")).alias("dec_add"),
+        (price * F.col("l_discount").cast("decimal(6,3)")).alias("dec_mul"),
+        F.round(price / 7, 4).alias("dec_div"),
+        F.sum(F.col("l_quantity").cast("decimal(10,2)"))
+        .over(W.partitionBy("l_orderkey"))
+        .cast("decimal(14,2)")
+        .alias("dec_sum"),
+    )

@@ -76,6 +76,8 @@ def get_spark(app_name: str = "impalatogo-spark", cpus: int | None = None) -> Sp
         # events.parquet stores TIMESTAMP(NANOS) which Spark cannot read as a
         # timestamp (PARQUET_TYPE_ILLEGAL); read as long and convert in table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -93,6 +95,8 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # (SURVEY.md §2.10 cast notes; be/src/exprs/cast-functions.cc). Spark 4
     # defaults ANSI on, which would throw instead.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # custom Python data sources (sources/external.py) offer pushFilters
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -157,3 +157,41 @@ def test_csv_and_json_round_trip(eng, spark, sf_dir):
         n.write.json(json_dir)
         jback = spark.read.json(json_dir)
         assert jback.count() == 25
+
+
+def test_load_data_files_into_table(eng, spark, sf_dir):
+    """LOAD DATA (fe/.../analysis/LoadDataStmt.java): move files into the
+    table location + refresh — here file copy into the table dir followed by
+    REFRESH TABLE, the documented Spark mapping (SURVEY.md §2.2)."""
+    import shutil
+
+    eng.ctas("i2s_test.load_t", "SELECT * FROM region WHERE 1=0")
+    desc = spark.sql("DESCRIBE EXTENDED i2s_test.load_t").collect()
+    loc = next(r.data_type for r in desc if r.col_name == "Location")
+    loc_path = loc.replace("file:", "")
+    src = table(spark, sf_dir, "region")
+    src.write.mode("overwrite").parquet("/tmp/i2s_load_stage")
+    n_copied = 0
+    for f in os.listdir("/tmp/i2s_load_stage"):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join("/tmp/i2s_load_stage", f), loc_path)
+            n_copied += 1
+    assert n_copied > 0
+    eng.refresh("i2s_test.load_t")
+    assert spark.table("i2s_test.load_t").count() == 5
+
+
+def test_avro_gated(spark, sf_dir):
+    """Avro scanner parity (hdfs-avro-scanner.cc): the spark-avro module is
+    not bundled in this container's pyspark — assert the documented gate
+    (clean error naming the missing module), keeping the capability mapping
+    explicit rather than silently absent."""
+    n = table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        try:
+            n.write.format("avro").save(os.path.join(d, "av"))
+        except Exception as e:
+            assert "avro" in str(e).lower()
+            return
+        back = spark.read.format("avro").load(os.path.join(d, "av"))
+        assert back.count() == 25

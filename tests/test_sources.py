@@ -1,0 +1,61 @@
+"""Custom external source (Python DataSource V2): partitioned reads,
+deterministic content, and the filter-pushdown contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from impalatogo_spark.sources import SyntheticDocsDataSource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SyntheticDocsDataSource)
+
+
+def test_reads_all_docs(spark):
+    df = spark.read.format("synthetic_docs").option("n_docs", 200).load()
+    assert df.count() == 200
+    assert df.columns == ["doc_id", "text", "n_chars"]
+
+
+def test_deterministic_content(spark):
+    a = spark.read.format("synthetic_docs").option("n_docs", 50).load().collect()
+    b = spark.read.format("synthetic_docs").option("n_docs", 50).load().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    row = {r.doc_id: r for r in a}[7]
+    assert row.n_chars == len(row.text)
+
+
+def test_partitioned_read(spark):
+    df = spark.read.format("synthetic_docs").option("n_docs", 100).option(
+        "n_shards", 5
+    ).load()
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_filter_pushdown_range(spark):
+    """Range predicate on doc_id is consumed by the source: only the pruned
+    shards are generated (the equivalent of the reference's accepted
+    conjuncts, data-source-scan-node.cc)."""
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 100000)
+        .load()
+        .filter((F.col("doc_id") >= 500) & (F.col("doc_id") < 520))
+    )
+    rows = df.collect()
+    assert len(rows) == 20
+    assert {r.doc_id for r in rows} == set(range(500, 520))
+
+
+def test_residual_filter_still_applied(spark):
+    """Filters the source can't consume (on text) are re-applied by Spark."""
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 300)
+        .load()
+        .filter((F.col("doc_id") < 100) & F.col("text").like("%spark%"))
+    )
+    assert all("spark" in r.text and r.doc_id < 100 for r in df.collect())
