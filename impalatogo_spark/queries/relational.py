@@ -1060,3 +1060,51 @@ def func_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(14,2)")
         .alias("dec_sum"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(least(floor((l_extendedprice - 900) / 5000), 19) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM lineitem
+GROUP BY 1
+ORDER BY bucket
+""",
+    tags=("aggregation",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram — the deterministic equivalent of Impala's
+    `histogram()` reservoir aggregate (aggregate-functions.cc:723-858, which
+    is sampling-based and nondeterministic; the reference's own tests use
+    tolerance predicates). Fixed bucket arithmetic is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - 900) / 5000), F.lit(19)
+    ).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "sample_reservoir",
+    oracle=None,  # sampling is engine-specific; determinism asserted in tests
+    tags=("aggregation", "approx"),
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impala `sample()` reservoir aggregate equivalent: seeded TABLESAMPLE.
+    Engine-specific sample selection -> rows-only at the driver; determinism
+    (same seed => same rows) asserted in tests/test_functions.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.01, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

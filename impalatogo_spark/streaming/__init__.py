@@ -35,3 +35,24 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_stream(spark, sf_dir)
     return run_available_now(spark, tumbling_window_counts(stream), output_mode="complete")
+
+
+@register(
+    "streaming_stateful_sessions",
+    oracle=None,  # custom stateful operator; batch-equivalence in tests/test_streaming.py
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    session rollups with 30-min gap reset. Non-SQL-expressible (arbitrary
+    state machine) -> rows-only at the driver; invariants (count bounds,
+    user coverage) asserted in tests/test_streaming.py."""
+    from impalatogo_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        stateful_session_counts,
+    )
+
+    return run_available_now(
+        spark, stateful_session_counts(events_stream(spark, sf_dir)), "update"
+    )

@@ -104,3 +104,12 @@ def test_sql_rewrite_templates_valid(spark):
         else:
             sql = f"SELECT {tmpl.format(*args)}"
         spark.sql(sql).collect()  # must not raise
+
+
+def test_sample_deterministic_with_seed(spark, sf_dir):
+    from impalatogo_spark.queries.relational import sample_reservoir
+
+    a = sample_reservoir(spark, sf_dir).collect()
+    b = sample_reservoir(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert 0 < len(a)
