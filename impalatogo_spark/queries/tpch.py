@@ -255,17 +255,23 @@ ORDER BY p_partkey, s_name
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-price supplier per LARGE part. avg is rounded to 2dp on both sides
-    before the min-equality join so float noise cannot flip the argmin."""
+    before the min-equality so float noise cannot flip the argmin.
+
+    Scale note: the per-part min is a window over the ALREADY-AGGREGATED
+    (part, supplier) frame — one small shuffle — instead of a second groupBy
+    + self-join, which would rescan and reshuffle the aggregate twice."""
+    from pyspark.sql import Window as W
+
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
     supp = _t(spark, sf_dir, "supplier")
     ps = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
-    mins = ps.groupBy("partkey").agg(F.min("avg_price").alias("min_price"))
+    w = W.partitionBy("partkey")
     return (
-        ps.join(mins, (ps.partkey == mins.partkey) & (ps.avg_price == mins.min_price))
-        .drop(mins.partkey)
+        ps.withColumn("min_price", F.min("avg_price").over(w))
+        .filter(F.col("avg_price") == F.col("min_price"))
         .join(part, F.col("partkey") == F.col("p_partkey"))
         .join(supp, F.col("suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "avg_price")
@@ -991,17 +997,24 @@ LIMIT 10
     tags=("tpch", "join", "window-shape"),
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-to-ship supplier per multi-supplier order; the grouped order_stats
-    rejoin replaces the reference's correlated EXISTS/NOT EXISTS pair."""
+    """Last-to-ship supplier per multi-supplier order; per-order stats as
+    WINDOW functions over the l_orderkey partition — ONE lineitem shuffle —
+    replacing the reference's correlated EXISTS/NOT EXISTS pair (which would
+    plan as a groupBy + rejoin, shuffling lineitem twice)."""
+    from pyspark.sql import Window as W
+
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    stats = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.min("l_shipdate").alias("min_ship"),
-        F.countDistinct("l_suppkey").alias("nsupp"),
-    )
+    w = W.partitionBy("l_orderkey")
     return (
-        li.join(stats, F.col("l_orderkey") == F.col("okey"))
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            F.max("l_shipdate").over(w).alias("max_ship"),
+            F.min("l_shipdate").over(w).alias("min_ship"),
+            F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
+        )
         .filter(
             (F.col("nsupp") >= 2)
             & (F.col("l_shipdate") == F.col("max_ship"))
