@@ -414,3 +414,23 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=None,  # k-means cells are engine-specific; recall bound in tests/test_similarity.py
+    tags=("similarity", "approx"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (k-means coarse quantizer, 4-probe): the second scale
+    path for similarity search next to LSH (SURVEY §8). Deterministic given
+    the fixed k-means seed; recall >= 0.5 vs brute force asserted in
+    tests/test_similarity.py."""
+    from impalatogo_spark.operators.similarity import ivf_ann_topk, ivf_index
+
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    assigned, centroids = ivf_index(e, n_cells=8)
+    return ivf_ann_topk(assigned, centroids, q, k=5, n_probe=4)

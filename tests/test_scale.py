@@ -1,0 +1,82 @@
+"""Scale-feature tests: bucketed joins eliminate exchanges; salted joins
+preserve semantics while spreading hot keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from impalatogo_spark import plans
+from impalatogo_spark.operators.scale import salted_join, write_bucketed
+from impalatogo_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    spark.sql("CREATE DATABASE IF NOT EXISTS i2s_buckets")
+    spark.sql("USE i2s_buckets")
+    write_bucketed(
+        table(spark, sf_dir, "lineitem"), "li_b", "l_orderkey", 8, "l_orderkey"
+    )
+    write_bucketed(
+        table(spark, sf_dir, "orders"), "ord_b", "o_orderkey", 8, "o_orderkey"
+    )
+    yield
+    spark.sql("USE default")
+    spark.sql("DROP DATABASE i2s_buckets CASCADE")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    """Both sides bucketed on the join key with equal bucket counts: the join
+    must plan with ZERO exchanges (the write-time shuffle is amortized)."""
+    li = spark.table("i2s_buckets.li_b")
+    o = spark.table("i2s_buckets.ord_b")
+    # disable broadcast so the co-located shuffle-free path is what's tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        n_ex = plans.count_shuffles(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert n_ex == 0, f"bucketed join still shuffles ({n_ex} exchanges)"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_unbucketed_join_does_exchange(spark, sf_dir):
+    """Control: the same join over raw parquet shuffles both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_ex = plans.count_shuffles(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert n_ex >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    o = table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "okey")
+    plain = (
+        li.join(o, "okey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    salted = (
+        salted_join(li, o, "okey", n_salts=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "k")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .withColumnRenamed("o_custkey", "k")
+    )
+    plain = c.join(o, "k", "left").groupBy("k").count()
+    salted = salted_join(c, o, "k", n_salts=4, how="left").groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

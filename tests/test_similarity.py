@@ -62,3 +62,19 @@ def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
     # the planted near-dups (calibration showed ~12 pairs at j>=0.97) are found
     assert len(verified) >= 1
     assert all((r.id_a, r.id_b) in cand for r in verified)
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF (k-means cells, 4-probe) must recover most of brute-force top-5."""
+    from impalatogo_spark.operators.similarity import ivf_ann_topk, ivf_index
+
+    e = S.with_double_embedding(table(spark, sf_dir, "embeddings"))
+    q = _queries(e)
+    assigned, centroids = ivf_index(e, n_cells=8)
+    exact = {(r.q_id, r.vec_id) for r in S.brute_force_topk(e, q, k=5).collect()}
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_ann_topk(assigned, centroids, q, k=5, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"

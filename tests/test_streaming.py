@@ -46,3 +46,73 @@ def test_stateful_session_counts(spark, sf_dir):
     }
     assert all(0 < per_user[u] <= totals[u] for u in per_user)
     assert len(per_user) == n_users
+
+
+def test_sliding_window_stream(spark, sf_dir):
+    """Sliding (overlapping) windows: each event lands in window_len/slide
+    windows; total weighted count must equal n_events * 2 for 2h/1h."""
+    from pyspark.sql import functions as F
+    from impalatogo_spark.streaming.events import events_stream, run_available_now
+
+    stream = events_stream(spark, sf_dir)
+    slid = (
+        stream.withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_available_now(spark, slid, "complete")
+    total = sum(r.n for r in out.collect())
+    n_events = table(spark, sf_dir, "events").count()
+    assert total == 2 * n_events
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Late-data semantics: with a watermark, an event older than
+    (max_seen - watermark) is dropped in append mode across micro-batches."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    early = ev.filter(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+    late = ev.filter(F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+    n_late = late.count()
+    assert n_late > 0
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # batch 1: recent events advance the watermark far past the late events
+    early.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # batch 2: append the LATE file; its windows are behind the watermark
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    result = spark.read.parquet(out_dir)
+    emitted = result.agg(F.sum("n").alias("s")).first().s or 0
+    # none of the late rows may appear in finalized windows
+    assert emitted <= early.count()
+    total_late_windows = result.filter(
+        F.col("w.start") < F.lit("2024-01-05").cast("timestamp")
+    ).count()
+    assert total_late_windows == 0
