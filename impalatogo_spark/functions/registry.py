@@ -135,6 +135,10 @@ IMPALA_SQL_FUNCTION_REWRITES: dict[str, str] = {
     "is_inf": "({0} = double('inf') OR {0} = double('-inf'))",
     "is_nan": "isnan({0})",
     "fnv_hash": "xxhash64({0})",  # different algorithm; documented in SURVEY §2.10
+    "istrue": "coalesce({0}, false)",
+    "isnottrue": "(NOT coalesce({0}, false))",
+    "isfalse": "coalesce(({0}) = false, false)",
+    "isnotfalse": "(NOT coalesce(({0}) = false, false))",
     "lcase": "lower({0})",
     "ucase": "upper({0})",
     "char_length": "length({0})",

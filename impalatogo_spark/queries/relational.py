@@ -1108,3 +1108,29 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.01, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "join_null_aware_anti_subnull",
+    oracle="""
+SELECT count(*) AS n
+FROM customer
+WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 5) FROM nation WHERE n_regionkey <= 1)
+""",
+    tags=("join", "subquery"),
+)
+def join_null_aware_anti_subnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULL in the SUBQUERY side: per three-valued logic the
+    whole result is empty (x NOT IN (..., NULL) is never TRUE). The
+    null-aware anti join must honor this; a naive anti join would not.
+    Reference: NULL_AWARE_LEFT_ANTI_JOIN (PlanNodes.thrift:156-169)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT count(*) AS n
+        FROM customer
+        WHERE c_nationkey NOT IN
+              (SELECT nullif(n_nationkey, 5) FROM nation WHERE n_regionkey <= 1)
+        """,
+    )

@@ -1071,3 +1071,230 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ===========================================================================
+# TPC-DS subset (reference workload: testdata/workloads/tpcds/queries/,
+# ~20 star-join queries — BASELINE.md §1). The driver schema has no
+# store_sales/date_dim; the queries keep the exact PLAN SHAPES (fact x dim
+# star joins + date-range filter + grouped topk) over orders/lineitem dims.
+# ===========================================================================
+
+@register(
+    "tpcds_q3",
+    oracle="""
+SELECT year(o_orderdate) AS d_year, p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_agg
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND month(o_orderdate) = 12
+GROUP BY 1, 2
+ORDER BY d_year, sum_agg DESC, p_brand
+LIMIT 100
+""",
+    tags=("tpcds", "join", "topn"),
+)
+def tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q3 shape: fact x date x item, brand revenue per year (December)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.month("o_orderdate") == 12)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("d_year"), "p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_agg"
+            )
+        )
+        .orderBy("d_year", F.desc("sum_agg"), "p_brand")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q7",
+    oracle="""
+SELECT p_name,
+       round(avg(l_quantity), 4)      AS agg1,
+       round(avg(l_extendedprice), 4) AS agg2,
+       round(avg(l_discount), 4)      AS agg3,
+       round(sum(l_extendedprice), 2) AS agg4
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE' AND o_orderpriority = '3-MEDIUM'
+GROUP BY p_name
+ORDER BY p_name
+LIMIT 100
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q7 shape: 4-way star with demographic-style dim filters, four
+    averages per item."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "3-MEDIUM")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("p_name")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("agg1"),
+            F.round(F.avg("l_extendedprice"), 4).alias("agg2"),
+            F.round(F.avg("l_discount"), 4).alias("agg3"),
+            F.round(F.sum("l_extendedprice"), 2).alias("agg4"),
+        )
+        .orderBy("p_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q19",
+    oracle="""
+SELECT n_name, p_brand, p_partkey,
+       round(sum(l_extendedprice), 2) AS ext_price
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE p_size >= 20 AND month(o_orderdate) = 6
+GROUP BY n_name, p_brand, p_partkey
+ORDER BY ext_price DESC, n_name, p_brand, p_partkey
+LIMIT 100
+""",
+    tags=("tpcds", "join", "topn"),
+)
+def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q19 shape: 5-way star incl. geography dim, brand revenue topk."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    o = _t(spark, sf_dir, "orders").filter(F.month("o_orderdate") == 6)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_brand", "p_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("ext_price"))
+        .orderBy(F.desc("ext_price"), "n_name", "p_brand", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q42",
+    oracle="""
+SELECT year(o_orderdate) AS d_year, p_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_sales
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+WHERE year(o_orderdate) = 1998
+GROUP BY 1, 2
+ORDER BY total_sales DESC, p_type
+LIMIT 100
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q42 shape: category revenue for one year, ordered by revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1998)
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("d_year"), "p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_sales"
+            )
+        )
+        .orderBy(F.desc("total_sales"), "p_type")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q52",
+    oracle="""
+SELECT year(o_orderdate) AS d_year, p_brand,
+       round(sum(l_extendedprice), 2) AS ext_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+WHERE month(o_orderdate) = 11
+GROUP BY 1, 2
+ORDER BY d_year, ext_price DESC, p_brand
+LIMIT 100
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q52 shape: brand revenue for one month across years."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.month("o_orderdate") == 11)
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("d_year"), "p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("ext_price"))
+        .orderBy("d_year", F.desc("ext_price"), "p_brand")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q68",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       round(sum(l_extendedprice * (1 + l_tax)), 2)  AS price_with_tax,
+       round(sum(l_extendedprice * l_discount), 2)   AS total_discount
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE n_regionkey IN (1, 3) AND o_orderstatus = 'F'
+GROUP BY c_name, c_custkey, o_orderkey
+HAVING sum(l_extendedprice * (1 + l_tax)) > 200000
+ORDER BY c_name, o_orderkey
+LIMIT 100
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q68 shape: per-(customer, order) extended-price rollups with a
+    HAVING threshold and geography filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey").isin(1, 3))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 + F.col("l_tax"))), 2).alias(
+                "price_with_tax"
+            ),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "total_discount"
+            ),
+        )
+        .filter(F.col("price_with_tax") > 200000)
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    )

@@ -96,6 +96,8 @@ def test_sql_rewrite_templates_valid(spark):
             sql = f"SELECT {tmpl.format(*args)} FROM {src}"
         elif name in ("quotient",):
             sql = f"SELECT {tmpl.format('7', '2')}"
+        elif name in ("istrue", "isnottrue", "isfalse", "isnotfalse"):
+            sql = f"SELECT {tmpl.format('CAST(NULL AS BOOLEAN)')}"
         elif name in ("is_inf", "is_nan"):
             sql = f"SELECT {tmpl.format('CAST(1.0 AS DOUBLE)')}"
         elif name == "fnv_hash":
