@@ -116,3 +116,26 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
         F.col("w.start") < F.lit("2024-01-05").cast("timestamp")
     ).count()
     assert total_late_windows == 0
+
+
+def test_native_session_window_matches_manual_sessionize(spark, sf_dir):
+    """Spark's native session_window (30-min gap) must produce the same
+    per-user session event-count multiset as the manual lag+cumsum
+    sessionizer (queries/pipeline.py::events_sessionize) — two independent
+    implementations of the same semantics cross-validate each other."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.queries.pipeline import events_sessionize
+
+    ev = table(spark, sf_dir, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    manual = events_sessionize(spark, sf_dir).select("user_id", "n_events")
+    a = Counter((r.user_id, r.n_events) for r in native.collect())
+    b = Counter((r.user_id, r.n_events) for r in manual.collect())
+    assert a == b

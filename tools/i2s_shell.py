@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""i2s-shell — interactive SQL shell, the engine's impala-shell equivalent
+(reference: shell/impala_shell.py, 23 commands; SURVEY.md §3.1 client entry).
+
+Usage:
+  python tools/i2s_shell.py                      # REPL on stdin
+  python tools/i2s_shell.py -q "SELECT 1 AS x;"  # one-shot query
+  python tools/i2s_shell.py -f script.sql        # run a ;-separated script
+  python tools/i2s_shell.py --sf-dir DIR         # register testdata tables
+
+Shell commands (backslash-free, impala-shell style):
+  use <db>; set k=v; set; explain <sql>; describe <tbl>; show tables;
+  refresh <tbl>; profile; history; version; help; quit/exit
+Everything else is executed as (Impala-dialect) SQL via the Engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fmt_table(cols, rows, max_rows=100) -> str:
+    shown = rows[:max_rows]
+    cells = [[("NULL" if v is None else str(v)) for v in r] for r in shown]
+    widths = [
+        max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "| " + " | ".join(c.ljust(w) for c, w in zip(cols, widths)) + " |", sep]
+    for row in cells:
+        out.append("| " + " | ".join(v.ljust(w) for v, w in zip(row, widths)) + " |")
+    out.append(sep)
+    if len(rows) > max_rows:
+        out.append(f"({len(rows)} rows, showing first {max_rows})")
+    return "\n".join(out)
+
+
+class Shell:
+    def __init__(self, sf_dir: str | None):
+        from impalatogo_spark.engine import Engine
+        from impalatogo_spark.session import get_spark, register_tables
+
+        self.spark = get_spark("i2s-shell")
+        self.engine = Engine(self.spark)
+        if sf_dir:
+            register_tables(self.spark, sf_dir)
+        self.history: list[str] = []
+        self.last_profile: str = ""
+
+    def execute(self, stmt: str) -> str:
+        stmt = stmt.strip().rstrip(";").strip()
+        if not stmt:
+            return ""
+        self.history.append(stmt)
+        low = stmt.lower()
+        if low in ("quit", "exit"):
+            raise EOFError
+        if low == "help":
+            return __doc__ or ""
+        if low == "version":
+            return f"i2s-shell on Spark {self.spark.version}"
+        if low == "history":
+            return "\n".join(f"[{i}] {s}" for i, s in enumerate(self.history[:-1], 1))
+        if low == "profile":
+            return self.last_profile or "(no previous query)"
+        if low.startswith("use "):
+            self.spark.sql(stmt)
+            return f"Database changed to {stmt.split()[1]}"
+        if low == "set":
+            opts = "\n".join(f"{k}={v}" for k, v in sorted(self.engine.options.items()))
+            return opts or "(no session options set)"
+        if low.startswith("set ") and "=" in stmt:
+            k, v = stmt[4:].split("=", 1)
+            self.engine.set(k.strip(), v.strip())
+            return f"{k.strip()}={v.strip()}"
+        if low.startswith("explain "):
+            return self.engine.explain(stmt[8:], level=1)
+        t0 = time.perf_counter()
+        df = self.engine.sql(stmt)
+        rows = df.collect()
+        dt = time.perf_counter() - t0
+        self.last_profile = (
+            f"Query: {stmt}\nRows: {len(rows)}\nElapsed: {dt:.3f}s\n"
+            + df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "simple"
+            )
+        )
+        body = _fmt_table(df.columns, [tuple(r) for r in rows])
+        return f"{body}\nFetched {len(rows)} row(s) in {dt:.2f}s"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="i2s SQL shell")
+    ap.add_argument("-q", "--query", help="execute one statement and exit")
+    ap.add_argument("-f", "--file", help="execute a ;-separated SQL script")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"))
+    args = ap.parse_args()
+    shell = Shell(args.sf_dir)
+
+    def run_script(text: str) -> None:
+        for stmt in text.split(";"):
+            if stmt.strip():
+                try:
+                    print(shell.execute(stmt))
+                except EOFError:
+                    return
+                except Exception as e:  # keep the shell alive on bad SQL
+                    print(f"ERROR: {e}", file=sys.stderr)
+
+    if args.query:
+        run_script(args.query)
+        return
+    if args.file:
+        with open(args.file) as f:
+            run_script(f.read())
+        return
+    print("i2s-shell (type 'help' for commands, 'quit' to exit)")
+    buf = ""
+    for line in sys.stdin:
+        buf += line
+        while ";" in buf:
+            stmt, buf = buf.split(";", 1)
+            try:
+                out = shell.execute(stmt)
+                if out:
+                    print(out)
+            except EOFError:
+                return
+            except Exception as e:
+                print(f"ERROR: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
