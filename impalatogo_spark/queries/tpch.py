@@ -1298,3 +1298,159 @@ def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_name", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "tpcds_q34",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, cnt
+FROM (
+  SELECT o_orderkey, o_custkey, count(*) AS cnt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderstatus IN ('O', 'F')
+  GROUP BY o_orderkey, o_custkey
+  HAVING count(*) BETWEEN 6 AND 13
+) dn
+JOIN customer ON o_custkey = c_custkey
+ORDER BY c_name, o_orderkey
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: per-ticket item-count bands (HAVING BETWEEN on a
+    grouped count), rejoined to customer."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    dn = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").between(6, 13))
+    )
+    return (
+        dn.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "cnt")
+        .orderBy("c_name", "o_orderkey")
+    )
+
+
+@register(
+    "tpcds_q59",
+    oracle="""
+WITH weekly AS (
+  SELECT year(o_orderdate) AS y, weekofyear(o_orderdate) AS w,
+         round(sum(o_totalprice), 2) AS sales
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.w AS wk,
+       round(a.sales, 2) AS sales_1997,
+       round(b.sales, 2) AS sales_1998,
+       round(a.sales / b.sales, 4) AS ratio
+FROM weekly a JOIN weekly b ON a.w = b.w AND a.y = 1997 AND b.y = 1998
+ORDER BY wk
+""",
+    tags=("tpcds", "self-join"),
+)
+def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape: week-over-week self-join of weekly sales across two
+    years. The weekly CTE aggregates once; the year slices self-join on week."""
+    o = _t(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.weekofyear("o_orderdate").alias("w")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("sales"))
+    a = weekly.filter(F.col("y") == 1997).select(
+        F.col("w").alias("wk"), F.col("sales").alias("sales_1997")
+    )
+    b = weekly.filter(F.col("y") == 1998).select(
+        F.col("w").alias("wk"), F.col("sales").alias("sales_1998")
+    )
+    return (
+        a.join(b, "wk")
+        .select(
+            "wk",
+            F.round("sales_1997", 2).alias("sales_1997"),
+            F.round("sales_1998", 2).alias("sales_1998"),
+            F.round(F.col("sales_1997") / F.col("sales_1998"), 4).alias("ratio"),
+        )
+        .orderBy("wk")
+    )
+
+
+@register(
+    "tpcds_q65",
+    oracle="""
+WITH part_rev AS (
+  SELECT l_partkey AS pk, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, revenue
+FROM part_rev
+JOIN part ON pk = p_partkey
+WHERE revenue <= (SELECT avg(revenue) * 0.5 FROM part_rev)
+ORDER BY p_partkey
+""",
+    tags=("tpcds", "subquery"),
+)
+def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape: items whose revenue is below half the average item
+    revenue — aggregated frame reused for both the scalar and the filter
+    (the scalar is a 1-row broadcast, not a rescan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    part_rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    ).persist()
+    threshold = part_rev.agg((F.avg("revenue") * 0.5).alias("thr"))
+    return (
+        part_rev.join(F.broadcast(threshold))
+        .filter(F.col("revenue") <= F.col("thr"))
+        .join(part, F.col("pk") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "revenue")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "tpcds_q46",
+    oracle="""
+SELECT c_name, o_orderkey,
+       round(sum(l_extendedprice * l_discount), 2) AS amt,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND n_regionkey = 2
+GROUP BY c_name, o_orderkey
+ORDER BY c_name, o_orderkey
+LIMIT 100
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46 shape: per-(customer, ticket) amounts for a demographic +
+    geography slice."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("amt"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "profit"
+            ),
+        )
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    )

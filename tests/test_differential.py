@@ -92,3 +92,32 @@ def test_random_expression_parity(seed, spark, duck, sf_dir):
     s_norm = sorted(tuple(str(c) for c in r) for r in srows)
     d_norm = sorted(tuple(str(c) for c in r) for r in drows)
     assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}\n{s_norm[:3]}\n{d_norm[:3]}"
+
+
+def _gen_agg_select(seed: int) -> str:
+    """Random GROUP BY query: aggregates of random int expressions grouped by
+    a random key expression."""
+    rng = random.Random(10_000 + seed)
+    key = rng.choice(["n_regionkey", "(n_nationkey % 4)", "length(n_name)"])
+    aggs = []
+    for i in range(3):
+        inner = _int_expr(rng, rng.randint(1, 2))
+        fn = rng.choice(["sum", "min", "max", "count"])
+        aggs.append(f"{fn}({inner}) AS a{i}")
+    return (
+        f"SELECT {key} AS k, {', '.join(aggs)}, count(*) AS n "
+        f"FROM nation GROUP BY {key}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_aggregate_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_agg_select(seed)
+    srows = spark.sql(sql).collect()
+    drows = duck.execute(sql).fetchall()
+    s_norm = sorted(tuple(str(c) for c in r) for r in srows)
+    d_norm = sorted(tuple(str(c) for c in r) for r in drows)
+    assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"

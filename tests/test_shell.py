@@ -46,3 +46,15 @@ def test_shell_one_shot_query():
     )
     assert proc.returncode == 0
     assert "| 5" in proc.stdout
+
+
+def test_shell_one_shot_error_exit_code():
+    proc = subprocess.run(
+        [sys.executable, "tools/i2s_shell.py", "-q", "SELECT * FROM does_not_exist"],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 1
+    assert "ERROR" in proc.stderr

@@ -103,23 +103,24 @@ def main() -> None:
     args = ap.parse_args()
     shell = Shell(args.sf_dir)
 
-    def run_script(text: str) -> None:
+    def run_script(text: str) -> int:
+        rc = 0
         for stmt in text.split(";"):
             if stmt.strip():
                 try:
                     print(shell.execute(stmt))
                 except EOFError:
-                    return
-                except Exception as e:  # keep the shell alive on bad SQL
+                    return rc
+                except Exception as e:  # keep going, but report failure via exit code
                     print(f"ERROR: {e}", file=sys.stderr)
+                    rc = 1
+        return rc
 
     if args.query:
-        run_script(args.query)
-        return
+        sys.exit(run_script(args.query))
     if args.file:
         with open(args.file) as f:
-            run_script(f.read())
-        return
+            sys.exit(run_script(f.read()))
     print("i2s-shell (type 'help' for commands, 'quit' to exit)")
     buf = ""
     for line in sys.stdin:
