@@ -24,6 +24,19 @@ from impalatogo_spark.session import DEFAULT_SF_DIR, get_spark
 # Headline set: full TPC-H suite + the pipeline-operator spine
 # (dedup, similarity, text, sessionization, streaming).
 HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
+    "tpcds_q3",
+    "tpcds_q7",
+    "tpcds_q19",
+    "tpcds_q34",
+    "tpcds_q42",
+    "tpcds_q46",
+    "tpcds_q52",
+    "tpcds_q59",
+    "tpcds_q65",
+    "tpcds_q68",
+    "amplab_grep",
+    "amplab_rankings",
+    "amplab_uservisits_join",
     "window_rank",
     "window_running_sum",
     "agg_distinct_multi",

@@ -195,3 +195,26 @@ def test_avro_gated(spark, sf_dir):
             return
         back = spark.read.format("avro").load(os.path.join(d, "av"))
         assert back.count() == 25
+
+
+def test_char_varchar_semantics(eng, spark):
+    """CHAR(n)/VARCHAR(n) semantics (§1.2, be/src/runtime/types.h:63-64):
+    CHAR pads reads to n; VARCHAR truncates on write is an error in Spark
+    (like Impala analysis error) but fitting values round-trip."""
+    spark.sql("DROP TABLE IF EXISTS i2s_test.chars_t")
+    spark.sql(
+        "CREATE TABLE i2s_test.chars_t (c CHAR(6), v VARCHAR(8)) USING parquet"
+    )
+    spark.sql("INSERT INTO i2s_test.chars_t VALUES ('ab', 'hello')")
+    row = spark.table("i2s_test.chars_t").first()
+    assert row.c == "ab    "  # CHAR(6) right-pads
+    assert row.v == "hello"
+    assert spark.sql(
+        "SELECT length(c) AS lc FROM i2s_test.chars_t"
+    ).first().lc == 6
+    # overflow: value longer than VARCHAR(8) must be rejected (Impala:
+    # analysis error; Spark: runtime error on write)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.sql("INSERT INTO i2s_test.chars_t VALUES ('x', 'waytoolongvalue')")
