@@ -75,3 +75,47 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+TREND_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("slope", T.DoubleType(), True),
+        T.StructField("mean_value", T.DoubleType(), False),
+    ]
+)
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user linear trend of event `value` over time via applyInPandas
+    (grouped-map Pandas UDF) — the third Pandas-UDF flavor next to
+    mapInPandas (extract_features) and applyInPandasWithState (streaming).
+
+    slope = cov(x, y) / var(x) with x = hours since epoch, computed with the
+    explicit centered-moment formula so the SQL oracle reproduces it
+    (np.polyfit's lstsq would differ numerically).
+
+    Scale: groups are per-user — thousands of independent pandas calls,
+    Arrow-batched, no skew beyond the busiest user.
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["ts"].astype("int64") / 3.6e12  # ns -> hours
+        y = pdf["value"].astype("float64")
+        n = len(pdf)
+        xc, yc = x - x.mean(), y - y.mean()
+        denom = (xc * xc).sum()
+        slope = float((xc * yc).sum() / denom) if denom > 0 else None
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [n],
+                "slope": [slope],
+                "mean_value": [float(y.mean())],
+            }
+        )
+
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        fit, TREND_SCHEMA
+    )

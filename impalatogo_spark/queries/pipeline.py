@@ -434,3 +434,37 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned, centroids = ivf_index(e, n_cells=8)
     return ivf_ann_topk(assigned, centroids, q, k=5, n_probe=4)
+
+
+@register(
+    "events_user_trend",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) / 3.6e9 AS x, value AS y FROM events
+),
+stats AS (
+  SELECT user_id, count(*) AS n, avg(x) AS mx, avg(y) AS my FROM base GROUP BY user_id
+)
+SELECT b.user_id, s.n,
+       round(sum((b.x - s.mx) * (b.y - s.my)) / sum((b.x - s.mx) * (b.x - s.mx)), 6)
+           AS slope,
+       round(s.my, 6) AS mean_value
+FROM base b JOIN stats s ON b.user_id = s.user_id
+GROUP BY b.user_id, s.n, s.my
+""",
+    tags=("events", "pandas-udf"),
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user linear trend of event values.
+    The pandas covariance computation matches the oracle's closed form
+    (centered moments) to 6dp."""
+    from impalatogo_spark.operators.multimodal import user_value_trend
+
+    ev = _t(spark, sf_dir, "events")
+    out = user_value_trend(ev)
+    return out.select(
+        "user_id",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("mean_value", 6).alias("mean_value"),
+    )

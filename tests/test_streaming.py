@@ -139,3 +139,44 @@ def test_native_session_window_matches_manual_sessionize(spark, sf_dir):
     a = Counter((r.user_id, r.n_events) for r in native.collect())
     b = Counter((r.user_id, r.n_events) for r in manual.collect())
     assert a == b
+
+
+def test_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + time-range condition:
+    purchases joined to clicks by the same user within the preceding hour.
+    availableNow result must equal the equivalent batch join."""
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.streaming.events import events_stream, run_available_now
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        return purchases, clicks
+
+    sp, sc = split(events_stream(spark, sf_dir))
+    joined = sp.withWatermark("p_ts", "2 hours").join(
+        sc.withWatermark("c_ts", "2 hours"),
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    )
+    stream_rows = {
+        (r.p_id, r.c_id) for r in run_available_now(spark, joined, "append").collect()
+    }
+    bp, bc = split(table(spark, sf_dir, "events"))
+    batch_rows = {
+        (r.p_id, r.c_id)
+        for r in bp.join(
+            bc,
+            F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        ).collect()
+    }
+    assert len(batch_rows) > 0
+    assert stream_rows == batch_rows
