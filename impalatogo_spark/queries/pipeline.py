@@ -468,3 +468,72 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("mean_value", 6).alias("mean_value"),
     )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+) t WHERE rnk <= 3
+""",
+    tags=("pipeline", "window"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (longest 3 docs per language) — the workhorse
+    selection op of data curation, as a window + filter (one shuffle on the
+    group key; TakeOrderedAndProject doesn't apply per-group, so this IS the
+    scale-correct form)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash
+FROM documents
+""",
+    tags=("text",),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: lowercase, strip non-alphanumerics, collapse
+    whitespace — the canonical pre-dedup cleanup pass. Regex restricted to
+    the RE2-and-Java-common subset ([^a-z0-9 ], ' +')."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # engine-specific sampling; determinism + per-stratum bounds in tests
+    tags=("pipeline", "approx"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): different fractions per language —
+    the data-mixing primitive for training-corpus composition. Seeded ->
+    deterministic; per-stratum rates asserted in tests/test_functions.py."""
+    fractions = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.2, "zh": 0.1}
+    return (
+        _t(spark, sf_dir, "documents")
+        .sampleBy("lang", fractions, seed=42)
+        .select("doc_id", "lang")
+    )

@@ -115,3 +115,25 @@ def test_sample_deterministic_with_seed(spark, sf_dir):
     b = sample_reservoir(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert 0 < len(a)
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from impalatogo_spark.queries.pipeline import sample_stratified
+    from impalatogo_spark.session import table
+    import pyspark.sql.functions as _F
+
+    a = sample_stratified(spark, sf_dir).collect()
+    b = sample_stratified(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    totals = {
+        r.lang: r.n
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(_F.count("*").alias("n"))
+        .collect()
+    }
+    from collections import Counter
+
+    got = Counter(r.lang for r in a)
+    # en sampled at 0.5 must exceed zh sampled at 0.1 (rate-proportional)
+    assert got["en"] / totals["en"] > got["zh"] / totals["zh"]
