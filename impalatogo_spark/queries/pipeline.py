@@ -537,3 +537,32 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sampleBy("lang", fractions, seed=42)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "text_bpe_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+           AS n_regex_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}')) AS BIGINT)
+           AS n_subword_tokens
+FROM documents
+""",
+    tags=("text",),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: word/number/punct token count plus a
+    greedy <=4-char subword count (the standard chars/4-style BPE proxy made
+    explicit). regexp_extract_all exists in both engines; pattern stays in
+    the RE2-and-Java-common subset."""
+    lower = F.lower(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(lower, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+        ).cast("long").alias("n_regex_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z]{1,4}"), F.lit(0))).cast(
+            "long"
+        ).alias("n_subword_tokens"),
+    )
