@@ -150,3 +150,48 @@ class Engine:
         flat = raw.select(*cols)
         flat.createOrReplaceTempView(name)
         return flat
+
+
+# -- UDF / UDA surface (SURVEY §2.11) ---------------------------------------
+# Reference: CREATE FUNCTION ... LOCATION 'lib.so' SYMBOL='...' (native ABI,
+# grammar sql-parser.y:944-968; be/src/udf/udf.h:47,358-521). The Spark-native
+# ABI is spark.udf.register: Arrow-vectorized pandas UDFs for scalars, pandas
+# GROUPED_AGG for UDAs (INIT/UPDATE/MERGE/FINALIZE collapse into one
+# vectorized aggregate — documented reduced surface).
+
+
+def create_function(engine: "Engine", name: str, fn, return_type: str,
+                    vectorized: bool = True):
+    """CREATE FUNCTION equivalent: register a Python callable as a
+    SQL-callable scalar function. vectorized=True -> Arrow-batched pandas UDF
+    (the fast path); False -> row-at-a-time (discouraged, kept for parity
+    with interpreted UDFs)."""
+    if vectorized:
+        from pyspark.sql.functions import pandas_udf
+
+        udf = pandas_udf(return_type)(fn)
+    else:
+        from pyspark.sql.functions import udf as _udf
+
+        udf = _udf(fn, return_type)
+    engine.spark.udf.register(name, udf)
+    return udf
+
+
+def create_aggregate_function(engine: "Engine", name: str, fn, return_type: str):
+    """CREATE AGGREGATE FUNCTION equivalent: pandas GROUPED_AGG UDA.
+    fn: pd.Series -> scalar."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    uda = pandas_udf(return_type, PandasUDFType.GROUPED_AGG)(fn)
+    engine.spark.udf.register(name, uda)
+    return uda
+
+
+Engine.create_function = lambda self, name, fn, return_type, vectorized=True: (
+    create_function(self, name, fn, return_type, vectorized)
+)
+Engine.create_aggregate_function = lambda self, name, fn, return_type: (
+    create_aggregate_function(self, name, fn, return_type)
+)
+Engine.show_functions = lambda self: self.spark.sql("SHOW USER FUNCTIONS")
