@@ -33,8 +33,13 @@ HEX = "0123456789abcdef"
 # ---------------------------------------------------------------------------
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, g).
+                  n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (id, g), distinct by default.
+
+    distinct=False skips the dedup SHUFFLE — correct for MinHash signature
+    computation (min() is duplicate-insensitive), so the signature path goes
+    scan -> explode -> partial-agg min with no exchange before the groupBy.
+    Jaccard verification needs the distinct set.
 
     Whole-stage-codegen friendly: split + transform + explode, no Python.
     """
@@ -45,12 +50,12 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)]),
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__words"))
         .filter(F.size(words) >= n)
         .select("id", F.explode(grams).alias("g"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def word_shingles_oracle(n: int = 3) -> str:

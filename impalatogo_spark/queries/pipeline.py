@@ -56,11 +56,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. Deterministic (md5) so the DuckDB oracle reproduces it
     exactly. Scale: one groupBy for signatures, bucketed join for candidates
     — never an all-pairs product."""
-    # the shingle set feeds three consumers (signatures + both verify sides);
-    # persist so the explode runs once. At 100 TB use DISK_ONLY or a
-    # checkpointed table instead of memory cache.
-    sh = D.word_shingles(_t(spark, sf_dir, "documents")).persist()
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
+    # signatures: NON-distinct shingles (min is duplicate-insensitive) ->
+    # no dedup shuffle before the signature groupBy. verify: distinct set,
+    # persisted (used on both sides of the intersection join). At 100 TB use
+    # DISK_ONLY or a checkpointed table instead of memory cache.
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = D.word_shingles(docs).persist()
     return D.verify_jaccard(cand, sh, threshold=0.5)
 
 
