@@ -119,3 +119,43 @@ def user_value_trend(events: DataFrame) -> DataFrame:
     return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
         fit, TREND_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+FRAME_SIZE = 64
+
+
+def sample_frames(df: DataFrame, frame_size: int = FRAME_SIZE) -> DataFrame:
+    """Frame sampling over binary payloads: one input row -> N frame rows
+    (the 1-to-N mapInPandas shape a video pipeline needs: decode container ->
+    emit per-frame records). The 'decoder' chunks the byte payload at fixed
+    strides — a real decoder (ffmpeg keyframe extraction) plugs in here with
+    no plumbing change.
+
+    Scale: frames are emitted inside the Arrow batch loop — no driver
+    involvement; downstream per-frame ops (feature extract, dedup) partition
+    on (doc_id, frame_no).
+    """
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_bytes": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), frame_size):
+                    frame = data[i : i + frame_size]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(i // frame_size)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(chunk, FRAME_SCHEMA)

@@ -569,3 +569,26 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_subword_tokens"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS INT) AS frame_no,
+       CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_bytes,
+       md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_hash
+FROM documents,
+     LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS i)
+""",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-to-N frame sampling via mapInPandas: each document's binary payload
+    becomes ceil(len/64) frame rows with per-frame hashes. Oracle equivalence
+    holds because the corpus is ASCII (byte chunks == char chunks); the
+    Spark side genuinely operates on bytes."""
+    from impalatogo_spark.operators import multimodal as MM
+
+    payload = MM.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return MM.sample_frames(payload)
