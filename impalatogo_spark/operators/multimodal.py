@@ -159,3 +159,45 @@ def sample_frames(df: DataFrame, frame_size: int = FRAME_SIZE) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(chunk, FRAME_SCHEMA)
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("thumbnail", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def fake_resize_4x4(df: DataFrame) -> DataFrame:
+    """'Resize' stub: a deterministic 4x4 grayscale thumbnail (16 ints in
+    0..255) derived from the payload's md5 — the plumbing (binary in, typed
+    fixed-shape tensor out, Arrow-batched) is exactly what a real
+    PIL.Image.resize would need; swap `_thumb` for the real decoder."""
+
+    def _thumb(payload: bytes) -> list[int]:
+        return list(hashlib.md5(payload).digest())
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumbnail": pdf["payload"].map(lambda b: _thumb(bytes(b))),
+                }
+            )
+
+    return df.mapInPandas(resize, THUMB_SCHEMA)
+
+
+def thumbnail_oracle() -> str:
+    """DuckDB twin: decode the 16 md5 hex byte-pairs to ints."""
+    hexpos = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    pairs = ", ".join(
+        f"CAST(({hexpos.format(p=2 * i + 1)}) * 16 + ({hexpos.format(p=2 * i + 2)}) AS INT)"
+        for i in range(16)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id, [{pairs}] AS thumbnail FROM t
+"""

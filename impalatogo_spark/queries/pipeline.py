@@ -592,3 +592,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = MM.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return MM.sample_frames(payload)
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,  # set below after import (generated oracle)
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub via mapInPandas: binary payload -> fixed-shape 4x4
+    thumbnail tensor (md5-derived fake; real PIL resize plugs in)."""
+    from impalatogo_spark.operators import multimodal as MM
+
+    payload = MM.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return MM.fake_resize_4x4(payload)
+
+
+# attach the generated oracle (ASCII corpus: md5(payload) == md5(text))
+from impalatogo_spark.operators.multimodal import thumbnail_oracle as _thumb_oracle  # noqa: E402
+from impalatogo_spark.queries import _REGISTRY as _R  # noqa: E402
+from dataclasses import replace as _replace  # noqa: E402
+
+_R["multimodal_resize"] = _replace(_R["multimodal_resize"], oracle=_thumb_oracle())
