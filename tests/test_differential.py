@@ -121,3 +121,41 @@ def test_random_aggregate_parity(seed, spark, duck, sf_dir):
     s_norm = sorted(tuple(str(c) for c in r) for r in srows)
     d_norm = sorted(tuple(str(c) for c in r) for r in drows)
     assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
+
+
+def _gen_window_select(seed: int) -> str:
+    """Random window-function query; ORDER BY carries n_nationkey as a total
+    tie-break so ranks are deterministic in both engines."""
+    rng = random.Random(20_000 + seed)
+    part = rng.choice(["n_regionkey", "(n_nationkey % 3)"])
+    order = _int_expr(rng, rng.randint(0, 2))
+    wfn = rng.choice(
+        [
+            "row_number()",
+            "rank()",
+            "dense_rank()",
+            f"sum({_int_expr(rng, 1)})",
+            f"min({_int_expr(rng, 1)})",
+            f"lag({_int_expr(rng, 1)}, 1, -1)",
+        ]
+    )
+    frame = ""
+    if wfn.startswith(("sum", "min")) and rng.random() < 0.5:
+        frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return (
+        f"SELECT n_nationkey, {wfn} OVER (PARTITION BY {part} "
+        f"ORDER BY {order}, n_nationkey{frame}) AS w FROM nation"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_window_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_window_select(seed)
+    srows = spark.sql(sql).collect()
+    drows = duck.execute(sql).fetchall()
+    s_norm = sorted(tuple(str(c) for c in r) for r in srows)
+    d_norm = sorted(tuple(str(c) for c in r) for r in drows)
+    assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
