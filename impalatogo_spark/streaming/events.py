@@ -127,3 +127,12 @@ def stateful_session_counts(stream: DataFrame, gap_minutes: int = 30) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(stream: DataFrame, key_cols: list[str],
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication: dropDuplicates over the key columns
+    with a watermark bounding the dedup state (keys older than the watermark
+    are evicted — the standard incremental-ingest dedup for a training-data
+    pipeline; unbounded state otherwise)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(key_cols)

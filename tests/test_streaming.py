@@ -180,3 +180,38 @@ def test_stream_stream_join(spark, sf_dir):
     }
     assert len(batch_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_streaming_dedup_across_batches(spark, sf_dir, tmp_path):
+    """Duplicate rows arriving in later micro-batches are dropped: feed the
+    same events file twice through a file stream with dropDuplicates on
+    event_id; output must equal one copy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.streaming.events import streaming_dedup
+
+    ev = table(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # exact duplicates
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = streaming_dedup(stream, ["event_id"])
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 500
+    assert result.select("event_id").distinct().count() == 500
