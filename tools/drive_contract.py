@@ -12,6 +12,7 @@ import datetime
 import decimal
 import importlib.util
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -28,7 +29,7 @@ spec.loader.exec_module(m)
 from pyspark.sql import SparkSession  # noqa: E402
 
 spark = (
-    SparkSession.builder.master("local[8]")
+    SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
