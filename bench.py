@@ -24,16 +24,11 @@ from impalatogo_spark.session import DEFAULT_SF_DIR, get_spark
 # Headline set: full TPC-H suite + the pipeline-operator spine
 # (dedup, similarity, text, sessionization, streaming).
 HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
-    "tpcds_q3",
-    "tpcds_q7",
-    "tpcds_q19",
-    "tpcds_q34",
-    "tpcds_q42",
-    "tpcds_q46",
-    "tpcds_q52",
-    "tpcds_q59",
-    "tpcds_q65",
-    "tpcds_q68",
+    # full reference TPC-DS workload list (testdata/workloads/tpcds/queries/)
+    f"tpcds_q{i}"
+    for i in (3, 6, 7, 8, 19, 27, 34, 42, 43, 46, 47, 52, 53, 55, 59,
+              61, 63, 65, 68, 73, 79, 88, 89, 96, 98)
+] + [
     "amplab_grep",
     "amplab_rankings",
     "amplab_uservisits_join",

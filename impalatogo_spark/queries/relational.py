@@ -1134,3 +1134,58 @@ def join_null_aware_anti_subnull(spark: SparkSession, sf_dir: str) -> DataFrame:
               (SELECT nullif(n_nationkey, 5) FROM nation WHERE n_regionkey <= 1)
         """,
     )
+
+
+@register(
+    "func_url",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(url, '^([a-z]+):', 1)                 AS proto,
+       regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)       AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1)                 AS query,
+       regexp_extract(url, '[?&]brand=([^&#]*)', 1)         AS brand_param,
+       coalesce(list_position(string_split('ECONOMY,MEDIUM,STANDARD,PROMO', ','),
+                              p_type), 0)                   AS type_pos
+FROM (
+  SELECT p_partkey, p_type,
+         concat('https://', lower(p_type), '.example.com/parts/',
+                CAST(p_partkey AS VARCHAR),
+                '?brand=', replace(p_brand, '#', '-'),
+                '&size=', CAST(p_size AS VARCHAR)) AS url
+  FROM part
+) t
+ORDER BY p_partkey
+LIMIT 200
+""",
+    tags=("functions", "string"),
+)
+def func_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url + find_in_set battery (impala_functions.py:414-417 parse_url,
+    :390 find_in_set; be/src/exprs/string-functions.cc ParseUrl/FindInSet).
+    Spark has both natively; the DuckDB oracle emulates parse_url with
+    regexp_extract and find_in_set with list_position (0 when absent, as
+    Impala/Spark return 0)."""
+    p = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://"), F.lower("p_type"), F.lit(".example.com/parts/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?brand="), F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")),
+        F.lit("&size="), F.col("p_size").cast("string"),
+    )
+    t = p.select("p_partkey", "p_type", url.alias("url"))
+    return (
+        t.select(
+            "p_partkey",
+            F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("brand")).alias("brand_param"),
+            F.expr("find_in_set(p_type, 'ECONOMY,MEDIUM,STANDARD,PROMO')").alias(
+                "type_pos"
+            ),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )

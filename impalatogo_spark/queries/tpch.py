@@ -1387,13 +1387,13 @@ WITH part_rev AS (
 SELECT p_partkey, p_name, revenue
 FROM part_rev
 JOIN part ON pk = p_partkey
-WHERE revenue <= (SELECT avg(revenue) * 0.5 FROM part_rev)
+WHERE revenue <= (SELECT avg(revenue) * 0.85 FROM part_rev)
 ORDER BY p_partkey
 """,
     tags=("tpcds", "subquery"),
 )
 def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q65 shape: items whose revenue is below half the average item
+    """TPC-DS q65 shape: items whose revenue is below 0.85x the average item
     revenue — aggregated frame reused for both the scalar and the filter
     (the scalar is a 1-row broadcast, not a rescan)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1403,7 +1403,7 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     ).persist()
-    threshold = part_rev.agg((F.avg("revenue") * 0.5).alias("thr"))
+    threshold = part_rev.agg((F.avg("revenue") * 0.85).alias("thr"))
     return (
         part_rev.join(F.broadcast(threshold))
         .filter(F.col("revenue") <= F.col("thr"))
@@ -1453,4 +1453,812 @@ def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_name", "o_orderkey")
         .limit(100)
+    )
+
+
+# ===========================================================================
+# TPC-DS subset, batch 3 — completes the reference workload list
+# (testdata/workloads/tpcds/queries/: q6 q8 q27 q43 q47 q53 q55 q61 q63 q73
+#  q79 q88 q89 q96 q98). Same adaptation rule as batch 1/2: keep the PLAN
+# SHAPE (star joins, correlated scalar subqueries, pivoted CASE aggs,
+# window-over-aggregate, cross-joined scalar blocks) on the driver schema.
+# ===========================================================================
+
+
+@register(
+    "tpcds_q6",
+    oracle="""
+SELECT n_name AS state, count(*) AS cnt
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE p.p_retailprice > 1.005 * (
+    SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type)
+GROUP BY n_name
+HAVING count(*) >= 10
+ORDER BY cnt, state
+LIMIT 100
+""",
+    tags=("tpcds", "subquery", "correlated"),
+)
+def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q6 shape (tpcds-q6.test): customers-by-state buying items priced
+    >0.5% above their category average — the correlated per-category scalar subquery
+    becomes a tiny grouped aggregate broadcast back onto the item dim."""
+    p = _t(spark, sf_dir, "part")
+    type_avg = p.groupBy(F.col("p_type").alias("ta_type")).agg(
+        F.avg("p_retailprice").alias("type_avg_price")
+    )
+    pricey = (
+        p.join(F.broadcast(type_avg), F.col("p_type") == F.col("ta_type"))
+        .filter(F.col("p_retailprice") > 1.005 * F.col("type_avg_price"))
+        .select("p_partkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(pricey, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("state"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy("cnt", "state")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q8",
+    oracle="""
+WITH a AS (
+  SELECT substr(c_name, 17, 1) AS pref, count(*) AS cnt
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY pref
+  HAVING count(*) > 10
+),
+b AS (
+  SELECT DISTINCT substr(c_name, 17, 1) AS pref
+  FROM customer
+  WHERE substr(c_name, 17, 1) IN ('0', '1', '2', '3', '6', '8', '9')
+)
+SELECT n_name, round(sum(o_totalprice), 2) AS net_profit
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE substr(c_name, 17, 1) IN (SELECT a.pref FROM a WHERE a.pref IN (SELECT pref FROM b))
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("tpcds", "semi-join", "having"),
+)
+def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q8 shape (tpcds-q8.test): zip-prefix cohorts over a HAVING
+    count threshold, left-semi-joined against a literal prefix list, then the
+    surviving prefixes gate the fact-side rollup per store (nation here)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    pref = F.substring(F.col("c_name"), 17, 1)
+    a = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(pref.alias("pref"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 10)
+    )
+    b = (
+        c.select(pref.alias("pref"))
+        .filter(F.col("pref").isin("0", "1", "2", "3", "6", "8", "9"))
+        .distinct()
+    )
+    good = a.join(b, "pref", "left_semi").select("pref")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(good), pref == F.col("pref"), "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("net_profit"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "tpcds_q27",
+    oracle="""
+SELECT p_brand, n_name,
+       round(avg(l_quantity), 4)      AS agg1,
+       round(avg(l_extendedprice), 4) AS agg2,
+       round(avg(l_discount), 4)      AS agg3,
+       round(avg(l_tax), 4)           AS agg4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+  AND o_orderpriority = '2-HIGH'
+  AND year(o_orderdate) = 1997
+GROUP BY p_brand, n_name
+ORDER BY p_brand, n_name
+LIMIT 100
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q27 shape (tpcds-q27.test): 5-way star with three dim filters
+    (demographics/date/state analogs), four averages per (item, state)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "2-HIGH") & (F.year("o_orderdate") == 1997)
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("agg1"),
+            F.round(F.avg("l_extendedprice"), 4).alias("agg2"),
+            F.round(F.avg("l_discount"), 4).alias("agg3"),
+            F.round(F.avg("l_tax"), 4).alias("agg4"),
+        )
+        .orderBy("p_brand", "n_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q43",
+    oracle="""
+SELECT n_name,
+       round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 1 THEN o_totalprice END), 2) AS sun_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 2 THEN o_totalprice END), 2) AS mon_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 3 THEN o_totalprice END), 2) AS tue_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 4 THEN o_totalprice END), 2) AS wed_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 5 THEN o_totalprice END), 2) AS thu_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 6 THEN o_totalprice END), 2) AS fri_sales,
+       round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 7 THEN o_totalprice END), 2) AS sat_sales
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1997 AND n_regionkey IN (0, 2, 4)
+GROUP BY n_name
+ORDER BY n_name
+LIMIT 100
+""",
+    tags=("tpcds", "pivot"),
+)
+def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q43 shape (tpcds-q43.test): day-of-week pivot (7 conditional
+    sums) per store. Spark dayofweek is 1=Sunday; DuckDB is 0=Sunday, hence
+    the +1 on the oracle side only."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey").isin(0, 2, 4))
+    dow = F.dayofweek("o_orderdate")
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    aggs = [
+        F.round(F.sum(F.when(dow == i + 1, F.col("o_totalprice"))), 2).alias(
+            f"{names[i]}_sales"
+        )
+        for i in range(7)
+    ]
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*aggs)
+        .orderBy("n_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q47",
+    oracle="""
+WITH v1 AS (
+  SELECT p_brand, year(o_orderdate) AS y, month(o_orderdate) AS moy,
+         round(sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0, 2) AS sum_sales
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+), v2 AS (
+  SELECT p_brand, y, moy, sum_sales,
+         avg(sum_sales) OVER (PARTITION BY p_brand, y) AS avg_monthly,
+         lag(sum_sales)  OVER (PARTITION BY p_brand ORDER BY y, moy) AS psum,
+         lead(sum_sales) OVER (PARTITION BY p_brand ORDER BY y, moy) AS nsum
+  FROM v1
+)
+SELECT p_brand, y, moy, sum_sales,
+       round(avg_monthly, 6) AS avg_monthly_sales,
+       psum, nsum
+FROM v2
+WHERE y = 1998 AND avg_monthly > 0
+  AND abs(sum_sales - avg_monthly) / avg_monthly > 0.1
+  AND psum IS NOT NULL AND nsum IS NOT NULL
+ORDER BY round(sum_sales - round(avg_monthly, 6), 6), p_brand, moy
+LIMIT 100
+""",
+    tags=("tpcds", "window"),
+)
+def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape (tpcds-q47.test): monthly brand sales vs the yearly
+    average, with prior/next month via lag/lead. The reference expresses
+    psum/nsum as two extra self-joins on rank(); lag/lead over the already
+    aggregated (tiny) frame is the single-shuffle Spark form of the same
+    relation."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    v1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("moy"),
+        )
+        .agg(
+            # cents-summing, see tpcds_q89 for rationale
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                )
+                / 100.0,
+                2,
+            ).alias("sum_sales")
+        )
+    )
+    w_avg = Window.partitionBy("p_brand", "y")
+    w_seq = Window.partitionBy("p_brand").orderBy("y", "moy")
+    v2 = v1.select(
+        "p_brand",
+        "y",
+        "moy",
+        "sum_sales",
+        F.avg("sum_sales").over(w_avg).alias("avg_monthly"),
+        F.lag("sum_sales").over(w_seq).alias("psum"),
+        F.lead("sum_sales").over(w_seq).alias("nsum"),
+    )
+    return (
+        v2.filter(
+            (F.col("y") == 1998)
+            & (F.col("avg_monthly") > 0)
+            & (F.abs(F.col("sum_sales") - F.col("avg_monthly")) / F.col("avg_monthly") > 0.1)
+            & F.col("psum").isNotNull()
+            & F.col("nsum").isNotNull()
+        )
+        .select(
+            "p_brand",
+            "y",
+            "moy",
+            "sum_sales",
+            F.round("avg_monthly", 6).alias("avg_monthly_sales"),
+            "psum",
+            "nsum",
+        )
+        .orderBy(
+            F.round(F.col("sum_sales") - F.col("avg_monthly_sales"), 6), "p_brand", "moy"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q53",
+    oracle="""
+SELECT p_brand AS manufact, quarter(o_orderdate) AS qoy,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_sales
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+WHERE ((p_type IN ('ECONOMY', 'MEDIUM') AND p_size BETWEEN 1 AND 20)
+    OR (p_type IN ('STANDARD', 'PROMO') AND p_size BETWEEN 21 AND 40))
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1, 2
+ORDER BY sum_sales, manufact, qoy
+LIMIT 100
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q53 shape (tpcds-q53.test): quarterly manufacturer sales over a
+    12-month window with an OR-of-category/class/brand item filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type").isin("ECONOMY", "MEDIUM") & F.col("p_size").between(1, 20))
+        | (F.col("p_type").isin("STANDARD", "PROMO") & F.col("p_size").between(21, 40))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("manufact"), F.quarter("o_orderdate").alias("qoy")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_sales"
+            )
+        )
+        .orderBy("sum_sales", "manufact", "qoy")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q55",
+    oracle="""
+SELECT p_brand AS brand, round(sum(l_extendedprice), 2) AS ext_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+WHERE p_size BETWEEN 30 AND 40
+  AND month(o_orderdate) = 12 AND year(o_orderdate) = 1997
+GROUP BY p_brand
+ORDER BY ext_price DESC, brand
+LIMIT 100
+""",
+    tags=("tpcds", "join", "topn"),
+)
+def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q55 shape (tpcds-q55.test): single-month brand revenue under a
+    manager-id analog filter (p_size band), ordered by revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.month("o_orderdate") == 12) & (F.year("o_orderdate") == 1997)
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(30, 40))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("ext_price"))
+        .orderBy(F.desc("ext_price"), "brand")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q61",
+    oracle="""
+SELECT promotions, total,
+       round(promotions / total * 100, 4) AS promo_pct
+FROM (
+  SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS promotions
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE n_regionkey = 1 AND p_type = 'PROMO'
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+) promotional_sales
+CROSS JOIN (
+  SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS total
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE n_regionkey = 1 AND p_type = 'PROMO'
+) all_sales
+""",
+    tags=("tpcds", "scalar"),
+)
+def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q61 shape (tpcds-q61.test): promotional-sales share — two
+    scalar star-join aggregates (one with the promo-channel filter, one
+    without) cross-joined into a single ratio row."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    promo = base.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).agg(
+        rev.alias("promotions")
+    )
+    total = base.agg(rev.alias("total"))
+    return promo.crossJoin(total).select(
+        "promotions",
+        "total",
+        F.round(F.col("promotions") / F.col("total") * 100, 4).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpcds_q63",
+    oracle="""
+SELECT * FROM (
+  SELECT p_brand AS manager, month(o_orderdate) AS moy,
+         round(sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0, 2) AS sum_sales,
+         round(avg(round(sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0, 2))
+               OVER (PARTITION BY p_brand), 6) AS avg_monthly_sales
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = 1998
+  GROUP BY 1, 2
+) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+           THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY manager, avg_monthly_sales, sum_sales, moy
+LIMIT 100
+""",
+    tags=("tpcds", "window"),
+)
+def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q63 shape (tpcds-q63.test): monthly manager sales vs the
+    manager's average month (window over aggregate), keeping months deviating
+    >10% — the CASE-guarded deviation predicate from the reference."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1998)
+    p = _t(spark, sf_dir, "part")
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("manager"), F.month("o_orderdate").alias("moy"))
+        .agg(
+            # cents-summing, see tpcds_q89 for rationale
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                )
+                / 100.0,
+                2,
+            ).alias("sum_sales")
+        )
+    )
+    w = Window.partitionBy("manager")
+    tmp1 = agg.select(
+        "manager",
+        "moy",
+        "sum_sales",
+        F.round(F.avg("sum_sales").over(w), 6).alias("avg_monthly_sales"),
+    )
+    dev = F.when(
+        F.col("avg_monthly_sales") > 0,
+        F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+        / F.col("avg_monthly_sales"),
+    )
+    return (
+        tmp1.filter(dev > 0.1)
+        .orderBy("manager", "avg_monthly_sales", "sum_sales", "moy")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q73",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, cnt
+FROM (
+  SELECT o_orderkey, o_custkey, count(*) AS cnt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND CASE WHEN o_totalprice > 0 THEN o_totalprice / 50000 ELSE NULL END > 1
+  GROUP BY o_orderkey, o_custkey
+) dj
+JOIN customer ON o_custkey = c_custkey
+WHERE cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, c_name, o_orderkey
+LIMIT 1000
+""",
+    tags=("tpcds", "join", "having"),
+)
+def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q73 shape (tpcds-q73.test): small-basket tickets (grouped count
+    banded 1..5) for a CASE-guarded-ratio demographic slice, rejoined to
+    customer and ranked by basket size."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (
+            F.when(F.col("o_totalprice") > 0, F.col("o_totalprice") / 50000)
+            > 1
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    dj = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").between(1, 5))
+    )
+    return (
+        dj.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "cnt")
+        .orderBy(F.desc("cnt"), "c_name", "o_orderkey")
+        .limit(1000)
+    )
+
+
+@register(
+    "tpcds_q79",
+    oracle="""
+SELECT c_name, substr(n_name, 1, 8) AS city, o_orderkey,
+       round(amt, 2) AS amt, round(profit, 2) AS profit
+FROM (
+  SELECT o_orderkey, o_custkey, n_name,
+         sum(l_extendedprice * l_discount)       AS amt,
+         sum(l_extendedprice * (1 - l_discount)) AS profit
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE o_orderstatus = 'F' AND n_regionkey BETWEEN 0 AND 2
+  GROUP BY o_orderkey, o_custkey, n_name
+) ms
+JOIN customer ON o_custkey = c_custkey
+ORDER BY c_name, o_orderkey, city
+LIMIT 100
+""",
+    tags=("tpcds", "join"),
+)
+def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q79 shape (tpcds-q79.test): per-(ticket, customer, store-city)
+    coupon/profit rollup with store-dim filters, customer joined after the
+    aggregate (the reference's ms-subquery-then-customer plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey").between(0, 2))
+    c = _t(spark, sf_dir, "customer")
+    ms = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("o_orderkey", "o_custkey", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("amt"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"),
+        )
+    )
+    return (
+        ms.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.substring("n_name", 1, 8).alias("city"),
+            "o_orderkey",
+            F.round("amt", 2).alias("amt"),
+            F.round("profit", 2).alias("profit"),
+        )
+        .orderBy("c_name", "o_orderkey", "city")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q88",
+    oracle="""
+SELECT * FROM
+ (SELECT count(*) AS h8_30_to_9   FROM events WHERE hour(ts) = 8  AND minute(ts) >= 30 AND event_type IN ('click','view','purchase') AND value > 0) s1
+CROSS JOIN
+ (SELECT count(*) AS h9_to_9_30   FROM events WHERE hour(ts) = 9  AND minute(ts) <  30 AND event_type IN ('click','view','purchase') AND value > 0) s2
+CROSS JOIN
+ (SELECT count(*) AS h9_30_to_10  FROM events WHERE hour(ts) = 9  AND minute(ts) >= 30 AND event_type IN ('click','view','purchase') AND value > 0) s3
+CROSS JOIN
+ (SELECT count(*) AS h10_to_10_30 FROM events WHERE hour(ts) = 10 AND minute(ts) <  30 AND event_type IN ('click','view','purchase') AND value > 0) s4
+CROSS JOIN
+ (SELECT count(*) AS h10_30_to_11 FROM events WHERE hour(ts) = 10 AND minute(ts) >= 30 AND event_type IN ('click','view','purchase') AND value > 0) s5
+CROSS JOIN
+ (SELECT count(*) AS h11_to_11_30 FROM events WHERE hour(ts) = 11 AND minute(ts) <  30 AND event_type IN ('click','view','purchase') AND value > 0) s6
+CROSS JOIN
+ (SELECT count(*) AS h11_30_to_12 FROM events WHERE hour(ts) = 11 AND minute(ts) >= 30 AND event_type IN ('click','view','purchase') AND value > 0) s7
+CROSS JOIN
+ (SELECT count(*) AS h12_to_12_30 FROM events WHERE hour(ts) = 12 AND minute(ts) <  30 AND event_type IN ('click','view','purchase') AND value > 0) s8
+""",
+    tags=("tpcds", "scalar"),
+)
+def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape (tpcds-q88.test): eight half-hour store-traffic
+    counts, each its own filtered scalar aggregate, cross-joined into a
+    single row. One scan per bucket mirrors the reference's eight subquery
+    blocks; each count is a 1-row frame so the cross joins are free."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase") & (F.col("value") > 0)
+    )
+    buckets = [
+        ("h8_30_to_9", 8, True), ("h9_to_9_30", 9, False),
+        ("h9_30_to_10", 9, True), ("h10_to_10_30", 10, False),
+        ("h10_30_to_11", 10, True), ("h11_to_11_30", 11, False),
+        ("h11_30_to_12", 11, True), ("h12_to_12_30", 12, False),
+    ]
+    out = None
+    for name, hr, late_half in buckets:
+        half = F.minute("ts") >= 30 if late_half else F.minute("ts") < 30
+        cnt = ev.filter((F.hour("ts") == hr) & half).agg(F.count("*").alias(name))
+        out = cnt if out is None else out.crossJoin(cnt)
+    return out
+
+
+@register(
+    "tpcds_q89",
+    oracle="""
+SELECT * FROM (
+  SELECT p_type, p_brand, n_name, month(o_orderdate) AS moy,
+         round(sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0, 2) AS sum_sales,
+         round(avg(round(sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0, 2))
+               OVER (PARTITION BY p_type, p_brand, n_name), 6) AS avg_monthly_sales
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE year(o_orderdate) = 1998
+    AND ((p_type IN ('ECONOMY', 'MEDIUM', 'LARGE') AND p_size BETWEEN 1 AND 25)
+      OR (p_type IN ('STANDARD', 'PROMO') AND p_size BETWEEN 26 AND 50))
+  GROUP BY 1, 2, 3, 4
+) tmp1
+WHERE CASE WHEN avg_monthly_sales <> 0
+           THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY round(sum_sales - avg_monthly_sales, 6), n_name, p_brand, p_type, moy
+LIMIT 100
+""",
+    tags=("tpcds", "window"),
+)
+def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q89 shape (tpcds-q89.test): monthly (category, brand, store)
+    sales vs their all-months average; keep months deviating >10%, ranked by
+    shortfall."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1998)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type").isin("ECONOMY", "MEDIUM", "LARGE") & F.col("p_size").between(1, 25))
+        | (F.col("p_type").isin("STANDARD", "PROMO") & F.col("p_size").between(26, 50))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_type", "p_brand", "n_name", F.month("o_orderdate").alias("moy"))
+        .agg(
+            # cents-summing: round each line to integer cents, sum exactly in
+            # the 2^53 integer domain, then scale back — immune to the
+            # half-boundary divergence of round(sum(double), 2) between
+            # engines (see driver-contract rounding rules).
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                )
+                / 100.0,
+                2,
+            ).alias("sum_sales")
+        )
+    )
+    w = Window.partitionBy("p_type", "p_brand", "n_name")
+    # avg of exact-2dp values is a small rational — 6dp rounding is
+    # boundary-free where 2dp would sit exactly on .xx5 halves.
+    tmp1 = agg.select(
+        "p_type", "p_brand", "n_name", "moy", "sum_sales",
+        F.round(F.avg("sum_sales").over(w), 6).alias("avg_monthly_sales"),
+    )
+    dev = F.when(
+        F.col("avg_monthly_sales") != 0,
+        F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+        / F.col("avg_monthly_sales"),
+    )
+    return (
+        tmp1.filter(dev > 0.1)
+        .orderBy(
+            F.round(F.col("sum_sales") - F.col("avg_monthly_sales"), 6),
+            "n_name", "p_brand", "p_type", "moy",
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_q96",
+    oracle="""
+SELECT count(*) AS total
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_type = 'ECONOMY' AND o_orderstatus = 'F' AND s_acctbal > 0
+""",
+    tags=("tpcds", "scalar", "join"),
+)
+def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q96 shape (tpcds-q96.test): plain COUNT(*) over a 4-way star
+    with one filter per dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(F.count("*").alias("total"))
+    )
+
+
+@register(
+    "tpcds_q98",
+    oracle="""
+SELECT p_partkey, p_name, p_type, itemrevenue,
+       round(itemrevenue * 100 / sum(itemrevenue) OVER (PARTITION BY p_type), 4)
+         AS revenueratio
+FROM (
+  SELECT p_partkey, p_name, p_type,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS itemrevenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+  WHERE p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+    AND year(o_orderdate) = 1998 AND month(o_orderdate) = 1
+  GROUP BY 1, 2, 3
+) t
+ORDER BY p_type, p_partkey
+""",
+    tags=("tpcds", "window"),
+)
+def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q98 shape (tpcds-q98.test): per-item revenue plus its share of
+    the item-class total (sum-over-aggregate window), one month of sales in
+    three categories."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 1)
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO")
+    )
+    t = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "itemrevenue"
+            )
+        )
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        t.select(
+            "p_partkey", "p_name", "p_type", "itemrevenue",
+            F.round(
+                F.col("itemrevenue") * 100 / F.sum("itemrevenue").over(w), 4
+            ).alias("revenueratio"),
+        )
+        .orderBy("p_type", "p_partkey")
     )
