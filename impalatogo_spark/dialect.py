@@ -165,5 +165,9 @@ def translate(sql: str) -> str:
     # straight_join: Impala disables join reordering. Spark: CBO reorder
     # is off per-plan when hints exist; strip the keyword.
     chunk = re.sub(r"\bSELECT\s+STRAIGHT_JOIN\b", "SELECT", chunk, flags=re.IGNORECASE)
+    # Impala accepts && as AND (sql-scanner lexer; used in the AMPLab
+    # hive-benchmark workload: "pageRank > 10 && pageRank < 25").
+    # Spark SQL does not. Literals are masked, so this cannot hit strings.
+    chunk = re.sub(r"&&", " AND ", chunk)
     chunk = _rewrite_functions(chunk)
     return _restore_literals(chunk, stash)

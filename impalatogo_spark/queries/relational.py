@@ -1189,3 +1189,47 @@ def func_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(200)
     )
+
+
+@register(
+    "amplab_web_range_count",
+    oracle="""
+SELECT count(*) AS n
+FROM events
+WHERE value > 10 AND value < 25
+""",
+    tags=("amplab", "scan"),
+)
+def amplab_web_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMPLab WEB_Q4 (hive-benchmark.test): COUNT(*) under a numeric range
+    predicate. The reference spells the conjunction with the Impala-ism
+    `&&` (rewritten to AND by the dialect translator, tests/test_dialect.py)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("value") > 10) & (F.col("value") < 25))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "amplab_web_avg",
+    oracle="""
+SELECT round(avg(value), 4) AS avg_all,
+       round(avg(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+                      THEN value END), 4) AS avg_window
+FROM events
+""",
+    tags=("amplab", "agg"),
+)
+def amplab_web_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMPLab WEB_Q5/WEB_Q6 (hive-benchmark.test): global scalar AVG and the
+    same AVG restricted to a date window, both in one scan via conditional
+    aggregation (two scans in the reference)."""
+    ev = _t(spark, sf_dir, "events")
+    in_win = (F.col("ts") >= F.lit("2024-01-08").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-22").cast("timestamp")
+    )
+    return ev.agg(
+        F.round(F.avg("value"), 4).alias("avg_all"),
+        F.round(F.avg(F.when(in_win, F.col("value"))), 4).alias("avg_window"),
+    )

@@ -4,6 +4,7 @@ Spark SQL (and actually runs where a fixture exists)."""
 from __future__ import annotations
 
 import pytest
+import re
 
 from impalatogo_spark.dialect import translate
 from impalatogo_spark.engine import Engine
@@ -108,3 +109,26 @@ def test_engine_set_options(spark):
     eng.set("COMPRESSION_CODEC", "zstd")
     assert spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
     eng.set("NUM_NODES", 8)
+
+
+def test_and_operator_alias():
+    # Impala lexer accepts && for AND (used verbatim in the AMPLab
+    # hive-benchmark workload: "pageRank > 10 && pageRank < 25").
+    out = translate("SELECT count(*) FROM rankings WHERE pageRank > 10 && pageRank < 25")
+    assert "&&" not in out
+    assert re.search(r"\bAND\b", out)
+    # string literals stay untouched
+    out = translate("SELECT * FROM t WHERE s = 'a&&b' && x = 1")
+    assert "'a&&b'" in out and out.count("AND") == 1
+
+
+def test_engine_runs_amplab_and_alias(spark, sf_dir):
+    eng = Engine(spark)
+    register_tables(spark, sf_dir)
+    n = eng.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > 1000 && o_orderstatus = 'F'"
+    ).first().n
+    ref = eng.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > 1000 AND o_orderstatus = 'F'"
+    ).first().n
+    assert n == ref and n > 0
