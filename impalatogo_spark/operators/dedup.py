@@ -7,8 +7,12 @@ Design notes (100 TB scale):
     sizes/partitionings (no JVM-hash nondeterminism).
   * MinHash signatures are computed as 16 independent `min()` aggregates over
     the exploded shingle set — ONE shuffle (groupBy doc_id), no seed
-    explosion. Band buckets then shuffle by (band, key): only co-bucketed
+    explosion — over ONE md5 per shingle reduced to a 32-bit base hash and
+    16 linear permutations (a*h+b mod 2^31-1), all inside whole-stage
+    codegen. Band buckets then shuffle by (band, key): only co-bucketed
     docs ever meet, which is the entire point of LSH at scale.
+  * Near-dup clustering (connected_components) turns verified pairs into
+    transitive clusters via iterative min-label propagation.
   * SimHash avoids exploding tokens x bits: 16 conditional-sum aggregates in
     a single groupBy.
   * Verification (exact Jaccard) runs only over LSH candidate pairs.
@@ -89,13 +93,33 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Linear-permutation MinHash: ONE md5 per shingle (the only hash DuckDB and
+# Spark share bit-for-bit) reduced to a 32-bit base value, then N_HASHES
+# cheap (a*h + b) mod p permutations, p = 2^31-1 (Mersenne). At scale this
+# replaces 16 md5-of-concat evaluations per shingle row with 1 md5 + 16
+# fused multiply-adds inside whole-stage codegen — the signature stage is
+# hash-bound, so this is ~an order of magnitude less CPU per row.
+# Overflow-safe: a < 2^30, h < 2^32 -> a*h + b < 2^63.
+P_MERSENNE = 2147483647  # 2^31 - 1
+_MH_A = [((1103515245 * (j + 1) + 12345) % (1 << 30)) | 1 for j in range(N_HASHES)]
+_MH_B = [(69069 * (j + 1) + 1) % P_MERSENNE for j in range(N_HASHES)]
+
+
 def _minhash_col(seed: int) -> Column:
-    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("g")))).alias(f"mh{seed}")
+    return F.min(
+        (F.lit(_MH_A[seed]) * F.col("__h") + F.lit(_MH_B[seed])) % P_MERSENNE
+    ).alias(f"mh{seed}")
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(id, mh0..mh{N-1}): per-doc MinHash signature, one aggregation pass."""
-    return sh.groupBy("id").agg(*[_minhash_col(j) for j in range(N_HASHES)])
+    """(id, mh0..mh{N-1}): per-doc MinHash signature, one aggregation pass
+    over a single md5-derived base hash per shingle."""
+    base = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+    return (
+        sh.select("id", base.alias("__h"))
+        .groupBy("id")
+        .agg(*[_minhash_col(j) for j in range(N_HASHES)])
+    )
 
 
 def lsh_band_buckets(sig: DataFrame) -> DataFrame:
@@ -153,8 +177,16 @@ def verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFram
 def minhash_lsh_oracle(threshold: float) -> str:
     """DuckDB twin of the full minhash->LSH->verify pipeline."""
     rows = N_HASHES // BANDS
+    # hex -> bigint polynomial over the first 8 md5 chars (DuckDB has no
+    # conv(); strpos-based digit decode, BIGINT throughout)
+    hex_poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
     mh_cols = ",\n         ".join(
-        f"min(md5('{j}:' || g)) AS mh{j}" for j in range(N_HASHES)
+        f"min(({a} * h + {b}) % {P_MERSENNE}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
     )
     band_rows = " UNION ALL ".join(
         f"SELECT id, {b} AS band, md5("
@@ -164,7 +196,8 @@ def minhash_lsh_oracle(threshold: float) -> str:
     )
     return f"""
 WITH sh AS ({word_shingles_oracle()}),
-sig AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+hashed AS (SELECT id, ({hex_poly}) AS h FROM (SELECT id, md5(g) AS hx FROM sh)),
+sig AS (SELECT id, {mh_cols} FROM hashed GROUP BY id),
 buckets AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -196,15 +229,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
+    # Decode the 32-hex-char md5 into four 32-bit ints ONCE per token row
+    # (4 conv calls), then read bit b's parity with shift/mask — instead of
+    # 32 instr(substring(...)) string probes per row. Same simhash values
+    # bit-for-bit, so the DuckDB oracle (strpos form) is unchanged.
     h = F.md5(F.col("tok"))
+    decoded = tokens.select(
+        "id",
+        *[
+            F.conv(F.substring(h, 8 * k + 1, 8), 16, 10).cast("long").alias(f"c{k}")
+            for k in range(SIMHASH_BITS // 8)
+        ],
+    )
     vs = [
         F.sum(
-            F.when(((F.instr(F.lit(HEX), F.substring(h, b + 1, 1)) - 1) % 2) == 1, 1)
-            .otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"c{b // 8}"), (7 - b % 8) * 4).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
-    agg = tokens.groupBy("id").agg(*vs)
+    agg = decoded.groupBy("id").agg(*vs)
     sim = None
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
@@ -275,3 +321,160 @@ def simhash_pairs_banded(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, cluster_id) for the undirected graph given by (id_a, id_b)
+    pairs; cluster_id = min node id in the component. This is the step after
+    pair generation in a dedup pipeline: transitive near-dup groups, each
+    with a canonical (min-id) representative.
+
+    Distributed min-label propagation: every iteration is a symmetric
+    edge-join + min-aggregate (all shuffles on the node id), converging in
+    O(diameter) rounds; near-dup components are shallow (diameter ~ a few),
+    so 3-5 rounds in practice. The driver only evaluates a scalar
+    convergence count per round. Each round's labels are localCheckpoint-ed:
+    iterative plans otherwise DOUBLE in size per round (the label frontier
+    feeds two joins), and an 11-round chain already produces a 2 GB plan
+    string — lineage truncation is mandatory for any iterative DataFrame
+    algorithm, not an optimization. At much larger graph scale, swap the
+    loop body for the large-star/small-star transforms (Kiveris et al.) —
+    same join/agg building blocks, fewer rounds on skewed high-degree
+    components.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): same contract as connected_components, via the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"). Converges in O(log n)
+    rounds independent of graph DIAMETER — the scale path when components
+    can be long chains — and the star transforms keep high-degree (skewed)
+    nodes from funneling through one reducer the way label propagation's
+    min-aggregate does.
+
+    Each round:
+      large-star: for every node u, link every LARGER neighbor to the
+        minimum of u's closed neighborhood — strictly shrinks tall trees.
+      small-star: link every neighbor <= u (and u) to that minimum —
+        flattens the remainder into stars.
+    Fixpoint: the edge set stops changing; edges then ARE the (node ->
+    component-min) star mapping. Every round localCheckpoints (lineage
+    doubles per round otherwise; see connected_components)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # canonical: u > v
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # symmetric neighborhoods, then min over the CLOSED neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        joined = sym.join(mins, "u")
+        # large-star links neighbors v > u; small-star links v <= u and u itself
+        linked = (
+            joined.filter(F.col("v") > F.col("u")) if large
+            else joined.filter(F.col("v") <= F.col("u"))
+        ).select(F.col("v").alias("a"), F.col("m").alias("b"))
+        self_link = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        out = linked.union(self_link) if not large else linked
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        after = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        changed = (
+            after.exceptAll(edges).limit(1).count() + edges.exceptAll(after).limit(1).count()
+        )
+        edges = after
+        if changed == 0:
+            break
+    # stars: u -> v is (node -> component min); isolated minima map to themselves
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    mins_self = nodes.join(
+        edges.select(F.col("u").alias("node")), "node", "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    return labels.union(mins_self)
+
+
+def clusters_oracle(pairs_sql: str) -> str:
+    """DuckDB twin: transitive closure via recursive CTE (UNION dedups, so
+    the fixpoint terminates), then min reachable id per node."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src
+"""

@@ -614,3 +614,23 @@ from impalatogo_spark.queries import _REGISTRY as _R  # noqa: E402
 from dataclasses import replace as _replace  # noqa: E402
 
 _R["multimodal_resize"] = _replace(_R["multimodal_resize"], oracle=_thumb_oracle())
+
+
+@register(
+    "dedup_clusters",
+    oracle=D.clusters_oracle(D.minhash_lsh_oracle(threshold=0.5)),
+    tags=("dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    verified pairs — transitive near-dup groups with a canonical (min-id)
+    representative per cluster. Spark side is iterative distributed
+    min-label propagation (operators/dedup.py connected_components); the
+    DuckDB oracle computes the same fixpoint with a recursive CTE, so this
+    iterative/graph operator still gets a full value-checked gate."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = D.word_shingles(docs).persist()
+    pairs = D.verify_jaccard(cand, sh, threshold=0.5).persist()
+    return D.connected_components(pairs)

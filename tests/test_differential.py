@@ -159,3 +159,102 @@ def test_random_window_parity(seed, spark, duck, sf_dir):
     s_norm = sorted(tuple(str(c) for c in r) for r in srows)
     d_norm = sorted(tuple(str(c) for c in r) for r in drows)
     assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
+
+
+def _gen_join_select(seed: int) -> str:
+    """Random join query over nation x region (+ customer for volume):
+    inner/left/right/full equi joins with optional extra theta conjunct,
+    cross join + filter, and EXISTS/NOT EXISTS (the portable spelling of
+    semi/anti — identical syntax in Spark and DuckDB)."""
+    rng = random.Random(30_000 + seed)
+    kind = rng.randrange(7)
+    proj_n = "n_nationkey, n_name"
+    if kind == 0:  # inner equi, maybe extra theta conjunct
+        extra = " AND n_nationkey > r_regionkey" if rng.random() < 0.5 else ""
+        return (
+            f"SELECT {proj_n}, r_name FROM nation JOIN region "
+            f"ON n_regionkey = r_regionkey{extra}"
+        )
+    if kind == 1:  # left outer with nullable right side
+        return (
+            f"SELECT {proj_n}, coalesce(r_name, '-') AS rn FROM nation "
+            f"LEFT JOIN region ON n_regionkey = r_regionkey "
+            f"AND r_regionkey < {rng.randint(0, 4)}"
+        )
+    if kind == 2:  # right outer
+        return (
+            f"SELECT r_regionkey, r_name, coalesce(n_name, '-') AS nn "
+            f"FROM nation RIGHT JOIN region ON n_regionkey = r_regionkey "
+            f"AND n_nationkey < {rng.randint(0, 20)}"
+        )
+    if kind == 3:  # full outer
+        return (
+            f"SELECT coalesce(n_name, '-') AS nn, coalesce(r_name, '-') AS rn "
+            f"FROM nation FULL JOIN region "
+            f"ON n_regionkey = r_regionkey AND n_nationkey % {rng.randint(2, 4)} = 0"
+        )
+    if kind == 4:  # cross + theta filter
+        return (
+            f"SELECT {proj_n}, r_regionkey FROM nation CROSS JOIN region "
+            f"WHERE n_nationkey % {rng.randint(2, 5)} = r_regionkey"
+        )
+    if kind == 5:  # EXISTS (left semi)
+        return (
+            f"SELECT {proj_n} FROM nation WHERE EXISTS "
+            f"(SELECT 1 FROM region WHERE r_regionkey = n_regionkey "
+            f"AND r_regionkey >= {rng.randint(0, 3)})"
+        )
+    # NOT EXISTS (left anti)
+    return (
+        f"SELECT {proj_n} FROM nation WHERE NOT EXISTS "
+        f"(SELECT 1 FROM region WHERE r_regionkey = n_regionkey "
+        f"AND r_regionkey > {rng.randint(0, 3)})"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_join_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_join_select(seed)
+    srows = spark.sql(sql).collect()
+    drows = duck.execute(sql).fetchall()
+    s_norm = sorted(tuple(str(c) for c in r) for r in srows)
+    d_norm = sorted(tuple(str(c) for c in r) for r in drows)
+    assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
+
+
+def _gen_multijoin_agg_select(seed: int) -> str:
+    """Random 3-way join + aggregate: customer x nation x region with a
+    random filter and a grouped aggregate — the star-join shape the
+    planner sees most, diffed value-for-value."""
+    rng = random.Random(40_000 + seed)
+    agg = rng.choice(["count(*)", "count(c_custkey)", "min(c_custkey)", "max(c_custkey)"])
+    pred = rng.choice(
+        [
+            f"c_acctbal > {rng.randint(-500, 5000)}",
+            f"n_nationkey % {rng.randint(2, 4)} = 0",
+            f"c_mktsegment <> 'BUILDING'",
+        ]
+    )
+    key = rng.choice(["r_name", "n_name"])
+    return (
+        f"SELECT {key} AS k, {agg} AS a FROM customer "
+        f"JOIN nation ON c_nationkey = n_nationkey "
+        f"JOIN region ON n_regionkey = r_regionkey "
+        f"WHERE {pred} GROUP BY {key}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_multijoin_agg_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_multijoin_agg_select(seed)
+    srows = spark.sql(sql).collect()
+    drows = duck.execute(sql).fetchall()
+    s_norm = sorted(tuple(str(c) for c in r) for r in srows)
+    d_norm = sorted(tuple(str(c) for c in r) for r in drows)
+    assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"

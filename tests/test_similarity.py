@@ -3,6 +3,7 @@ banded-simhash completeness vs the quadratic form."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from impalatogo_spark.operators import dedup as D
@@ -78,3 +79,61 @@ def test_ivf_ann_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_connected_components_invariants(spark):
+    # toy graph: {1-2, 2-3} one component, {10-11} another, 20-20 none
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def _partition(labels_df):
+    """cluster assignment -> set of frozenset components (label-invariant)."""
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in labels_df.collect():
+        groups[r.cluster_id].add(r.doc_id)
+    return {frozenset(g) for g in groups.values()}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_connected_components_star_random_parity(seed, spark):
+    # seeded Erdos-Renyi-ish graph: star algorithm must produce the exact
+    # same components as min-label propagation
+    import random as _random
+
+    rng = _random.Random(seed)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    assert _partition(D.connected_components_star(pairs)) == _partition(
+        D.connected_components(pairs)
+    )
+    # cluster_id must be the component min under both
+    star = D.connected_components_star(pairs)
+    assert star.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+
+
+def test_connected_components_star_chain(spark):
+    # long path: log-round convergence territory for the star algorithm
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(19)], ["id_a", "id_b"])
+    out = D.connected_components_star(pairs)
+    assert out.count() == 20
+    assert out.select(F.countDistinct("cluster_id")).first()[0] == 1
+    assert out.agg(F.min("cluster_id")).first()[0] == 0
+
+
+def test_connected_components_chain_diameter(spark):
+    # a 12-node path graph needs several propagation rounds to converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    out = D.connected_components(pairs)
+    assert out.select(F.countDistinct("cluster_id")).first()[0] == 1
+    assert out.agg(F.min("cluster_id")).first()[0] == 0
+    assert out.count() == 12
