@@ -39,12 +39,14 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "ann_topk_bruteforce",
     "text_quality",
     "text_token_stats",
     "events_sessionize",
     "events_json_extract",
     "events_tumbling_window",
+    "func_date_arith",
 ]
 RUNS = 3
 

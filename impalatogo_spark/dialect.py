@@ -97,7 +97,17 @@ def _rewrite_functions(chunk: str) -> str:
                     break  # unbalanced; leave as-is
                 inner = chunk[m.end() : i - 1]
                 args = split_args(inner)
-                n_slots = (max(int(s) for s in re.findall(r"\{(\d)\}", tmpl)) + 1)
+                slots = re.findall(r"\{(\d)\}", tmpl)
+                n_slots = (max(int(s) for s in slots) + 1) if slots else 0
+                if n_slots == 0:
+                    # zero-arg shims: user() -> current_user() etc.
+                    if inner.strip() == "":
+                        chunk = chunk[: m.start()] + tmpl + chunk[i:]
+                        changed = True
+                        pos = m.start() + len(tmpl)
+                    else:
+                        pos = m.end()
+                    continue
                 defaults = _DEFAULT_TRAILING_ARGS.get(name.lower(), [])
                 while len(args) < n_slots and defaults:
                     args = args + [defaults[len(args) - (n_slots - len(defaults))]]

@@ -142,4 +142,46 @@ IMPALA_SQL_FUNCTION_REWRITES: dict[str, str] = {
     "lcase": "lower({0})",
     "ucase": "upper({0})",
     "char_length": "length({0})",
+    "dayname": "date_format({0}, 'EEEE')",
+    # Utility (impala_functions.py:488-521). pid/sleep are daemon
+    # introspection/testing hooks with no Spark analog — out of scope
+    # (SURVEY §2.10); typeof/version/current_database are Spark natives.
+    "user": "current_user()",
+    "effective_user": "current_user()",
+    # Impala's two-arg extract(ts, 'unit') (impala_functions.py:89) —
+    # argument order is reversed vs date_part. The standard one-arg
+    # extract(YEAR FROM ts) form arrives as a single argument and is left
+    # for Spark to parse natively.
+    "extract": "date_part({1}, {0})",
 }
+
+# Timestamp arithmetic family (impala_functions.py:122-215): years/months/
+# weeks/days/hours/minutes/seconds/milliseconds/microseconds/nanoseconds
+# _add/_sub plus the Impala aliases add_months, date_add/adddate,
+# date_sub/subdate. ALL return TIMESTAMP in Impala — Spark's own date_add
+# returns DATE, so inside the dialect the Impala semantics win (no current
+# query relied on Spark's). make_interval slots are (years, months, weeks,
+# days, hours, mins, secs); sub-second units divide into the seconds slot.
+# nanoseconds degrade to microsecond precision (Spark timestamp storage;
+# SURVEY §8 known divergences).
+_INTERVAL_TEMPLATES = {
+    "years": "make_interval(({n}))",
+    "months": "make_interval(0, ({n}))",
+    "weeks": "make_interval(0, 0, ({n}))",
+    "days": "make_interval(0, 0, 0, ({n}))",
+    "hours": "make_interval(0, 0, 0, 0, ({n}))",
+    "minutes": "make_interval(0, 0, 0, 0, 0, ({n}))",
+    "seconds": "make_interval(0, 0, 0, 0, 0, 0, ({n}))",
+    "milliseconds": "make_interval(0, 0, 0, 0, 0, 0, ({n}) / 1000)",
+    "microseconds": "make_interval(0, 0, 0, 0, 0, 0, ({n}) / 1000000)",
+    "nanoseconds": "make_interval(0, 0, 0, 0, 0, 0, ({n}) / 1000000000)",
+}
+for _unit, _iv in _INTERVAL_TEMPLATES.items():
+    _ivt = _iv.format(n="{1}")
+    IMPALA_SQL_FUNCTION_REWRITES[f"{_unit}_add"] = f"(({{0}}) + {_ivt})"
+    IMPALA_SQL_FUNCTION_REWRITES[f"{_unit}_sub"] = f"(({{0}}) - {_ivt})"
+IMPALA_SQL_FUNCTION_REWRITES["add_months"] = IMPALA_SQL_FUNCTION_REWRITES["months_add"]
+for _alias in ("date_add", "adddate"):
+    IMPALA_SQL_FUNCTION_REWRITES[_alias] = IMPALA_SQL_FUNCTION_REWRITES["days_add"]
+for _alias in ("date_sub", "subdate"):
+    IMPALA_SQL_FUNCTION_REWRITES[_alias] = IMPALA_SQL_FUNCTION_REWRITES["days_sub"]

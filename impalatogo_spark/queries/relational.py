@@ -1233,3 +1233,83 @@ def amplab_web_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("avg_all"),
         F.round(F.avg(F.when(in_win, F.col("value"))), 4).alias("avg_window"),
     )
+
+
+@register(
+    "func_date_arith",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 2 YEAR,     '%Y-%m-%d %H:%M:%S') AS y2,
+       strftime(o_orderdate - INTERVAL 3 MONTH,    '%Y-%m-%d %H:%M:%S') AS m3,
+       strftime(o_orderdate + INTERVAL 5 WEEK,     '%Y-%m-%d %H:%M:%S') AS w5,
+       strftime(o_orderdate + INTERVAL 45 DAY,     '%Y-%m-%d %H:%M:%S') AS d45,
+       strftime(o_orderdate - INTERVAL 7 HOUR,     '%Y-%m-%d %H:%M:%S') AS h7,
+       strftime(o_orderdate + INTERVAL 90 MINUTE,  '%Y-%m-%d %H:%M:%S') AS mi90,
+       strftime(o_orderdate + INTERVAL 3605 SECOND,'%Y-%m-%d %H:%M:%S') AS s3605,
+       strftime(o_orderdate + INTERVAL 1500 MILLISECOND,
+                '%Y-%m-%d %H:%M:%S.%f') AS ms1500,
+       dayname(o_orderdate) AS dn
+FROM orders WHERE o_orderkey <= 400
+""",
+    tags=("functions", "date"),
+)
+def func_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impala timestamp-arithmetic family (impala_functions.py:122-215):
+    years/months/weeks/days/hours/minutes/seconds/milliseconds _add/_sub +
+    dayname (:121), entered as IMPALA-DIALECT SQL through the translator
+    (functions/registry.py interval rewrites) — proving the SQL surface
+    end-to-end, not just the Column API. All forms return TIMESTAMP in
+    Impala (unlike Spark's own DATE-returning date_add; dialect wins)."""
+    from impalatogo_spark.dialect import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(translate("""
+SELECT o_orderkey,
+       date_format(years_add(o_orderdate, 2),      'yyyy-MM-dd HH:mm:ss') AS y2,
+       date_format(months_sub(o_orderdate, 3),     'yyyy-MM-dd HH:mm:ss') AS m3,
+       date_format(weeks_add(o_orderdate, 5),      'yyyy-MM-dd HH:mm:ss') AS w5,
+       date_format(date_add(o_orderdate, 45),      'yyyy-MM-dd HH:mm:ss') AS d45,
+       date_format(hours_sub(o_orderdate, 7),      'yyyy-MM-dd HH:mm:ss') AS h7,
+       date_format(minutes_add(o_orderdate, 90),   'yyyy-MM-dd HH:mm:ss') AS mi90,
+       date_format(seconds_add(o_orderdate, 3605), 'yyyy-MM-dd HH:mm:ss') AS s3605,
+       date_format(milliseconds_add(o_orderdate, 1500),
+                   'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ms1500,
+       dayname(o_orderdate) AS dn
+FROM orders WHERE o_orderkey <= 400
+"""))
+
+
+@register(
+    "func_base_conv",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       bin(CAST(l_orderkey AS BIGINT))                      AS bn,
+       hex(CAST(l_orderkey AS BIGINT))                      AS hx,
+       hex(l_returnflag)                                    AS hxs,
+       decode(unhex(hex(l_returnflag)))                     AS uh,
+       CAST(l_orderkey AS VARCHAR)                          AS cv,
+       round(fmod(CAST(l_extendedprice AS DOUBLE), 7.3), 6) AS fm,
+       l_orderkey // 7                                      AS qt
+FROM lineitem WHERE l_orderkey <= 500
+""",
+    tags=("functions", "math"),
+)
+def func_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-conversion + modulus subfamily (impala_functions.py:227-344):
+    bin, hex (bigint + string), unhex roundtrip, conv (16->10 roundtrip,
+    oracle side is the decimal string itself — DuckDB has no conv()), fmod
+    (sign-of-dividend; positive data here, negative pinned in pytest since
+    DuckDB's fmod is floor-signed), quotient (truncating integer DIV)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    key = F.col("l_orderkey").cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.bin(key).alias("bn"),
+        F.hex(key).alias("hx"),
+        F.hex(F.col("l_returnflag")).alias("hxs"),
+        F.decode(F.unhex(F.hex(F.col("l_returnflag"))), "UTF-8").alias("uh"),
+        F.conv(F.hex(key), 16, 10).alias("cv"),
+        F.round(F.col("l_extendedprice").cast("double") % 7.3, 6).alias("fm"),
+        F.expr("CAST(l_orderkey AS BIGINT) DIV 7").alias("qt"),
+    )

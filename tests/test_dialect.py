@@ -132,3 +132,55 @@ def test_engine_runs_amplab_and_alias(spark, sf_dir):
         "SELECT count(*) AS n FROM orders WHERE o_totalprice > 1000 AND o_orderstatus = 'F'"
     ).first().n
     assert n == ref and n > 0
+
+
+def test_timestamp_arith_family_rewrites():
+    # impala_functions.py:122-215 *_add/*_sub -> make_interval arithmetic
+    out = translate("SELECT years_add(ts, 2) FROM t")
+    assert "make_interval((2))" in out and "+" in out
+    out = translate("SELECT months_sub(ts, n + 1) FROM t")
+    assert "make_interval(0, (n + 1))" in out and "-" in out
+    out = translate("SELECT milliseconds_add(ts, 1500) FROM t")
+    assert "(1500) / 1000" in out
+    # Impala aliases: date_add/adddate/subdate are TIMESTAMP-returning
+    out = translate("SELECT date_add(ts, 30) FROM t")
+    assert "make_interval(0, 0, 0, (30))" in out
+    out = translate("SELECT subdate(ts, 30) FROM t")
+    assert "make_interval(0, 0, 0, (30))" in out and "-" in out
+    out = translate("SELECT dayname(ts) FROM t")
+    assert "date_format(ts, 'EEEE')" in out
+
+
+def test_timestamp_arith_values(spark):
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT CAST(years_add(TIMESTAMP '2020-02-29 10:00:00', 1) AS STRING) AS y,"
+        "       CAST(hours_sub(TIMESTAMP '2020-01-01 00:30:00', 1) AS STRING) AS h,"
+        "       dayname(TIMESTAMP '2024-01-08') AS dn"
+    ).first()
+    assert row.y.startswith("2021-02-28")  # boost gregorian clamps leap day
+    assert row.h.startswith("2019-12-31 23:30:00")
+    assert row.dn == "Monday"
+
+
+def test_zero_arg_utility_rewrites(spark):
+    out = translate("SELECT user(), typeof(1), version()")
+    assert "current_user()" in out and "typeof(1)" in out
+    eng = Engine(spark)
+    row = eng.sql("SELECT user() AS u, typeof(CAST(1 AS INT)) AS t").first()
+    assert row.u and row.t == "int"
+
+
+def test_two_arg_extract_rewrite(spark):
+    # Impala extract(ts, 'year') (impala_functions.py:89) vs the standard
+    # extract(YEAR FROM ts) — both must work after translation.
+    out = translate("SELECT extract(ts, 'year') FROM t")
+    assert "date_part('year', ts)" in out
+    out = translate("SELECT extract(YEAR FROM ts) FROM t")
+    assert "extract(YEAR FROM ts)" in out  # untouched, Spark-native
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT extract(TIMESTAMP '2024-03-05 10:11:12', 'month') AS m1, "
+        "       extract(MONTH FROM TIMESTAMP '2024-03-05 10:11:12') AS m2"
+    ).first()
+    assert row.m1 == 3 and row.m2 == 3

@@ -103,6 +103,16 @@ def test_sql_rewrite_templates_valid(spark):
         elif name == "fnv_hash":
             arg = "'abc'"
             sql = f"SELECT {tmpl.format(arg)}"
+        elif name.endswith(("_add", "_sub")) or name in (
+            "add_months", "date_add", "adddate", "date_sub", "subdate"
+        ):
+            ts = "TIMESTAMP '2024-01-15 10:00:00'"
+            sql = "SELECT " + tmpl.format(ts, "2")
+        elif name == "extract":
+            ts = "TIMESTAMP '2024-01-15 10:00:00'"
+            sql = "SELECT " + tmpl.format(ts, "'year'")
+        elif name == "dayname":
+            sql = "SELECT " + tmpl.format("TIMESTAMP '2024-01-15'")
         else:
             sql = f"SELECT {tmpl.format(*args)}"
         spark.sql(sql).collect()  # must not raise
@@ -137,3 +147,14 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     got = Counter(r.lang for r in a)
     # en sampled at 0.5 must exceed zh sampled at 0.1 (rate-proportional)
     assert got["en"] / totals["en"] > got["zh"] / totals["zh"]
+
+
+def test_fmod_quotient_negative_semantics(spark):
+    # Impala fmod/% carry the DIVIDEND's sign (C fmod); quotient/DIV
+    # truncates toward zero. DuckDB's fmod is floor-signed, so these are
+    # pinned here rather than oracle-checked (SURVEY §8 divergences).
+    row = spark.sql(
+        "SELECT mod(-7.5D, 2.0D) AS fm, CAST(-17 AS BIGINT) DIV 5 AS qt, "
+        "       pmod(-7, 5) AS pm"
+    ).first()
+    assert row.fm == -1.5 and row.qt == -3 and row.pm == 3
