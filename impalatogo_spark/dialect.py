@@ -57,7 +57,88 @@ _SIMPLE_TEMPLATES = {
 
 # Impala defaults for optional trailing arguments (BuiltinsDb.java):
 # group_concat(expr) == group_concat(expr, ', ')
-_DEFAULT_TRAILING_ARGS = {"group_concat": ["', '"]}
+_DEFAULT_TRAILING_ARGS = {
+    "group_concat": ["', '"],
+    "truncate": ["0"],
+    "dtrunc": ["0"],
+}
+
+# Impala trunc(ts, 'FMT') Oracle-style unit codes (timestamp-functions.cc
+# TruncUnit) -> Spark date_trunc units. DAY/DY/D truncate to start of week
+# (Monday) in both. WW/W (align to the weekday of Jan-1 / month-start) have
+# no date_trunc equivalent and are left untranslated (SURVEY §8
+# divergences); numeric trunc(x[, d]) is untouched (no string-literal
+# second argument).
+_TRUNC_UNIT = {
+    "SYYYY": "YEAR", "YYYY": "YEAR", "YEAR": "YEAR", "SYEAR": "YEAR",
+    "YYY": "YEAR", "YY": "YEAR", "Y": "YEAR",
+    "Q": "QUARTER",
+    "MONTH": "MONTH", "MON": "MONTH", "MM": "MONTH", "RM": "MONTH",
+    "DAY": "WEEK", "DY": "WEEK", "D": "WEEK",
+    "DDD": "DAY", "DD": "DAY", "J": "DAY",
+    "HH": "HOUR", "HH12": "HOUR", "HH24": "HOUR",
+    "MI": "MINUTE",
+}
+
+
+def _split_top(argstr: str) -> list[str]:
+    """Split on top-level commas only (paren-depth aware)."""
+    args, depth, cur = [], 0, []
+    for ch in argstr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur).strip())
+    return args
+
+
+def _rewrite_trunc(chunk: str, stash: list[str]) -> str:
+    """trunc(expr, <masked 'FMT' literal>) -> date_trunc('UNIT', expr);
+    numeric trunc(x[, d]) -> truncate-toward-zero arithmetic (Spark has no
+    numeric trunc builtin; CAST-to-BIGINT truncates toward zero like Impala,
+    where floor() would round negatives the wrong way). Runs on masked text:
+    a string-literal format is a stash placeholder, resolved and dropped."""
+    pat = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(chunk, pos)
+        if not m:
+            return chunk
+        depth, i = 1, m.end()
+        while i < len(chunk) and depth:
+            if chunk[i] == "(":
+                depth += 1
+            elif chunk[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return chunk
+        args = _split_top(chunk[m.end() : i - 1])
+        repl = None
+        if len(args) == 2:
+            ph = re.fullmatch(r"\x00(\d+)\x00", args[1])
+            if ph:
+                unit = _TRUNC_UNIT.get(stash[int(ph.group(1))].strip("'\"").upper())
+                if unit:
+                    repl = f"date_trunc('{unit}', {args[0]})"
+            else:
+                repl = (
+                    f"(CAST(({args[0]}) * pow(10, ({args[1]})) AS BIGINT)"
+                    f" / pow(10, ({args[1]})))"
+                )
+        elif len(args) == 1 and args[0]:
+            repl = f"CAST(CAST(({args[0]}) AS BIGINT) AS DOUBLE)"
+        if repl is not None:
+            chunk = chunk[: m.start()] + repl + chunk[i:]
+            pos = m.start() + len(repl)
+        else:
+            pos = m.end()
 
 
 def _rewrite_functions(chunk: str) -> str:
@@ -179,5 +260,6 @@ def translate(sql: str) -> str:
     # hive-benchmark workload: "pageRank > 10 && pageRank < 25").
     # Spark SQL does not. Literals are masked, so this cannot hit strings.
     chunk = re.sub(r"&&", " AND ", chunk)
+    chunk = _rewrite_trunc(chunk, stash)
     chunk = _rewrite_functions(chunk)
     return _restore_literals(chunk, stash)

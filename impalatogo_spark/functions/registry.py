@@ -153,6 +153,12 @@ IMPALA_SQL_FUNCTION_REWRITES: dict[str, str] = {
     # extract(YEAR FROM ts) form arrives as a single argument and is left
     # for Spark to parse natively.
     "extract": "date_part({1}, {0})",
+    # Decimal truncate (impala_functions.py:360-367): toward-zero at scale d
+    # (CAST-to-BIGINT truncates toward zero; floor would round negatives
+    # away). 1-arg form defaults d=0 via _DEFAULT_TRAILING_ARGS. Result is
+    # DOUBLE, not DECIMAL (p/s widening already a documented divergence).
+    "truncate": "(CAST(({0}) * pow(10, ({1})) AS BIGINT) / pow(10, ({1})))",
+    "dtrunc": "(CAST(({0}) * pow(10, ({1})) AS BIGINT) / pow(10, ({1})))",
 }
 
 # Timestamp arithmetic family (impala_functions.py:122-215): years/months/

@@ -1248,7 +1248,9 @@ SELECT o_orderkey,
        strftime(o_orderdate + INTERVAL 3605 SECOND,'%Y-%m-%d %H:%M:%S') AS s3605,
        strftime(o_orderdate + INTERVAL 1500 MILLISECOND,
                 '%Y-%m-%d %H:%M:%S.%f') AS ms1500,
-       dayname(o_orderdate) AS dn
+       dayname(o_orderdate) AS dn,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS tq,
+       strftime(date_trunc('week', o_orderdate),    '%Y-%m-%d') AS twk
 FROM orders WHERE o_orderkey <= 400
 """,
     tags=("functions", "date"),
@@ -1274,7 +1276,9 @@ SELECT o_orderkey,
        date_format(seconds_add(o_orderdate, 3605), 'yyyy-MM-dd HH:mm:ss') AS s3605,
        date_format(milliseconds_add(o_orderdate, 1500),
                    'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ms1500,
-       dayname(o_orderdate) AS dn
+       dayname(o_orderdate) AS dn,
+       date_format(trunc(o_orderdate, 'Q'),   'yyyy-MM-dd') AS tq,
+       date_format(trunc(o_orderdate, 'DAY'), 'yyyy-MM-dd') AS twk
 FROM orders WHERE o_orderkey <= 400
 """))
 

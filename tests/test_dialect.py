@@ -184,3 +184,39 @@ def test_two_arg_extract_rewrite(spark):
         "       extract(MONTH FROM TIMESTAMP '2024-03-05 10:11:12') AS m2"
     ).first()
     assert row.m1 == 3 and row.m2 == 3
+
+
+def test_trunc_format_mapping(spark):
+    # Impala trunc(ts, 'FMT') Oracle-style codes (timestamp-functions.cc
+    # TruncUnit) -> date_trunc. Numeric trunc stays untouched.
+    assert "date_trunc('QUARTER', ts)" in translate("SELECT trunc(ts, 'Q') FROM t")
+    assert "date_trunc('MONTH', ts)" in translate("SELECT trunc(ts, 'MM') FROM t")
+    assert "date_trunc('HOUR', ts)" in translate("SELECT trunc(ts, 'HH24') FROM t")
+    assert "date_trunc('YEAR', cast(x AS timestamp))" in translate(
+        "SELECT trunc(cast(x AS timestamp), 'YYYY') FROM t"
+    )
+    # numeric trunc -> truncate-toward-zero arithmetic (Spark has no
+    # numeric trunc builtin; Impala truncates toward zero, floor would not)
+    out = translate("SELECT trunc(price, 2), trunc(price) FROM t")
+    assert "date_trunc" not in out and "CAST" in out
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT trunc(-1.15, 1) AS a, trunc(3.79) AS b, trunc(1234.5678, -2) AS c"
+    ).first()
+    assert row.a == -1.1 and row.b == 3.0 and row.c == 1200.0
+    row = eng.sql(
+        "SELECT CAST(trunc(TIMESTAMP '2024-03-05 10:11:12', 'Q') AS STRING) AS q,"
+        "       CAST(trunc(TIMESTAMP '2024-03-05 10:11:12', 'DAY') AS STRING) AS wk,"
+        "       CAST(trunc(TIMESTAMP '2024-03-05 10:11:12', 'MI') AS STRING) AS mi"
+    ).first()
+    assert row.q == "2024-01-01 00:00:00"
+    assert row.wk == "2024-03-04 00:00:00"  # Monday
+    assert row.mi == "2024-03-05 10:11:00"
+
+
+def test_truncate_decimal_values(spark):
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT truncate(-1.15, 1) AS a, truncate(3.79) AS b, dtrunc(9.99, 1) AS c"
+    ).first()
+    assert row.a == -1.1 and row.b == 3.0 and row.c == 9.9
