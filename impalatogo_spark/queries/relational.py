@@ -1317,3 +1317,63 @@ def func_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice").cast("double") % 7.3, 6).alias("fm"),
         F.expr("CAST(l_orderkey AS BIGINT) DIV 7").alias("qt"),
     )
+
+
+@register(
+    "perf_agg_highcard",
+    oracle="""
+SELECT strftime(l_shipdate, '%Y-%m-%d') AS d, count(*) AS n,
+       min(l_linenumber) AS mn, max(l_quantity) AS mx,
+       round(sum(l_tax), 4) AS st
+FROM lineitem GROUP BY 1
+""",
+    tags=("perf", "agg"),
+)
+def perf_agg_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """targeted-perf PERF_AGG-Q1/Q3 (aggregation.test): mixed-type
+    aggregates over a HIGH-cardinality group key (~2400 date groups vs
+    tpch_q1's 4) — the hash-agg sizing shape. Partial (map-side) agg makes
+    this one shuffle of pre-combined groups; 2-phase plan asserted for the
+    low-card twin in tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")).agg(
+        F.count("*").alias("n"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+        F.round(F.sum("l_tax"), 4).alias("st"),
+    )
+
+
+@register(
+    "perf_string_like",
+    oracle="""
+SELECT sum(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END)  AS pre,
+       sum(CASE WHEN p_name LIKE '%widget' THEN 1 ELSE 0 END) AS suf,
+       sum(CASE WHEN p_name LIKE '%ol%' THEN 1 ELSE 0 END)    AS infix,
+       sum(CASE WHEN p_name LIKE 's%t' THEN 1 ELSE 0 END)     AS bound,
+       sum(CASE WHEN p_name = 'blue rod' THEN 1 ELSE 0 END)   AS eq,
+       sum(CASE WHEN upper(p_name) = 'BLUE ROD' THEN 1 ELSE 0 END) AS ueq
+FROM part
+""",
+    tags=("perf", "string"),
+)
+def perf_string_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """targeted-perf PERF_STRING-Q1..Q7 (string.test): the LIKE-pattern
+    battery (prefix/suffix/infix/bounded/equality/case-normalized equality)
+    as ONE conditional-aggregation scan instead of the reference's six
+    separate scans. Prefix LIKE compiles to StartsWith (no regex) in
+    Spark's codegen; all six predicates evaluate in a single pass."""
+    p = _t(spark, sf_dir, "part")
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    nm = F.col("p_name")
+    return p.agg(
+        cnt(nm.like("small%"), "pre"),
+        cnt(nm.like("%widget"), "suf"),
+        cnt(nm.like("%ol%"), "infix"),
+        cnt(nm.like("s%t"), "bound"),
+        cnt(nm == "blue rod", "eq"),
+        cnt(F.upper(nm) == "BLUE ROD", "ueq"),
+    )

@@ -55,3 +55,19 @@ def test_q1_single_shuffle(spark, sf_dir):
     the global-order exchange) — no join shuffles, no extra repartitions."""
     n = plans.count_shuffles(tpch_q1(spark, sf_dir))
     assert n <= 2, f"q1 has {n} exchanges"
+
+
+def test_limit_zero_schema_stability(spark, sf_dir):
+    # targeted-perf PERF_LIMIT-Q1 (limit.test): LIMIT 0 returns instantly
+    # with the full stable schema — Catalyst folds it to an empty relation
+    # (no scan), which is the metadata-performance point of the reference
+    # query.
+    from impalatogo_spark.session import table
+
+    df = table(spark, sf_dir, "lineitem").limit(0)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields][:4] == [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    ]
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan or "Relation" in plan
