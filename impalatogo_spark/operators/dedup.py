@@ -333,57 +333,69 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     pair generation in a dedup pipeline: transitive near-dup groups, each
     with a canonical (min-id) representative.
 
-    Distributed min-label propagation: every iteration is a symmetric
-    edge-join + min-aggregate (all shuffles on the node id), converging in
-    O(diameter) rounds; near-dup components are shallow (diameter ~ a few),
-    so 3-5 rounds in practice. The driver only evaluates a scalar
-    convergence count per round. Each round's labels are localCheckpoint-ed:
-    iterative plans otherwise DOUBLE in size per round (the label frontier
-    feeds two joins), and an 11-round chain already produces a 2 GB plan
-    string — lineage truncation is mandatory for any iterative DataFrame
-    algorithm, not an optimization. At much larger graph scale, swap the
-    loop body for the large-star/small-star transforms (Kiveris et al.) —
-    same join/agg building blocks, fewer rounds on skewed high-degree
-    components.
+    Distributed min-label propagation, converging in O(diameter) rounds;
+    near-dup components are shallow (diameter ~ a few), so 2-3 rounds in
+    practice. Each round is ONE join + one min-aggregate: the edge set is
+    augmented with self-loops up front, so min over the CLOSED neighborhood
+    replaces the usual propagate-then-least-with-own-label second join —
+    two shuffles per round instead of three, and the static (self-looped)
+    edge side is persisted once and reused every round. Convergence is a
+    scalar aggregate over the just-checkpointed labels, not a join against
+    the previous round: labels only ever DECREASE, so an unchanged
+    sum(label) (decimal — no overflow at any node count) means fixpoint;
+    non-numeric ids fall back to a changed-row join probe. Each round's
+    labels are localCheckpoint-ed: iterative plans otherwise DOUBLE in size
+    per round, and an 11-round chain already produces a 2 GB plan string —
+    lineage truncation is mandatory for any iterative DataFrame algorithm,
+    not an optimization. At much larger graph scale, swap the loop body for
+    the large-star/small-star transforms (Kiveris et al.) — same join/agg
+    building blocks, fewer rounds on skewed high-degree components.
     """
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    # closed neighborhood: every node also sees its own label through a
+    # self-loop, so one join+min per round subsumes the least(own, nbr) step
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .persist()
+        sym.union(sym.select("src", F.col("src").alias("dst"))).distinct().persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    numeric = dict(labels.dtypes)["label"] in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ) or dict(labels.dtypes)["label"].startswith("decimal")
+
+    def _label_sum(lb: DataFrame):
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if numeric else None
     for _ in range(max_iter):
-        neighbor_min = (
+        new_labels = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "node")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
+        if numeric:
+            new_sum = _label_sum(new_labels)
+            done = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            done = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels = new_labels
-        if changed == 0:
+        if done:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
