@@ -159,6 +159,34 @@ IMPALA_SQL_FUNCTION_REWRITES: dict[str, str] = {
     # DOUBLE, not DECIMAL (p/s widening already a documented divergence).
     "truncate": "(CAST(({0}) * pow(10, ({1})) AS BIGINT) / pow(10, ({1})))",
     "dtrunc": "(CAST(({0}) * pow(10, ({1})) AS BIGINT) / pow(10, ({1})))",
+    # Null-test predicates (impala_functions.py:530-545): boolean-returning
+    # twins of IS [NOT] NULL.
+    "nullvalue": "(({0}) IS NULL)",
+    "nonnullvalue": "(({0}) IS NOT NULL)",
+    # Type-limit constants (impala_functions.py:55-70, UdfBuiltins::MaxInt
+    # et al.) — zero-arg literals, typed. BIGINT min is spelled arithmetic-
+    # ally: the bare literal would overflow the parser's positive range.
+    "max_tinyint": "CAST(127 AS TINYINT)",
+    "min_tinyint": "CAST(-128 AS TINYINT)",
+    "max_smallint": "CAST(32767 AS SMALLINT)",
+    "min_smallint": "CAST(-32768 AS SMALLINT)",
+    "max_int": "CAST(2147483647 AS INT)",
+    "min_int": "CAST(-2147483648 AS INT)",
+    "max_bigint": "CAST(9223372036854775807 AS BIGINT)",
+    "min_bigint": "CAST(-9223372036854775807 - 1 AS BIGINT)",
+    # Decimal type introspection (impala_functions.py:350-351,
+    # decimal-functions.h:31-32): DECIMAL-only in the reference; any other
+    # input type yields NULL here. Spark has no static-type function, but
+    # typeof() returns the DDL type string per row and constant-folds, so
+    # the regex never runs per-row post-optimization.
+    "precision": (
+        "CAST(regexp_extract(typeof({0}), '^decimal\\\\((\\\\d+),(\\\\d+)\\\\)$', 1)"
+        " AS INT)"
+    ),
+    "scale": (
+        "CAST(regexp_extract(typeof({0}), '^decimal\\\\((\\\\d+),(\\\\d+)\\\\)$', 2)"
+        " AS INT)"
+    ),
 }
 
 # Timestamp arithmetic family (impala_functions.py:122-215): years/months/

@@ -220,3 +220,49 @@ def test_truncate_decimal_values(spark):
         "SELECT truncate(-1.15, 1) AS a, truncate(3.79) AS b, dtrunc(9.99, 1) AS c"
     ).first()
     assert row.a == -1.1 and row.b == 3.0 and row.c == 9.9
+
+
+def test_null_test_predicates(spark):
+    # nullvalue/nonnullvalue (impala_functions.py:530-545): boolean twins
+    # of IS [NOT] NULL, any input type.
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT nullvalue(CAST(NULL AS INT)) AS a, nullvalue(0) AS b,"
+        "       nonnullvalue('') AS c, nonnullvalue(CAST(NULL AS STRING)) AS d"
+    ).first()
+    assert row.a is True and row.b is False
+    assert row.c is True and row.d is False
+
+
+def test_type_limit_constants(spark):
+    # max_int family (impala_functions.py:55-70, UdfBuiltins): typed
+    # zero-arg constants; result TYPE matters (tinyint, not int).
+    eng = Engine(spark)
+    df = eng.sql(
+        "SELECT max_tinyint() AS a, min_tinyint() AS b, max_smallint() AS c,"
+        "       min_smallint() AS d, max_int() AS e, min_int() AS f,"
+        "       max_bigint() AS g, min_bigint() AS h"
+    )
+    row = df.first()
+    assert (row.a, row.b) == (127, -128)
+    assert (row.c, row.d) == (32767, -32768)
+    assert (row.e, row.f) == (2147483647, -2147483648)
+    assert (row.g, row.h) == (9223372036854775807, -9223372036854775808)
+    types = [f.dataType.simpleString() for f in df.schema.fields]
+    assert types == ["tinyint"] * 2 + ["smallint"] * 2 + ["int"] * 2 + ["bigint"] * 2
+
+
+def test_decimal_precision_scale(spark):
+    # precision/scale (impala_functions.py:350-351, decimal-functions.h:
+    # 31-32): DECIMAL-only in the reference; non-decimal input yields NULL
+    # here (typeof probe misses the regex).
+    eng = Engine(spark)
+    row = eng.sql(
+        "SELECT precision(CAST(1.5 AS DECIMAL(9,2))) AS p,"
+        "       scale(CAST(1.5 AS DECIMAL(9,2))) AS s,"
+        "       precision(CAST(NULL AS DECIMAL(38,0))) AS p38,"
+        "       precision(1) AS pnd, scale(1.0E0) AS snd"
+    ).first()
+    assert (row.p, row.s) == (9, 2)
+    assert row.p38 == 38  # typeof is a TYPE probe: NULL value still types
+    assert row.pnd is None and row.snd is None
