@@ -115,6 +115,38 @@ def appx_median(col) -> Column:
     return F.percentile_approx(_c(col), 0.5, 10000)
 
 
+def distinctpc(col) -> Column:
+    """Impala distinctpc: Flajolet-Martin probabilistic counting estimate of
+    NDV (aggregate-functions.cc:860-992 PcUpdate/PcFinalize;
+    BuiltinsDb.java:613-622). Spark has no PC sketch; HLL++ is the same
+    capability with a tighter error bound, so — like ndv() — this maps to
+    approx_count_distinct. Estimates differ from the reference constants:
+    bounded-error test in tests/test_functions.py, not value equality."""
+    return F.approx_count_distinct(_c(col))
+
+
+def distinctpcsa(col) -> Column:
+    """Impala distinctpcsa: PC stochastic-averaging variant
+    (aggregate-functions.cc PcsaUpdate/PcsaFinalize; BuiltinsDb.java:624-633).
+    Same mapping rationale as distinctpc."""
+    return F.approx_count_distinct(_c(col))
+
+
+def avg_timestamp(col) -> Column:
+    """Impala avg(TIMESTAMP) -> TIMESTAMP (BuiltinsDb.java:759-768,
+    aggregate-functions.cc TimestampAvgUpdate/Finalize). Spark's avg rejects
+    timestamps, so: exact integer mean of microseconds-since-epoch, truncated
+    to whole microseconds. The reference sums sub-second unix time as DOUBLE
+    (lossy above ~2^53 µs-sums); the decimal sum here is exact at any scale
+    and never overflows (DECIMAL(38,0) headroom >> count*µs for any real
+    cluster), making the result deterministic under partition re-ordering —
+    the property the driver's oracle compare needs."""
+    us = F.unix_micros(_c(col)).cast("decimal(38,0)")
+    # decimal/long division yields decimal (HALF_UP); floor() pins truncation
+    # semantics identically on every engine for the non-negative epoch range.
+    return F.timestamp_micros(F.floor(F.sum(us) / F.count(_c(col))).cast("long"))
+
+
 # -- SQL-dialect name rewrites ------------------------------------------------
 # Impala function name -> Spark SQL equivalent expression template, used by
 # the dialect translator (impalatogo_spark.dialect) for SQL-string queries.
@@ -129,6 +161,16 @@ IMPALA_SQL_FUNCTION_REWRITES: dict[str, str] = {
     "nvl": "coalesce({0}, {1})",
     "ndv": "approx_count_distinct({0})",
     "appx_count_distinct": "approx_count_distinct({0})",
+    # PC/PCSA sketches (BuiltinsDb.java:613-633) -> HLL++ (see distinctpc
+    # docstring). ndv_no_finalize (BuiltinsDb.java:604-611) is deliberately
+    # absent: it is the COMPUTE STATS INCREMENTAL internal that returns raw
+    # HLL intermediate state — Spark's ANALYZE pipeline owns that exchange.
+    "distinctpc": "approx_count_distinct({0})",
+    "distinctpcsa": "approx_count_distinct({0})",
+    # Impala's long-form variance aliases (BuiltinsDb.java:650-692); Spark
+    # only spells variance/var_samp/var_pop.
+    "variance_pop": "var_pop({0})",
+    "variance_samp": "var_samp({0})",
     "appx_median": "percentile_approx({0}, 0.5)",
     "group_concat": "array_join(array_sort(collect_list({0})), {1})",
     "quotient": "CAST({0} AS BIGINT) DIV CAST({1} AS BIGINT)",

@@ -420,6 +420,66 @@ def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_variance_aliases",
+    oracle="""
+SELECT l_returnflag,
+       round(var_pop(l_quantity), 4)  AS v_pop,
+       round(var_samp(l_quantity), 4) AS v_samp,
+       round(var_samp(l_tax), 4)      AS v_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("aggregation", "dialect"),
+)
+def agg_variance_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impala's long-form variance aliases variance_pop/variance_samp
+    (BuiltinsDb.java:650-692), entered as IMPALA-DIALECT SQL — Spark only
+    spells var_pop/var_samp, so the translator must rewrite
+    (functions/registry.py IMPALA_SQL_FUNCTION_REWRITES)."""
+    from impalatogo_spark.dialect import translate
+
+    register_tables(spark, sf_dir)
+    return spark.sql(translate("""
+SELECT l_returnflag,
+       round(variance_pop(l_quantity), 4)  AS v_pop,
+       round(variance_samp(l_quantity), 4) AS v_samp,
+       round(variance_samp(l_tax), 4)      AS v_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""))
+
+
+@register(
+    "agg_avg_timestamp",
+    oracle="""
+SELECT event_type,
+       strftime(make_timestamp(CAST(sum(epoch_us(ts)) // count(ts) AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S.%f') AS avg_ts,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("aggregation", "date"),
+)
+def agg_avg_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impala avg(TIMESTAMP) (BuiltinsDb.java:759-768) via the
+    avg_timestamp registry shim: exact integer mean of epoch-microseconds
+    (decimal sum — overflow-proof and partition-order-deterministic, unlike
+    the reference's double accumulation; see registry docstring). Formatted
+    to a string on both sides per the driver-compare rules."""
+    from impalatogo_spark.functions.registry import avg_timestamp
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_format(
+                avg_timestamp("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("avg_ts"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "agg_group_concat",
     oracle="""
 SELECT n_regionkey, string_agg(n_name, ', ' ORDER BY n_name) AS nations

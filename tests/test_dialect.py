@@ -50,6 +50,15 @@ def test_function_rewrites():
     assert "coalesce(x, 0)" in out
 
 
+def test_aggregate_alias_rewrites():
+    out = translate(
+        "SELECT variance_pop(x), variance_samp(y), distinctpc(z), distinctpcsa(w) FROM t"
+    )
+    assert "var_pop(x)" in out
+    assert "var_samp(y)" in out
+    assert out.count("approx_count_distinct") == 2
+
+
 def test_nested_function_rewrite():
     out = translate("SELECT strleft(strright(name, 5), 2) FROM t")
     assert "substring(substring(name, -(5), 5), 1, 2)" in out

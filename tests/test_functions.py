@@ -72,6 +72,49 @@ def test_ndv_error_bound(spark, sf_dir):
     assert abs(row.approx - row.exact) / row.exact < 0.10
 
 
+def test_distinctpc_error_bound(spark, sf_dir):
+    """Impala distinctpc/distinctpcsa (Flajolet-Martin PC,
+    aggregate-functions.cc:860-992) -> approx_count_distinct. PC's typical
+    error is worse than HLL's; our HLL++ mapping must land well within it."""
+    from impalatogo_spark.functions import distinctpc, distinctpcsa
+
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        distinctpc("l_partkey").alias("pc"),
+        distinctpcsa("l_partkey").alias("pcsa"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).first()
+    assert abs(row.pc - row.exact) / row.exact < 0.10
+    assert abs(row.pcsa - row.exact) / row.exact < 0.10
+
+
+def test_avg_timestamp_exact_mean(spark):
+    """avg(TIMESTAMP) shim == hand-computed truncated integer mean, and is
+    insensitive to partitioning (decimal sum, no double accumulation)."""
+    from impalatogo_spark.functions import avg_timestamp
+    import datetime
+
+    times = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0, 1),
+        datetime.datetime(2024, 1, 2, 12, 30, 0, 500000),
+        datetime.datetime(2024, 1, 30, 23, 59, 59, 999999),
+    ]
+    epoch = datetime.datetime(1970, 1, 1)
+    # exact integer micros (no float round-trip)
+    micros = [
+        (t - epoch).days * 86_400_000_000 + (t - epoch).seconds * 1_000_000
+        + (t - epoch).microseconds
+        for t in times
+    ]
+    expect = epoch + datetime.timedelta(microseconds=sum(micros) // len(micros))
+    for n_parts in (1, 3):
+        df = spark.createDataFrame(
+            [(t,) for t in times], "ts timestamp"
+        ).repartition(n_parts)
+        got = df.agg(avg_timestamp("ts").alias("a")).first().a
+        assert got == expect, (n_parts, got, expect)
+
+
 def test_appx_median_bound(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     row = li.agg(
@@ -83,7 +126,10 @@ def test_appx_median_bound(spark, sf_dir):
 
 def test_sql_rewrite_templates_valid(spark):
     """Every SQL rewrite template must produce runnable Spark SQL."""
-    numeric = {"zeroifnull", "nullifzero", "isnull", "ifnull", "nvl"}
+    numeric = {
+        "zeroifnull", "nullifzero", "isnull", "ifnull", "nvl",
+        "variance_pop", "variance_samp",
+    }
     for name, tmpl in IMPALA_SQL_FUNCTION_REWRITES.items():
         n_args = 2 if "{1}" in tmpl else 1
         if name in numeric:
