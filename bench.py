@@ -43,6 +43,8 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ann_topk_bruteforce",
     "text_quality",
     "text_token_stats",
+    "text_repetition_quality",
+    "text_contamination",
     "events_sessionize",
     "events_json_extract",
     "events_tumbling_window",

@@ -175,3 +175,172 @@ def fingerprint_oracle() -> str:
 WITH t AS (SELECT doc_id, md5(replace(text, ' ', '')) AS fp FROM documents)
 SELECT doc_id, fp AS fingerprint, ({terms}) AS fp64 FROM t
 """
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, top-word mass, duplicate-bigram fraction, and a
+    keep/reject flag at the paper's thresholds.
+
+    Scale shape: word stats come from explode -> two-level groupBy — the
+    (doc_id, word) pre-aggregation is map-side combinable, so the only full
+    shuffle is keyed by doc_id and carries one row per distinct word, not one
+    per token. Bigram stats are pure array expressions (no shuffle); the
+    final doc_id join co-partitions with the aggregation output. A HOF
+    count-per-distinct-word alternative would be shuffle-free but O(words x
+    distinct) per row — quadratic on long documents, rejected for 100 TB.
+    """
+    words = df.select("doc_id", F.split(F.col(text_col), " ").alias("w"))
+    word_stats = (
+        words.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count("*").alias("n_distinct_words"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    # materialized `w` column: HOF lambdas re-evaluate referenced
+    # expressions per element, so the split must not be inlined here.
+    bigram_stats = words.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN"
+            " transform(sequence(1, size(w) - 1),"
+            "           i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+            " ELSE array() END"
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).cast("long").alias("n_distinct_bigrams"),
+    )
+    j = word_stats.join(bigram_stats, "doc_id")
+    dup_w = F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words").cast("double")
+    top_w = F.col("top_cnt") / F.col("n_words").cast("double")
+    dup_b = F.when(
+        F.col("n_bigrams") > 0,
+        F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_distinct_words",
+        F.round(dup_w, 6).alias("dup_word_frac"),
+        F.round(top_w, 6).alias("top_word_frac"),
+        F.round(dup_b, 6).alias("dup_bigram_frac"),
+        # thresholds compared on the unrounded doubles — identical IEEE
+        # expression trees on both engines, so the flag is deterministic.
+        ((dup_w < 0.3) & (top_w < 0.2) & (dup_b < 0.2)).alias("keep"),
+    )
+
+
+REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ws AS (
+  SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct_words,
+         max(cnt) AS top_cnt
+  FROM (SELECT doc_id, word, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS word FROM w)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id),
+bs AS (
+  SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+  FROM (SELECT doc_id,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i + 1])
+                    ELSE []::VARCHAR[] END AS bg
+        FROM w)),
+j AS (SELECT * FROM ws JOIN bs USING (doc_id))
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_distinct_words,
+       round(1.0 - n_distinct_words / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+       round(top_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+       round(CASE WHEN n_bigrams > 0
+                  THEN 1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_bigram_frac,
+       ((1.0 - n_distinct_words / CAST(n_words AS DOUBLE)) < 0.3
+        AND (top_cnt / CAST(n_words AS DOUBLE)) < 0.2
+        AND (CASE WHEN n_bigrams > 0
+                  THEN 1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE)
+                  ELSE 0.0 END) < 0.2) AS keep
+FROM j
+"""
+
+
+def contamination_pairs(
+    df: DataFrame, text_col: str = "text", bench_mod: int = 100, n: int = 3
+) -> DataFrame:
+    """Benchmark-contamination detection: for every document, the fraction of
+    its distinct word n-grams that also appear in a "benchmark" document
+    (here the deterministic stand-in doc_id % bench_mod == 0; in production a
+    fixed eval corpus). Reports pairs with containment >= 10%, compared in
+    exact integer arithmetic (overlap * 10 >= n_sh) — no float threshold
+    boundary.
+
+    Scale shape: the benchmark side of the shingle join is broadcast — real
+    decontamination corpora (eval benchmarks) are MB-sized against TB-scale
+    training data, so the join is map-side with zero shuffle of the big
+    side; the only shuffle is the (doc_id, bench_id) overlap count, already
+    reduced to matching shingles.
+    """
+    words = df.select("doc_id", F.split(F.col(text_col), " ").alias("w"))
+    sh = words.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN"
+                f" transform(sequence(1, size(w) - {n - 1}),"
+                f"           i -> concat_ws(' ', "
+                + ", ".join(f"element_at(w, i + {k})" for k in range(n))
+                + ")) ELSE array() END"
+            )
+        ).alias("sh"),
+    )
+    e = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    bench = e.filter(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    m = (
+        e.join(F.broadcast(bench), "s")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("overlap"), F.max("n_sh").alias("n_sh"))
+    )
+    return (
+        m.filter(F.col("overlap") * 10 >= F.col("n_sh"))
+        .select(
+            "doc_id",
+            "bench_id",
+            "overlap",
+            F.col("n_sh").cast("long").alias("n_sh"),
+            F.round(F.col("overlap") / F.col("n_sh").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+def contamination_oracle(bench_mod: int = 100, n: int = 3) -> str:
+    grams = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(w) >= {n}
+                   THEN list_transform(range(1, len(w) - {n - 2}), i -> {grams})
+                   ELSE []::VARCHAR[] END) AS sh
+       FROM w),
+e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+bench AS (SELECT doc_id AS bench_id, s FROM e WHERE doc_id % {bench_mod} = 0),
+m AS (SELECT e.doc_id, bench_id, count(*) AS overlap, max(n_sh) AS n_sh
+      FROM e JOIN bench USING (s) WHERE e.doc_id <> bench_id
+      GROUP BY e.doc_id, bench_id)
+SELECT doc_id, bench_id, overlap, CAST(n_sh AS BIGINT) AS n_sh,
+       round(overlap / CAST(n_sh AS DOUBLE), 6) AS containment
+FROM m WHERE overlap * 10 >= n_sh
+ORDER BY doc_id, bench_id
+"""

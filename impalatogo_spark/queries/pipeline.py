@@ -254,6 +254,32 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_quality",
+    oracle=X.REPETITION_ORACLE,
+    tags=("text", "quality"),
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-word/-bigram fraction,
+    top-word mass, keep flag) — the standard pre-training quality gate the
+    reference's engine would express as a scan+agg pipeline. Scale notes in
+    operators/text.py::repetition_features."""
+    return X.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_contamination",
+    oracle=X.contamination_oracle(),
+    tags=("text", "dedup"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 3-gram containment of each training doc
+    against a broadcast benchmark corpus (deterministic stand-in: doc_id %
+    100 == 0), integer-exact 10% threshold. Scale notes in
+    operators/text.py::contamination_pairs."""
+    return X.contamination_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_fingerprint",
     oracle=X.fingerprint_oracle(),
     tags=("text",),
