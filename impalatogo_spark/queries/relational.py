@@ -595,6 +595,73 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_empty_input",
+    oracle="""
+SELECT count(*) AS n, count(l_quantity) AS n_q,
+       sum(l_quantity) AS s, min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+       avg(l_extendedprice) AS a
+FROM lineitem WHERE l_orderkey < 0
+""",
+    tags=("aggregation",),
+)
+def agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over empty input (QueryTest/empty.test): ungrouped agg
+    yields exactly one row — count 0, everything else NULL. The planner path
+    matters: the filter folds to an empty relation and the aggregate must
+    still emit its initial values."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 0)
+        .agg(
+            F.count("*").alias("n"),
+            F.count("l_quantity").alias("n_q"),
+            F.sum("l_quantity").alias("s"),
+            F.min("l_shipdate").alias("mn"),
+            F.max("l_shipdate").alias("mx"),
+            F.avg("l_extendedprice").alias("a"),
+        )
+    )
+
+
+@register(
+    "inline_view_limit",
+    oracle="""
+SELECT v.o_custkey, count(*) AS n,
+       sum(CAST(round(v.o_totalprice * 100) AS BIGINT)) AS tp_cents
+FROM (SELECT o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) v
+GROUP BY v.o_custkey
+ORDER BY tp_cents DESC, v.o_custkey
+LIMIT 20
+""",
+    tags=("sort", "subquery"),
+)
+def inline_view_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT inside an inline view (QueryTest/inline-view-limit.test): the
+    inner TopN must execute before the outer aggregation — the limit is a
+    semantic boundary Catalyst cannot push through, and the inner ORDER BY
+    carries a full tie-break so the surviving row set is deterministic.
+    Money summed as integer cents (repo rounding policy)."""
+    inner = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+    return (
+        inner.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "tp_cents"
+            ),
+        )
+        .orderBy(F.desc("tp_cents"), "o_custkey")
+        .limit(20)
+    )
+
+
+@register(
     "having_filter",
     oracle="""
 SELECT l_suppkey, count(*) AS cnt

@@ -71,3 +71,27 @@ def test_limit_zero_schema_stability(spark, sf_dir):
     ]
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LocalRelation" in plan or "Relation" in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must join map-side (broadcast) — the
+    training-data side of a decontamination scan is the one that must never
+    shuffle at 100 TB."""
+    from impalatogo_spark.queries.pipeline import text_contamination
+
+    assert plans.uses_broadcast_join(text_contamination(spark, sf_dir))
+
+
+def test_repetition_partial_aggregation(spark, sf_dir):
+    """Repetition quality's (doc_id, word) count must map-side combine: the
+    shuffle carries one row per distinct word per doc, not one per token."""
+    from impalatogo_spark.queries.pipeline import text_repetition_quality
+
+    assert plans.has_partial_aggregate(text_repetition_quality(spark, sf_dir))
+
+
+def test_repetition_scan_prunes_to_two_columns(spark, sf_dir):
+    from impalatogo_spark.queries.pipeline import text_repetition_quality
+
+    cols = plans.scan_read_schema(text_repetition_quality(spark, sf_dir))
+    assert cols and "lang" not in cols and "source" not in cols

@@ -114,3 +114,34 @@ def test_partition_col_types_roundtrip_and_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # partition filters reach the scan (pruning, not post-filter)
     assert "PartitionFilters" in plan and "pk" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_wide_row_10mb_string(spark, tmp_path):
+    """QueryTest/wide-row.test: a single 10 MB string value survives a
+    parquet write/scan and length() sees every byte."""
+    df = spark.sql("SELECT repeat('x', 10485760) AS string_col")
+    path = os.path.join(str(tmp_path), "widerow")
+    df.write.parquet(path)
+    got = spark.read.parquet(path).select(F.length("string_col").alias("n")).first()
+    assert got.n == 10485760
+
+
+def test_wide_table_1000_columns(spark):
+    """1000-column projection: above spark.sql.codegen.maxFields whole-stage
+    codegen falls back to volcano iteration — the query must still answer
+    correctly (the reference's widetable_1000_cols scan equivalent)."""
+    cols = ", ".join(f"{i} AS c{i}" for i in range(1000))
+    df = spark.sql(f"SELECT {cols}")
+    row = df.select("c0", "c499", "c999").first()
+    assert (row.c0, row.c499, row.c999) == (0, 499, 999)
+    # summing 1000 columns as `c0 + c1 + ...` builds a 999-deep Add tree and
+    # StackOverflows the analyzer — the repo-wide giant-expression-tree
+    # gotcha. The scalable spelling is one wide array + aggregate (depth 2).
+    total = df.select(
+        F.aggregate(
+            F.array(*[F.col(f"c{i}") for i in range(1000)]),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    ).first()
+    assert total.s == 499500
