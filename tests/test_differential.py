@@ -258,3 +258,76 @@ def test_random_multijoin_agg_parity(seed, spark, duck, sf_dir):
     s_norm = sorted(tuple(str(c) for c in r) for r in srows)
     d_norm = sorted(tuple(str(c) for c in r) for r in drows)
     assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
+
+
+# -- randomized join grammar (joins.test / outer-joins.test / semi-joins.test
+# shapes, generated): every outer-join flavor with random ON-clause extras
+# (the predicate-placement cases — ON vs WHERE — that trip join planners),
+# plus IN/NOT IN/EXISTS/NOT EXISTS subquery forms. nation x region keeps the
+# result space small enough to diff cell-by-cell.
+
+def _gen_join_select(seed: int) -> str:
+    rng = random.Random(30_000 + seed)
+    jt = rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    on = "n.n_regionkey = r.r_regionkey"
+    if rng.random() < 0.6:
+        op = rng.choice(["<", "<=", ">", "<>"])
+        on += f" AND (n.n_nationkey {op} {rng.randint(0, 24)})"
+    if rng.random() < 0.3:
+        on += f" AND (r.r_regionkey {rng.choice(['<', '>='])} {rng.randint(0, 4)})"
+    sql = (
+        "SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name, "
+        "coalesce(length(r.r_name), -1) AS lr "
+        f"FROM nation n {jt} region r ON {on}"
+    )
+    if rng.random() < 0.4:
+        # WHERE after an outer join filters post-join (NULL-extended rows
+        # included) — coalesce keeps the predicate non-NULL in both engines
+        sql += (
+            f" WHERE coalesce(n.n_nationkey, -1) "
+            f"{rng.choice(['<', '>='])} {rng.randint(0, 24)}"
+        )
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_join_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_join_select(seed)
+    s_norm = sorted(
+        tuple(str(c) for c in r) for r in spark.sql(sql).collect()
+    )
+    d_norm = sorted(tuple(str(c) for c in r) for r in duck.execute(sql).fetchall())
+    assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
+
+
+def _gen_semi_select(seed: int) -> str:
+    rng = random.Random(40_000 + seed)
+    form = rng.choice(["IN", "NOT IN", "EXISTS", "NOT EXISTS"])
+    sub_pred = f"r_regionkey {rng.choice(['<', '<=', '>'])} {rng.randint(0, 4)}"
+    if form in ("IN", "NOT IN"):
+        return (
+            "SELECT n_nationkey, n_name FROM nation "
+            f"WHERE n_regionkey {form} "
+            f"(SELECT r_regionkey FROM region WHERE {sub_pred})"
+        )
+    return (
+        "SELECT n_nationkey, n_name FROM nation "
+        f"WHERE {form} (SELECT 1 FROM region "
+        f"WHERE r_regionkey = n_regionkey AND {sub_pred})"
+    )
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_random_semi_anti_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_semi_select(seed)
+    s_norm = sorted(
+        tuple(str(c) for c in r) for r in spark.sql(sql).collect()
+    )
+    d_norm = sorted(tuple(str(c) for c in r) for r in duck.execute(sql).fetchall())
+    assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"

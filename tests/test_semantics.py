@@ -145,3 +145,18 @@ def test_wide_table_1000_columns(spark):
         ).alias("s")
     ).first()
     assert total.s == 499500
+
+
+def test_ragged_columns_text_scan(spark, tmp_path):
+    """QueryTest/misc.test tblwithraggedcolumns: rows with MORE fields than
+    the schema drop the extras; rows with FEWER null-fill the tail — the
+    reference's text-scanner recovery behavior, reproduced by Spark CSV
+    PERMISSIVE mode."""
+    d = str(tmp_path)
+    with open(os.path.join(d, "ragged.csv"), "w") as f:
+        f.write("a,3\nhello,1\nfoo,2,EXTRA,MORE\nb\nc,\n")
+    df = spark.read.options(mode="PERMISSIVE").schema(
+        "s string, i int"
+    ).csv(os.path.join(d, "ragged.csv"))
+    got = {(r.s, r.i) for r in df.collect()}
+    assert got == {("a", 3), ("hello", 1), ("foo", 2), ("b", None), ("c", None)}
