@@ -40,6 +40,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_incremental",
     "ann_topk_bruteforce",
     "text_quality",
     "text_token_stats",

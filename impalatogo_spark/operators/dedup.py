@@ -490,3 +490,114 @@ reach(src, dst) AS (
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(incoming: DataFrame, corpus: DataFrame,
+                      threshold: float = 0.5) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus — the production
+    shape for a continuously-ingesting training pipeline (the whole-corpus
+    variants above re-cluster everything; this touches only the delta).
+
+    Per incoming doc: status 'exact_dup' (corpus already has the identical
+    text), 'near_dup' (a corpus doc within the MinHash-LSH Jaccard
+    threshold), or 'kept'.
+
+    Scale shape: phase 1 is a 32-byte-fingerprint anti-join (the text never
+    shuffles). Phase 2 runs LSH banding on BOTH sides but candidates come
+    from an incoming x corpus bucket join, so per-band shuffle volume is
+    O(batch + matching corpus buckets), and Jaccard verification touches
+    only candidate pairs. In steady state the corpus side's signatures/
+    buckets would be a precomputed index table (write once, join every
+    batch) — here they are derived inline because the oracle must see one
+    self-contained query.
+    """
+    fp_new = incoming.select("doc_id", F.md5("text").alias("fp"))
+    fp_old = corpus.select(F.md5("text").alias("fp")).distinct()
+    exact = (
+        fp_new.join(fp_old, "fp", "left_semi")
+        .select("doc_id", F.lit("exact_dup").alias("status"))
+    )
+    surv = fp_new.join(fp_old, "fp", "left_anti").select("doc_id")
+    surv_docs = incoming.join(surv, "doc_id", "left_semi")
+
+    b_new = lsh_band_buckets(minhash_signatures(word_shingles(surv_docs, distinct=False)))
+    b_old = lsh_band_buckets(minhash_signatures(word_shingles(corpus, distinct=False)))
+    cand = (
+        b_new.select(F.col("id").alias("id_a"), "band", "key")
+        .join(b_old.select(F.col("id").alias("id_b"), "band", "key"), ["band", "key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # disjoint id spaces, so one unioned shingle relation serves both sides
+    sh_all = word_shingles(surv_docs).union(word_shingles(corpus))
+    near = (
+        verify_jaccard(cand, sh_all, threshold)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit("near_dup").alias("status"))
+    )
+    kept = (
+        surv.join(near.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("kept").alias("status"))
+    )
+    return exact.union(near).union(kept).orderBy("doc_id")
+
+
+def incremental_oracle(threshold: float = 0.5) -> str:
+    """DuckDB twin of incremental_dedup with corpus = even doc_ids and
+    incoming = odd doc_ids (the deterministic snapshot split the query
+    wrapper uses). Mirrors minhash_lsh_oracle's machinery, cross-set."""
+    rows = N_HASHES // BANDS
+    hex_poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    mh_cols = ",\n         ".join(
+        f"min(({a} * h + {b}) % {P_MERSENNE}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+
+    def band_rows(sig: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5("
+            + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+            + f") AS key FROM {sig}"
+            for b in range(BANDS)
+        )
+
+    return f"""
+WITH fp_new AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+fp_old AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+exact AS (SELECT doc_id, 'exact_dup' AS status FROM fp_new
+          WHERE fp IN (SELECT fp FROM fp_old)),
+surv AS (SELECT doc_id FROM fp_new WHERE fp NOT IN (SELECT fp FROM fp_old)),
+sh0 AS ({word_shingles_oracle()}),
+sh_new AS (SELECT * FROM sh0 WHERE id IN (SELECT doc_id FROM surv)),
+sh_old AS (SELECT * FROM sh0 WHERE id % 2 = 0),
+h_new AS (SELECT id, ({hex_poly}) AS h FROM (SELECT id, md5(g) AS hx FROM sh_new)),
+h_old AS (SELECT id, ({hex_poly}) AS h FROM (SELECT id, md5(g) AS hx FROM sh_old)),
+sig_new AS (SELECT id, {mh_cols} FROM h_new GROUP BY id),
+sig_old AS (SELECT id, {mh_cols} FROM h_old GROUP BY id),
+b_new AS ({band_rows('sig_new')}),
+b_old AS ({band_rows('sig_old')}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM b_new a JOIN b_old b ON a.band = b.band AND a.key = b.key),
+sizes AS (SELECT id, count(*) AS n FROM sh0 GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh_new sa ON sa.id = c.id_a
+          JOIN sh_old sb ON sb.id = c.id_b AND sb.g = sa.g
+          GROUP BY c.id_a, c.id_b),
+near AS (SELECT DISTINCT id_a AS doc_id, 'near_dup' AS status
+         FROM inter JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+         WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= {threshold}),
+kept AS (SELECT doc_id, 'kept' AS status FROM surv
+         WHERE doc_id NOT IN (SELECT doc_id FROM near))
+SELECT * FROM exact UNION ALL SELECT * FROM near UNION ALL SELECT * FROM kept
+ORDER BY doc_id
+"""

@@ -643,6 +643,23 @@ _R["multimodal_resize"] = _replace(_R["multimodal_resize"], oracle=_thumb_oracle
 
 
 @register(
+    "dedup_incremental",
+    oracle=D.incremental_oracle(threshold=0.5),
+    tags=("dedup",),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the odd-doc_id half of `documents` arrives as a
+    new batch and is deduplicated against the even-doc_id corpus — exact
+    fingerprint anti-join, then cross-set MinHash-LSH near-dup detection.
+    Each incoming doc gets status exact_dup / near_dup / kept. Scale notes
+    in operators/dedup.py::incremental_dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.incremental_dedup(incoming, corpus, threshold=0.5)
+
+
+@register(
     "dedup_clusters",
     oracle=D.clusters_oracle(D.minhash_lsh_oracle(threshold=0.5)),
     tags=("dedup", "graph"),

@@ -662,6 +662,43 @@ def inline_view_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity >= 45
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    tags=("join", "scale"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting utility under the full correctness gate: salting is
+    semantics-preserving, so the oracle is the PLAIN join — any salt-key
+    leakage, dropped row, or duplicate from the replicate-and-spread
+    machinery (operators/scale.py::salted_join) breaks value equality."""
+    from impalatogo_spark.operators.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "k", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "having_filter",
     oracle="""
 SELECT l_suppkey, count(*) AS cnt
