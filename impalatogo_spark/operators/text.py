@@ -344,3 +344,45 @@ SELECT doc_id, bench_id, overlap, CAST(n_sh AS BIGINT) AS n_sh,
 FROM m WHERE overlap * 10 >= n_sh
 ORDER BY doc_id, bench_id
 """
+
+
+def chunk_windows(df: DataFrame, text_col: str = "text",
+                  chunk: int = 50, stride: int = 40) -> DataFrame:
+    """Fixed-size token windows with overlap (chunk=50, stride=40 -> 10-token
+    overlap): the standard context-window chunking step before tokenization
+    in a training pipeline. Pure array expressions — split once, explode the
+    start offsets, slice per window; no shuffle at all (fully pipelined with
+    the scan), so it streams at 100 TB. Chunks are emitted as md5 digests +
+    token counts (the downstream contract is (doc, window) identity, and the
+    compare stays compact)."""
+    w = F.col("__w")
+    starts = df.select(
+        F.col("doc_id"), F.split(F.col(text_col), " ").alias("__w")
+    ).filter(F.size(w) >= 1).select(
+        "doc_id",
+        "__w",
+        F.explode(F.sequence(F.lit(1), F.size(w), F.lit(stride))).alias("start"),
+    )
+    piece = F.slice(F.col("__w"), F.col("start"), chunk)
+    return starts.select(
+        "doc_id",
+        (F.floor((F.col("start") - 1) / stride) + 1).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        F.size(piece).alias("n_tok"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
+
+
+def chunk_windows_oracle(chunk: int = 50, stride: int = 40) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, {stride})) AS start FROM w
+      WHERE len(w) >= 1),
+sl AS (SELECT doc_id, CAST((start - 1) // {stride} + 1 AS INT) AS chunk_idx,
+              CAST(start AS INT) AS start,
+              list_slice(w, start, start + {chunk - 1}) AS piece
+       FROM s)
+SELECT doc_id, chunk_idx, start, CAST(len(piece) AS INT) AS n_tok,
+       md5(array_to_string(piece, ' ')) AS chunk_md5
+FROM sl
+"""

@@ -280,6 +280,19 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunking",
+    oracle=X.chunk_windows_oracle(),
+    tags=("text",),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows (50-token chunks, 40-token
+    stride) — the pre-tokenization chunking step. Shuffle-free (scan ->
+    split -> explode -> slice, fully pipelined); scale notes in
+    operators/text.py::chunk_windows."""
+    return X.chunk_windows(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_fingerprint",
     oracle=X.fingerprint_oracle(),
     tags=("text",),
@@ -640,6 +653,26 @@ from impalatogo_spark.queries import _REGISTRY as _R  # noqa: E402
 from dataclasses import replace as _replace  # noqa: E402
 
 _R["multimodal_resize"] = _replace(_R["multimodal_resize"], oracle=_thumb_oracle())
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=D.clusters_oracle(D.minhash_lsh_oracle(threshold=0.5)),
+    tags=("dedup", "graph"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_clusters, computed by the
+    large-star/small-star algorithm (Kiveris et al.) — the O(log n)-round
+    scale path for long-chain / high-degree components. Sharing the
+    recursive-CTE oracle with the propagation variant proves the two
+    algorithms agree on every (node, component-min) assignment, not just on
+    partition counts (the pytest equivalence check's weaker form)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = D.word_shingles(docs).persist()
+    pairs = D.verify_jaccard(cand, sh, threshold=0.5).persist()
+    return D.connected_components_star(pairs)
 
 
 @register(
