@@ -496,6 +496,55 @@ FROM reach GROUP BY src
 # incremental dedup (new batch vs existing corpus)
 # ---------------------------------------------------------------------------
 
+def build_corpus_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The corpus-side dedup index: (fingerprints, LSH band buckets,
+    distinct shingles). In steady state these are WRITTEN ONCE per corpus
+    snapshot (parquet/bucketed tables) and joined by every incoming batch —
+    at 100 TB this turns per-batch cost from O(corpus) to O(batch +
+    matching buckets). tests/test_scale.py proves the persisted-index path
+    is byte-identical to the inline derivation."""
+    fp = corpus.select(F.md5("text").alias("fp")).distinct()
+    buckets = lsh_band_buckets(minhash_signatures(word_shingles(corpus, distinct=False)))
+    shingles = word_shingles(corpus)
+    return fp, buckets, shingles
+
+
+def incremental_dedup_indexed(incoming: DataFrame, fp_old: DataFrame,
+                              b_old: DataFrame, sh_old: DataFrame,
+                              threshold: float = 0.5) -> DataFrame:
+    """Incremental dedup against a PRECOMPUTED corpus index (the steady-state
+    form — see build_corpus_index). Same per-doc status contract as
+    incremental_dedup."""
+    fp_new = incoming.select("doc_id", F.md5("text").alias("fp"))
+    exact = (
+        fp_new.join(fp_old, "fp", "left_semi")
+        .select("doc_id", F.lit("exact_dup").alias("status"))
+    )
+    surv = fp_new.join(fp_old, "fp", "left_anti").select("doc_id")
+    surv_docs = incoming.join(surv, "doc_id", "left_semi")
+
+    b_new = lsh_band_buckets(minhash_signatures(word_shingles(surv_docs, distinct=False)))
+    cand = (
+        b_new.select(F.col("id").alias("id_a"), "band", "key")
+        .join(b_old.select(F.col("id").alias("id_b"), "band", "key"), ["band", "key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # disjoint id spaces, so one unioned shingle relation serves both sides
+    sh_all = word_shingles(surv_docs).union(sh_old)
+    near = (
+        verify_jaccard(cand, sh_all, threshold)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit("near_dup").alias("status"))
+    )
+    kept = (
+        surv.join(near.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("kept").alias("status"))
+    )
+    return exact.union(near).union(kept).orderBy("doc_id")
+
+
 def incremental_dedup(incoming: DataFrame, corpus: DataFrame,
                       threshold: float = 0.5) -> DataFrame:
     """Dedup an INCOMING batch against an EXISTING corpus — the production
@@ -510,41 +559,12 @@ def incremental_dedup(incoming: DataFrame, corpus: DataFrame,
     shuffles). Phase 2 runs LSH banding on BOTH sides but candidates come
     from an incoming x corpus bucket join, so per-band shuffle volume is
     O(batch + matching corpus buckets), and Jaccard verification touches
-    only candidate pairs. In steady state the corpus side's signatures/
-    buckets would be a precomputed index table (write once, join every
-    batch) — here they are derived inline because the oracle must see one
-    self-contained query.
-    """
-    fp_new = incoming.select("doc_id", F.md5("text").alias("fp"))
-    fp_old = corpus.select(F.md5("text").alias("fp")).distinct()
-    exact = (
-        fp_new.join(fp_old, "fp", "left_semi")
-        .select("doc_id", F.lit("exact_dup").alias("status"))
-    )
-    surv = fp_new.join(fp_old, "fp", "left_anti").select("doc_id")
-    surv_docs = incoming.join(surv, "doc_id", "left_semi")
-
-    b_new = lsh_band_buckets(minhash_signatures(word_shingles(surv_docs, distinct=False)))
-    b_old = lsh_band_buckets(minhash_signatures(word_shingles(corpus, distinct=False)))
-    cand = (
-        b_new.select(F.col("id").alias("id_a"), "band", "key")
-        .join(b_old.select(F.col("id").alias("id_b"), "band", "key"), ["band", "key"])
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # disjoint id spaces, so one unioned shingle relation serves both sides
-    sh_all = word_shingles(surv_docs).union(word_shingles(corpus))
-    near = (
-        verify_jaccard(cand, sh_all, threshold)
-        .select(F.col("id_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.lit("near_dup").alias("status"))
-    )
-    kept = (
-        surv.join(near.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", F.lit("kept").alias("status"))
-    )
-    return exact.union(near).union(kept).orderBy("doc_id")
+    only candidate pairs. This self-contained form derives the corpus index
+    inline (the oracle must see one query); the steady-state form joins the
+    PERSISTED index instead — build_corpus_index + incremental_dedup_indexed,
+    equivalence-tested in tests/test_scale.py."""
+    fp_old, b_old, sh_old = build_corpus_index(corpus)
+    return incremental_dedup_indexed(incoming, fp_old, b_old, sh_old, threshold)
 
 
 def incremental_oracle(threshold: float = 0.5) -> str:

@@ -218,3 +218,15 @@ def test_char_varchar_semantics(eng, spark):
 
     with _pytest.raises(Exception):
         spark.sql("INSERT INTO i2s_test.chars_t VALUES ('x', 'waytoolongvalue')")
+
+
+def test_insert_column_permutation(eng, spark):
+    """QueryTest/insert_permutation.test: INSERT INTO t (cols...) in a
+    different order than the schema maps by NAME; unmentioned columns
+    null-fill. Spark SQL handles the by-name mapping natively through the
+    engine's SQL path."""
+    eng.sql("CREATE TABLE i2s_test.perm (a INT, b STRING, c DOUBLE)")
+    eng.sql("INSERT INTO i2s_test.perm (b, a) VALUES ('x', 1)")
+    eng.sql("INSERT INTO i2s_test.perm (c, b, a) VALUES (2.5, 'y', 2)")
+    rows = sorted(spark.table("i2s_test.perm").collect(), key=lambda r: r.a)
+    assert [(r.a, r.b, r.c) for r in rows] == [(1, "x", None), (2, "y", 2.5)]

@@ -80,3 +80,35 @@ def test_salted_left_join_keeps_unmatched(spark, sf_dir):
     plain = c.join(o, "k", "left").groupBy("k").count()
     salted = salted_join(c, o, "k", n_salts=4, how="left").groupBy("k").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_incremental_dedup_persisted_index_equivalence(spark, sf_dir, tmp_path):
+    """The steady-state incremental-dedup path — corpus index WRITTEN ONCE
+    (parquet round-trip) and joined per batch — must produce exactly the
+    inline derivation's statuses. This is the O(corpus)->O(batch) pattern
+    the 100 TB design relies on (operators/dedup.py::build_corpus_index)."""
+    import os
+    import pyspark.sql.functions as F
+    from impalatogo_spark.operators.dedup import (
+        build_corpus_index, incremental_dedup, incremental_dedup_indexed,
+    )
+    from impalatogo_spark.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+
+    inline = sorted(map(tuple, incremental_dedup(incoming, corpus).collect()))
+
+    fp, buckets, shingles = build_corpus_index(corpus)
+    base = str(tmp_path)
+    for name, df in (("fp", fp), ("buckets", buckets), ("shingles", shingles)):
+        df.write.parquet(os.path.join(base, name))
+    indexed = incremental_dedup_indexed(
+        incoming,
+        spark.read.parquet(os.path.join(base, "fp")),
+        spark.read.parquet(os.path.join(base, "buckets")),
+        spark.read.parquet(os.path.join(base, "shingles")),
+    )
+    assert sorted(map(tuple, indexed.collect())) == inline
+    assert len(inline) > 0
