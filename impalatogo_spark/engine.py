@@ -45,6 +45,7 @@ class Engine:
         self.spark = spark
         ensure_session_confs(spark)
         self.options: dict[str, str] = {}
+        self.mixed_tables: dict[str, "MixedFormatTable"] = {}
 
     # -- SQL entry -----------------------------------------------------------
 
@@ -150,6 +151,102 @@ class Engine:
         flat = raw.select(*cols)
         flat.createOrReplaceTempView(name)
         return flat
+
+
+# -- Mixed-format partitioned tables (QueryTest/mixed-format.test) ----------
+
+
+class MixedFormatTable:
+    """A partitioned table whose partitions may each use a DIFFERENT file
+    format, read transparently as one relation.
+
+    Reference parity: HdfsScanNode keys files by partition file format and
+    dispatches a per-format scanner (be/src/exec/hdfs-scan-node.cc:237-260,
+    :391); ALTER TABLE [PARTITION spec] SET FILEFORMAT
+    (fe/.../analysis/AlterTableSetFileFormatStmt.java:24); behavior pinned
+    by QueryTest/mixed-format.test (alltypesmixedformat).
+
+    Spark-first shape: one scan branch per partition in its native format,
+    `unionByName`'d, each branch carrying its partition value as a LITERAL
+    column. A predicate on the partition column therefore constant-folds
+    per branch and Catalyst's PropagateEmptyRelation deletes pruned
+    branches from the plan — heterogeneous-format partition pruning for
+    free (tests/test_ddl.py asserts the pruned plan). At 100 TB each
+    branch is an independent columnar/text scan over only its partition
+    directory and the union is a no-shuffle concatenation, exactly the
+    reference's per-partition scanner split."""
+
+    _READ_OPTS = {"csv": {"header": "false"}, "text": {"header": "false"}}
+
+    def __init__(self, engine: "Engine", name: str, part_col: str, base_path: str):
+        self.engine = engine
+        self.name = name
+        self.part_col = part_col
+        self.base_path = base_path
+        self.partitions: dict[object, str] = {}  # part value -> file format
+        self.schema = None  # captured from the first inserted partition
+
+    def _part_path(self, value) -> str:
+        import os
+
+        return os.path.join(self.base_path, f"{self.part_col}={value}")
+
+    def insert_partition(self, value, df: DataFrame, file_format: str = "parquet"):
+        """INSERT into one partition, stored in `file_format` (csv aliases the
+        reference's delimited-text format)."""
+        fmt = "csv" if file_format == "text" else file_format
+        data = df.drop(self.part_col)
+        if self.schema is None:
+            self.schema = data.schema
+        data = data.select([F.col(f.name).cast(f.dataType) for f in self.schema])
+        data.write.format(fmt).options(**self._READ_OPTS.get(fmt, {})).mode(
+            "overwrite"
+        ).save(self._part_path(value))
+        self.partitions[value] = fmt
+        self.refresh()
+
+    def set_fileformat(self, value, file_format: str):
+        """ALTER TABLE ... PARTITION (col=value) SET FILEFORMAT: metadata-only,
+        like the reference — existing files are REINTERPRETED, not converted
+        (AlterTableSetFileFormatStmt.java:24-30's semantics)."""
+        if value not in self.partitions:
+            raise ValueError(f"unknown partition {self.part_col}={value}")
+        self.partitions[value] = "csv" if file_format == "text" else file_format
+        self.refresh()
+
+    def df(self) -> DataFrame:
+        """The transparent union over all partitions."""
+        spark = self.engine.spark
+        branches = []
+        for value, fmt in sorted(self.partitions.items(), key=lambda kv: str(kv[0])):
+            reader = spark.read.format(fmt).options(**self._READ_OPTS.get(fmt, {}))
+            if fmt in ("csv", "json"):  # text formats carry no schema
+                reader = reader.schema(self.schema)
+            branch = reader.load(self._part_path(value)).select(
+                [F.col(f.name).cast(f.dataType) for f in self.schema]
+            )
+            branches.append(branch.withColumn(self.part_col, F.lit(value)))
+        if not branches:
+            raise ValueError(f"mixed-format table {self.name} has no partitions")
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
+    def refresh(self):
+        self.df().createOrReplaceTempView(self.name)
+
+
+def create_mixed_format_table(engine: "Engine", name: str, part_col: str,
+                              base_path: str) -> MixedFormatTable:
+    t = MixedFormatTable(engine, name, part_col, base_path)
+    engine.mixed_tables[name] = t
+    return t
+
+
+Engine.create_mixed_format_table = lambda self, name, part_col, base_path: (
+    create_mixed_format_table(self, name, part_col, base_path)
+)
 
 
 # -- UDF / UDA surface (SURVEY §2.11) ---------------------------------------

@@ -230,3 +230,42 @@ def test_insert_column_permutation(eng, spark):
     eng.sql("INSERT INTO i2s_test.perm (c, b, a) VALUES (2.5, 'y', 2)")
     rows = sorted(spark.table("i2s_test.perm").collect(), key=lambda r: r.a)
     assert [(r.a, r.b, r.c) for r in rows] == [(1, "x", None), (2, "y", 2.5)]
+
+
+def test_mixed_format_partitions(eng, spark, tmp_path):
+    """QueryTest/mixed-format.test: partitions in DIFFERENT file formats read
+    transparently as one table (per-partition scanner dispatch,
+    hdfs-scan-node.cc:237-260), with partition pruning across formats."""
+    mt = eng.create_mixed_format_table("mixedfmt", "month", str(tmp_path))
+    rows = lambda m: spark.range(1, 11).select(  # noqa: E731
+        F.col("id").cast("int").alias("int_col"),
+        (F.col("id") * m).cast("bigint").alias("val"),
+    )
+    mt.insert_partition(1, rows(1), "text")      # delimited text (csv)
+    mt.insert_partition(2, rows(2), "parquet")
+    mt.insert_partition(3, rows(3), "orc")
+
+    # read all partitions transparently (count + sum forces deserialization)
+    r = eng.sql("SELECT count(*) AS c, sum(int_col) AS s, sum(val) AS v FROM mixedfmt").first()
+    assert (r.c, r.s, r.v) == (30, 165, 55 * (1 + 2 + 3))
+
+    # restrict to a multi-format subset
+    r = eng.sql(
+        "SELECT count(*) AS c, sum(val) AS v FROM mixedfmt WHERE month = 1 OR month = 3"
+    ).first()
+    assert (r.c, r.v) == (20, 55 * 4)
+
+    # single partition
+    r = eng.sql("SELECT count(*) AS c, sum(val) AS v FROM mixedfmt WHERE month = 2").first()
+    assert (r.c, r.v) == (10, 110)
+
+    # partition pruning ACROSS formats: month=2 constant-folds the csv/orc
+    # branches to empty relations — only the parquet scan survives the plan
+    plan = spark.sql("SELECT sum(val) AS v FROM mixedfmt WHERE month = 2") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Scan csv" not in plan and "Scan orc" not in plan
+    assert "Scan parquet" in plan
+
+    # ALTER ... SET FILEFORMAT is metadata-only reinterpretation
+    mt.set_fileformat(3, "orc")  # no-op change keeps the table readable
+    assert eng.sql("SELECT count(*) AS c FROM mixedfmt").first().c == 30
