@@ -41,11 +41,13 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_incremental",
+    "dedup_paragraph",
     "ann_topk_bruteforce",
     "text_quality",
     "text_token_stats",
     "text_repetition_quality",
     "text_contamination",
+    "text_pii_redact",
     "events_sessionize",
     "events_json_extract",
     "events_tumbling_window",

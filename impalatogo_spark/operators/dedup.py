@@ -621,3 +621,91 @@ kept AS (SELECT doc_id, 'kept' AS status FROM surv
 SELECT * FROM exact UNION ALL SELECT * FROM near UNION ALL SELECT * FROM kept
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (C4/RefinedWeb-style span dedup)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    seg_words: int = 10) -> DataFrame:
+    """Span-level exact dedup with document reassembly: split each doc into
+    consecutive `seg_words`-word segments (the corpus has no newlines, so
+    fixed word windows stand in for paragraphs), keep only the GLOBALLY
+    first occurrence of each distinct segment (ordered by (doc_id,
+    seg_idx)), and reassemble each doc from its surviving segments in
+    order — the C4-style boilerplate/span dedup every pre-training corpus
+    pass runs.
+
+    Scale shape: two data shuffles (plus the final presentation sort), both
+    full map-side combine, with NO join and NO window —
+    segs.groupBy(segment).agg(min(packed key)) picks
+    the keeper (a hot boilerplate segment partial-aggregates to one row
+    per input partition, so skew cannot funnel), then groupBy(doc_id)
+    reassembles. Output is (doc_id, n_kept, clean_len, clean_md5); the md5
+    keeps the driver compare compact while pinning the exact reassembled
+    text."""
+    w = F.col("__w")
+    segs = (
+        df.select("doc_id", F.split(F.col(text_col), " ").alias("__w"))
+        .select(
+            "doc_id",
+            "__w",
+            F.explode(
+                F.sequence(F.lit(0),
+                           (F.ceil(F.size(w) / float(seg_words)) - 1).cast("int"))
+            ).alias("seg_idx"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.concat_ws(
+                " ", F.slice(w, F.col("seg_idx") * seg_words + 1, seg_words)
+            ).alias("seg"),
+        )
+    )
+    # keeper per distinct segment: min (doc_id, seg_idx), packed into one
+    # BIGINT so min() map-side-combines (seg_idx < 1e6 at any plausible
+    # doc length)
+    kept = (
+        segs.groupBy("seg")
+        .agg(F.min(F.col("doc_id") * 1000000 + F.col("seg_idx")).alias("k"))
+        .select(
+            F.expr("k div 1000000").alias("doc_id"),
+            (F.col("k") % 1000000).alias("seg_idx"),
+            "seg",
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))), lambda x: x.seg
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.length(F.array_join(ordered, " ")).alias("clean_len"),
+            F.md5(F.array_join(ordered, " ")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def paragraph_dedup_oracle(seg_words: int = 10) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(w[(i*{seg_words}+1):((i+1)*{seg_words})], ' ') AS seg
+  FROM words,
+       UNNEST(range(CAST(ceil(len(w) / {seg_words}.0) AS BIGINT))) AS t(i)),
+kept AS (
+  SELECT k // 1000000 AS doc_id, k % 1000000 AS seg_idx, seg
+  FROM (SELECT seg, min(doc_id * 1000000 + seg_idx) AS k FROM segs GROUP BY seg)),
+clean AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS txt
+  FROM kept GROUP BY doc_id)
+SELECT doc_id, n_kept, length(txt) AS clean_len, md5(txt) AS clean_md5
+FROM clean ORDER BY doc_id
+"""

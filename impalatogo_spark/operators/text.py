@@ -386,3 +386,84 @@ SELECT doc_id, chunk_idx, start, CAST(len(piece) AS INT) AS n_tok,
        md5(array_to_string(piece, ' ')) AS chunk_md5
 FROM sl
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: replace emails / IPv4 addresses / US-format phone
+    numbers with typed placeholder tokens and report per-doc match counts —
+    the scrubbing pass every training-data pipeline runs before release.
+
+    The synthetic corpus contains no PII, so a deterministic contact block
+    is appended per doc (doc_id-derived, same construction in the oracle —
+    the text_contamination stand-in pattern): a variable number of emails
+    (doc_id % 3 extras), one phone, one IP. Redaction itself is the real
+    regex logic under test.
+
+    Scale: pure per-row regexp_replace chain inside whole-stage codegen —
+    no shuffle, no UDF; streams at any scale. Patterns stay in the
+    RE2-and-Java common subset so one pattern string serves Spark and the
+    DuckDB oracle."""
+    aug = F.concat_ws(
+        " ",
+        F.col(text_col),
+        F.repeat(F.concat(F.lit("alt"), F.col("doc_id"), F.lit("@mail.org ")),
+                 (F.col("doc_id") % 3).cast("int")),
+        F.concat(F.lit("user"), F.col("doc_id"), F.lit("@example.com")),
+        F.concat(F.lit("555-"), F.lpad(F.col("doc_id") % 1000, 3, "0"),
+                 F.lit("-"), F.lpad(F.col("n_chars") % 10000, 4, "0")),
+        F.concat(F.lit("10."), F.col("doc_id") % 256, F.lit("."),
+                 F.col("n_chars") % 256, F.lit(".7 end")),
+    )
+    d = df.select("doc_id", aug.alias("__aug"))
+    a = F.col("__aug")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(a, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        (F.size(F.split(a, _PII_EMAIL)) - 1).alias("n_emails"),
+        (F.size(F.split(a, _PII_IP)) - 1).alias("n_ips"),
+        (F.size(F.split(a, _PII_PHONE)) - 1).alias("n_phones"),
+        F.length(red).alias("red_len"),
+        F.md5(red).alias("red_md5"),
+    ).orderBy("doc_id")
+
+
+def pii_redact_oracle() -> str:
+    email, ip, phone = _PII_EMAIL, _PII_IP, _PII_PHONE
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           repeat('alt' || doc_id || '@mail.org ', CAST(doc_id % 3 AS INT)),
+           'user' || doc_id || '@example.com',
+           '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0'),
+           '10.' || (doc_id % 256) || '.' || (n_chars % 256) || '.7 end') AS a
+  FROM documents),
+red AS (
+  SELECT doc_id, a,
+         regexp_replace(regexp_replace(regexp_replace(a,
+           '{email}', '<EMAIL>', 'g'),
+           '{ip}', '<IP>', 'g'),
+           '{phone}', '<PHONE>', 'g') AS r
+  FROM aug)
+SELECT doc_id,
+       len(string_split_regex(a, '{email}')) - 1 AS n_emails,
+       len(string_split_regex(a, '{ip}')) - 1 AS n_ips,
+       len(string_split_regex(a, '{phone}')) - 1 AS n_phones,
+       length(r) AS red_len,
+       md5(r) AS red_md5
+FROM red ORDER BY doc_id
+"""

@@ -710,3 +710,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.word_shingles(docs).persist()
     pairs = D.verify_jaccard(cand, sh, threshold=0.5).persist()
     return D.connected_components(pairs)
+
+
+@register(
+    "dedup_paragraph",
+    oracle=D.paragraph_dedup_oracle(),
+    tags=("dedup", "text"),
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup with document reassembly (C4-style): keep the
+    globally-first occurrence of every 10-word segment, rebuild docs from
+    surviving segments. Join/window-free two-shuffle shape — scale notes in
+    operators/dedup.py::paragraph_dedup."""
+    return D.paragraph_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_pii_redact",
+    oracle=X.pii_redact_oracle(),
+    tags=("text",),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers -> typed placeholders)
+    with per-doc match counts; deterministic doc_id-derived contact block
+    stands in for real PII (the corpus has none). Shuffle-free regex chain —
+    scale notes in operators/text.py::pii_redact."""
+    return X.pii_redact(_t(spark, sf_dir, "documents"))
