@@ -56,3 +56,60 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         spark, stateful_session_counts(events_stream(spark, sf_dir)), "update"
     )
+
+
+from impalatogo_spark.operators.dedup import incremental_oracle as _incremental_oracle  # noqa: E402
+
+
+@register(
+    "streaming_ingest_dedup",
+    oracle=_incremental_oracle(threshold=0.5),  # identical to the batch twin
+    tags=("streaming", "dedup"),
+)
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming ingest dedup: the odd-doc_id half of
+    `documents` arrives as THREE micro-batches (file-source,
+    maxFilesPerTrigger=1) and each batch is deduplicated inside
+    foreachBatch against the persisted corpus index of the even-doc_id
+    half (streaming/ingest.py). With a static index the union of the
+    per-batch statuses must equal the batch twin `dedup_incremental` —
+    so it shares that query's exact DuckDB oracle. Cross-batch index
+    folding is covered separately in tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.session import table
+    from impalatogo_spark.streaming.ingest import (
+        documents_stream,
+        streaming_incremental_dedup,
+        write_corpus_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+
+    base = tempfile.mkdtemp(prefix="i2s_stream_ingest_")
+    try:
+        in_dir = os.path.join(base, "in")
+        incoming.withColumn("b", F.col("doc_id") % 3).repartition(3, "b") \
+            .drop("b").write.parquet(in_dir)
+        write_corpus_index(corpus, os.path.join(base, "idx"))
+        q = streaming_incremental_dedup(
+            documents_stream(spark, in_dir),
+            os.path.join(base, "idx"), os.path.join(base, "out"),
+            os.path.join(base, "ckpt"), update_index=False,
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("doc_id", "status").orderBy("doc_id")
+        )
+        # materialize before the tmp dir disappears
+        result = spark.createDataFrame(out.collect(), out.schema)
+        return result
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

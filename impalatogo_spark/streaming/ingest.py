@@ -1,0 +1,97 @@
+"""Streaming ingest dedup: the production shape of a continuously-ingesting
+training-data pipeline — micro-batches of new documents deduped against a
+PERSISTED corpus index (operators/dedup.py::build_corpus_index) inside
+foreachBatch, optionally folding each batch's kept docs back into the index
+so later batches dedup against earlier ones.
+
+The reference is batch-only (SURVEY.md §1.1); this is the engine extension a
+100 TB pipeline actually runs: the corpus index (fingerprints, LSH band
+buckets, shingles) lives as parquet tables, each micro-batch pays
+O(batch + matching buckets), and the index grows append-only — no
+recomputation over the corpus, ever. Exactly-once comes from Structured
+Streaming's checkpointed file source + idempotent per-batch appends.
+
+tests/test_streaming.py asserts (a) static-index streaming output equals the
+batch incremental_dedup over the same split, and (b) with index updates on,
+a later batch's exact copy of an earlier batch's kept doc is flagged
+exact_dup — the cross-batch fold.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impalatogo_spark.operators.dedup import (
+    build_corpus_index,
+    incremental_dedup_indexed,
+)
+
+_INDEX_PARTS = ("fp", "buckets", "shingles")
+
+
+def write_corpus_index(corpus: DataFrame, index_dir: str) -> None:
+    """Materialize the dedup index of an existing corpus (the one-time
+    bootstrap; steady state only appends via _fold_into_index)."""
+    for name, df in zip(_INDEX_PARTS, build_corpus_index(corpus)):
+        df.write.mode("overwrite").parquet(os.path.join(index_dir, name))
+
+
+def read_corpus_index(spark: SparkSession, index_dir: str):
+    return tuple(
+        spark.read.parquet(os.path.join(index_dir, name)) for name in _INDEX_PARTS
+    )
+
+
+def documents_stream(spark: SparkSession, docs_dir: str,
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """readStream over a directory of document parquet files; one file per
+    micro-batch by default (the per-ingest-drop granularity)."""
+    schema = spark.read.parquet(docs_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+
+
+def streaming_incremental_dedup(stream: DataFrame, index_dir: str,
+                                out_dir: str, checkpoint_dir: str,
+                                threshold: float = 0.5,
+                                update_index: bool = True):
+    """Run the ingest-dedup stream: per micro-batch, status every incoming
+    doc (exact_dup / near_dup / kept) against the persisted index, append
+    the statuses to `out_dir`, and (if update_index) fold the batch's kept
+    docs into the index so subsequent batches dedup against them.
+
+    foreachBatch rather than a stateful operator because the dedup state
+    (the corpus index) is relational and unbounded-but-disk-resident —
+    exactly what parquet tables are for; per-key in-memory state would
+    need the whole corpus fingerprint set in executor memory."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp_old, b_old, sh_old = read_corpus_index(spark, index_dir)
+        res = incremental_dedup_indexed(
+            batch_df, fp_old, b_old, sh_old, threshold
+        ).withColumn("batch_id", F.lit(batch_id))
+        res.write.mode("append").parquet(out_dir)
+        if update_index:
+            kept = batch_df.join(
+                spark.read.parquet(out_dir)
+                .filter(F.col("status") == "kept")
+                .filter(F.col("batch_id") == batch_id),
+                "doc_id",
+                "left_semi",
+            )
+            for name, df in zip(_INDEX_PARTS, build_corpus_index(kept)):
+                df.write.mode("append").parquet(os.path.join(index_dir, name))
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -215,3 +215,86 @@ def test_streaming_dedup_across_batches(spark, sf_dir, tmp_path):
     result = spark.read.parquet(out_dir)
     assert result.count() == 500
     assert result.select("event_id").distinct().count() == 500
+
+
+def test_streaming_ingest_dedup_static_index_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming ingest dedup with a STATIC persisted index must equal the
+    batch incremental_dedup over the same corpus/incoming split — ties the
+    foreachBatch pipeline to the oracle-gated batch op."""
+    import os
+    from impalatogo_spark.operators.dedup import incremental_dedup
+    from impalatogo_spark.streaming.ingest import (
+        documents_stream, streaming_incremental_dedup, write_corpus_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+
+    base = str(tmp_path)
+    in_dir = os.path.join(base, "in")
+    # three ingest drops = three micro-batches
+    incoming.withColumn("b", F.col("doc_id") % 3).repartition(3, "b") \
+        .drop("b").write.parquet(in_dir)
+    write_corpus_index(corpus, os.path.join(base, "idx"))
+
+    q = streaming_incremental_dedup(
+        documents_stream(spark, in_dir),
+        os.path.join(base, "idx"), os.path.join(base, "out"),
+        os.path.join(base, "ckpt"), update_index=False,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.doc_id, r.status)
+        for r in spark.read.parquet(os.path.join(base, "out")).collect()
+    }
+    want = {(r.doc_id, r.status) for r in incremental_dedup(incoming, corpus).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_ingest_dedup_index_update_folds_batches(spark, sf_dir, tmp_path):
+    """With index updates ON, a later batch's exact copy of an earlier
+    batch's kept doc must be flagged exact_dup — the cross-batch fold."""
+    import os
+    import time
+    from impalatogo_spark.streaming.ingest import (
+        documents_stream, streaming_incremental_dedup, write_corpus_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).limit(50)
+    first = docs.filter(F.col("doc_id") % 2 == 1).limit(40).cache()
+
+    base = str(tmp_path)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    # batch 1: 40 fresh docs; batch 2: the SAME texts under shifted doc_ids
+    first.coalesce(1).write.parquet(os.path.join(in_dir, "b1"))
+    time.sleep(1.1)  # file-source batch order follows modification time
+    first.withColumn("doc_id", F.col("doc_id") + 1_000_000) \
+        .coalesce(1).write.parquet(os.path.join(in_dir, "b2"))
+    write_corpus_index(corpus, os.path.join(base, "idx"))
+
+    schema = spark.read.parquet(os.path.join(in_dir, "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = streaming_incremental_dedup(
+        stream, os.path.join(base, "idx"), os.path.join(base, "out"),
+        os.path.join(base, "ckpt"), update_index=True,
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(os.path.join(base, "out"))
+    b1 = {r.doc_id: r.status for r in out.filter("doc_id < 1000000").collect()}
+    b2 = {r.doc_id - 1_000_000: r.status
+          for r in out.filter("doc_id >= 1000000").collect()}
+    assert set(b1) == set(b2) and len(b1) == 40
+    # every doc kept in batch 1 is an exact duplicate by batch 2
+    kept_b1 = {d for d, s in b1.items() if s == "kept"}
+    assert len(kept_b1) > 0
+    assert all(b2[d] == "exact_dup" for d in kept_b1)
