@@ -47,15 +47,20 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     Whole-stage-codegen friendly: split + transform + explode, no Python.
     """
-    # materialize the split ONCE per row: referencing F.split(...) inside the
-    # transform lambda re-evaluates the split per element (~200x per doc)
+    # The split must evaluate ONCE per row: split_words puts it behind a
+    # Generate barrier, because a plain projection gets CollapseProject-
+    # inlined into the transform lambda and re-evaluates per element
+    # (O(len^2) per doc — 7.6x measured at sf0.1).
+    from impalatogo_spark.operators import split_words
+
     words = F.col("__words")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)]),
     )
     out = (
-        df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__words"))
+        split_words(df.select(F.col(id_col).alias("id"), F.col(text_col)),
+                    text_col=text_col, out="__words")
         .filter(F.size(words) >= n)
         .select("id", F.explode(grams).alias("g"))
     )
@@ -645,9 +650,11 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     reassembles. Output is (doc_id, n_kept, clean_len, clean_md5); the md5
     keeps the driver compare compact while pinning the exact reassembled
     text."""
+    from impalatogo_spark.operators import split_words
+
     w = F.col("__w")
     segs = (
-        df.select("doc_id", F.split(F.col(text_col), " ").alias("__w"))
+        split_words(df.select("doc_id", F.col(text_col)), text_col=text_col)
         .select(
             "doc_id",
             "__w",

@@ -190,7 +190,10 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     count-per-distinct-word alternative would be shuffle-free but O(words x
     distinct) per row — quadratic on long documents, rejected for 100 TB.
     """
-    words = df.select("doc_id", F.split(F.col(text_col), " ").alias("w"))
+    from impalatogo_spark.operators import split_words
+
+    words = split_words(df.select("doc_id", F.col(text_col)),
+                        text_col=text_col, out="w")
     word_stats = (
         words.select("doc_id", F.explode("w").alias("word"))
         .groupBy("doc_id", "word")
@@ -202,8 +205,9 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.max("cnt").alias("top_cnt"),
         )
     )
-    # materialized `w` column: HOF lambdas re-evaluate referenced
-    # expressions per element, so the split must not be inlined here.
+    # `w` sits behind split_words's Generate barrier: without it the split
+    # would CollapseProject-inline into the bigram transform lambda and
+    # re-evaluate per element.
     bigram_stats = words.select(
         "doc_id",
         F.expr(
@@ -287,22 +291,34 @@ def contamination_pairs(
     side; the only shuffle is the (doc_id, bench_id) overlap count, already
     reduced to matching shingles.
     """
-    words = df.select("doc_id", F.split(F.col(text_col), " ").alias("w"))
-    sh = words.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"CASE WHEN size(w) >= {n} THEN"
-                f" transform(sequence(1, size(w) - {n - 1}),"
-                f"           i -> concat_ws(' ', "
-                + ", ".join(f"element_at(w, i + {k})" for k in range(n))
-                + ")) ELSE array() END"
-            )
-        ).alias("sh"),
+    from impalatogo_spark.operators import split_words
+
+    def _shingled(d: DataFrame) -> DataFrame:
+        # split behind split_words's Generate barrier — a plain projection
+        # would inline into the transform lambda and re-evaluate split()
+        # per element (7.6x measured at sf0.1)
+        words = split_words(d.select("doc_id", F.col(text_col)),
+                            text_col=text_col, out="w")
+        return words.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN"
+                    f" transform(sequence(1, size(w) - {n - 1}),"
+                    f"           i -> concat_ws(' ', "
+                    + ", ".join(f"element_at(w, i + {k})" for k in range(n))
+                    + ")) ELSE array() END"
+                )
+            ).alias("sh"),
+        )
+
+    e = _shingled(df).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
-    e = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    bench = e.filter(F.col("doc_id") % bench_mod == 0).select(
-        F.col("doc_id").alias("bench_id"), "s"
+    # the benchmark side shingles only its own 1% — the filter reaches the
+    # scan instead of re-deriving from the full exploded relation
+    bench = _shingled(df.filter(F.col("doc_id") % bench_mod == 0)).select(
+        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s")
     )
     m = (
         e.join(F.broadcast(bench), "s")
