@@ -48,6 +48,8 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "text_repetition_quality",
     "text_contamination",
     "text_pii_redact",
+    "pipeline_curate",
+    "corpus_shard_stats",
     "events_sessionize",
     "events_json_extract",
     "events_tumbling_window",

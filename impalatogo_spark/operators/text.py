@@ -483,3 +483,143 @@ SELECT doc_id,
        md5(r) AS red_md5
 FROM red ORDER BY doc_id
 """
+
+
+# ===========================================================================
+# End-to-end corpus curation (lang-ID -> quality -> exact dedup -> decontam)
+# ===========================================================================
+
+def curate(df: DataFrame, text_col: str = "text", lang: str = "en",
+           bench_mod: int = 100, n: int = 3) -> DataFrame:
+    """End-to-end pretraining-corpus curation verdict per document: language
+    gate (marker-word argmax == `lang`), quality gate (composite score must
+    hit 1.0), exact-dup gate (only the min-doc_id copy of each md5(text)
+    survives), and benchmark-decontamination gate (no 3-gram containment hit
+    against the broadcast benchmark corpus).
+
+    Scale shape: lang+quality+fingerprint are ONE projection pass (no joins
+    between the per-doc stages); the dup flag is a single window shuffle on
+    the 32-byte fingerprint; the contamination hit-list is tiny (docs
+    overlapping an MB-scale eval corpus) and broadcast back. Total cost at
+    100 TB: one scan + one hash-partition exchange + the decontam shingle
+    join whose big side never shuffles.
+
+    Boolean gates are emitted as INT 0/1 so the Spark/DuckDB value hashes
+    compare byte-identically.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_words = n_spaces + 1
+    stop = None
+    for w in STOPWORDS:
+        c = _count_occurrences(text, w)
+        stop = c if stop is None else stop + c
+    mean_wl = (n_chars - n_spaces) / n_words
+    stop_ratio = stop / n_words
+    quality = F.round(
+        F.when((mean_wl >= 3) & (mean_wl <= 8), 0.5).otherwise(0.0)
+        + F.when((stop_ratio >= 0.02) & (stop_ratio <= 0.6), 0.5).otherwise(0.0),
+        2,
+    )
+
+    base = lang_scores(df, text_col).select(
+        "doc_id",
+        "pred_lang",
+        quality.alias("quality_score"),
+        F.md5(text).alias("fp"),
+    )
+    from pyspark.sql import Window as W
+
+    dup = (F.col("doc_id") != F.min("doc_id").over(W.partitionBy("fp"))).cast("int")
+    per_doc = base.withColumn("is_exact_dup", dup)
+
+    contam_ids = (
+        contamination_pairs(df, text_col, bench_mod=bench_mod, n=n)
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        per_doc.join(F.broadcast(contam_ids), "doc_id", "left")
+        .withColumn("contaminated", F.coalesce(F.col("hit"), F.lit(0)))
+        .withColumn(
+            "kept",
+            (
+                (F.col("pred_lang") == lang)
+                & (F.col("quality_score") == 1.0)
+                & (F.col("is_exact_dup") == 0)
+                & (F.col("contaminated") == 0)
+            ).cast("int"),
+        )
+        .select("doc_id", "pred_lang", "quality_score", "is_exact_dup",
+                "contaminated", "kept")
+    )
+
+
+def curate_oracle(lang: str = "en", bench_mod: int = 100, n: int = 3) -> str:
+    """Composes the stage oracles (lang argmax, quality composite, window
+    min-dedup, contamination CTE) into one statement mirroring curate()."""
+    lang_q = lang_scores_oracle()
+    qual_q = quality_features_oracle()
+    contam_q = contamination_oracle(bench_mod=bench_mod, n=n)
+    return f"""
+WITH lang_v AS (SELECT doc_id, pred_lang FROM ({lang_q})),
+qual_v AS (SELECT doc_id, quality_score FROM ({qual_q})),
+dedup_v AS (
+  SELECT doc_id,
+         CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+           AS is_exact_dup
+  FROM documents),
+contam_v AS (SELECT DISTINCT doc_id FROM ({contam_q}))
+SELECT l.doc_id, l.pred_lang, q.quality_score, d.is_exact_dup,
+       CAST(c.doc_id IS NOT NULL AS INT) AS contaminated,
+       CAST(l.pred_lang = '{lang}' AND q.quality_score = 1.0
+            AND d.is_exact_dup = 0 AND c.doc_id IS NULL AS INT) AS kept
+FROM lang_v l
+JOIN qual_v q USING (doc_id)
+JOIN dedup_v d ON d.doc_id = l.doc_id
+LEFT JOIN contam_v c ON c.doc_id = l.doc_id
+"""
+
+
+def shard_stats(df: DataFrame, text_col: str = "text",
+                n_shards: int = 16) -> DataFrame:
+    """Deterministic corpus-shard assignment stats: shard = fp64 % n_shards
+    over the whitespace-robust content fingerprint, with per-shard doc and
+    token totals. This is the balanced-writer primitive: at 100 TB the write
+    path is repartition(n_shards, shard) -> per-shard files, and the shard
+    key is content-derived so re-runs land identically (no Spark-internal
+    hash in the contract). One scan + one map-side-combined groupBy.
+    """
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    fp = F.md5(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    fp64 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
+    return (
+        df.select(F.pmod(fp64, F.lit(n_shards)).alias("shard"),
+                  toks.alias("n_tokens"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_stats_oracle(n_shards: int = 16) -> str:
+    fp_q = fingerprint_oracle()
+    return f"""
+WITH fp AS ({fp_q}),
+t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+SELECT fp.fp64 % {n_shards} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       min(t.n_tokens) AS min_tokens,
+       max(t.n_tokens) AS max_tokens
+FROM fp JOIN t ON t.doc_id = fp.doc_id
+GROUP BY 1 ORDER BY 1
+"""

@@ -736,3 +736,30 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for real PII (the corpus has none). Shuffle-free regex chain —
     scale notes in operators/text.py::pii_redact."""
     return X.pii_redact(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_curate",
+    oracle=X.curate_oracle(),
+    tags=("pipeline", "dedup", "text"),
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end corpus curation: per-document verdict from four
+    composed gates — language ID, quality score, exact dedup, benchmark
+    decontamination — in one scan + one fingerprint window shuffle + the
+    broadcast decontam join (operators/text.py::curate). The shape a 100 TB
+    pretraining ingest runs nightly."""
+    return X.curate(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_shard_stats",
+    oracle=X.shard_stats_oracle(),
+    tags=("pipeline", "scale"),
+)
+def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-derived shard assignment (md5-prefix % 16) with
+    per-shard doc/token totals — the balanced corpus-writer primitive
+    (operators/text.py::shard_stats). Re-run-stable: no Spark-internal hash
+    in the contract."""
+    return X.shard_stats(_t(spark, sf_dir, "documents"))

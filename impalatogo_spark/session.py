@@ -116,11 +116,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as nanos-since-epoch long (nanosAsLong conf above);
-        # truncate to microseconds — same ns->us truncation DuckDB applies,
-        # and the documented ns->us policy for the reference's nanosecond
-        # builtins (SURVEY.md §2.10 timestamp notes).
+        # ts encoding depends on the testdata generation: TIMESTAMP(NANOS)
+        # arrives as nanos-since-epoch long (nanosAsLong conf above) and is
+        # truncated to microseconds — the same ns->us truncation DuckDB
+        # applies and the documented ns->us policy for the reference's
+        # nanosecond builtins (SURVEY.md §2.10 timestamp notes).
+        # TIMESTAMP(MICROS) arrives as a timestamp already (NTZ under
+        # Spark 4's inferTimestampNTZ); normalize to TimestampType so every
+        # downstream query sees one type regardless of file encoding
+        # (session timezone is UTC, so NTZ->LTZ is value-preserving).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

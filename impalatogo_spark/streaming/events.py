@@ -23,9 +23,9 @@ from pyspark.sql import types as T
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema pinned from a batch read —
     streaming sources require explicit schemas)."""
-    from impalatogo_spark.session import table
+    from impalatogo_spark.session import ensure_session_confs
 
-    batch = table(spark, sf_dir, "events")
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the streaming file source requires a directory: stream the sf_dir with a
     # glob pinned to the events file
@@ -34,9 +34,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # same ns->us conversion as the batch path (session.table)
-    if dict(batch.dtypes)["ts"] == "timestamp":
+    # same ts normalization as the batch path (session.table): nanos-long
+    # files -> ns->us truncation; micros files -> plain TimestampType cast
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -95,3 +95,23 @@ def test_repetition_scan_prunes_to_two_columns(spark, sf_dir):
 
     cols = plans.scan_read_schema(text_repetition_quality(spark, sf_dir))
     assert cols and "lang" not in cols and "source" not in cols
+
+
+def test_curate_broadcasts_contamination_hits(spark, sf_dir):
+    """The decontamination hit-list (tiny) must come back to the per-doc
+    frame as a broadcast join — the full-corpus side never shuffles for it."""
+    from impalatogo_spark.queries.pipeline import pipeline_curate
+
+    assert plans.uses_broadcast_join(pipeline_curate(spark, sf_dir))
+
+
+def test_shard_stats_scan_prunes_and_combines(spark, sf_dir):
+    """Shard stats read only `text` (content-derived shard key) and the
+    16-group aggregate must map-side combine before its single exchange."""
+    from impalatogo_spark.queries.pipeline import corpus_shard_stats
+
+    df = corpus_shard_stats(spark, sf_dir)
+    cols = plans.scan_read_schema(df)
+    assert cols and "lang" not in cols and "source" not in cols \
+        and "doc_id" not in cols
+    assert plans.has_partial_aggregate(df)
