@@ -50,6 +50,8 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "text_pii_redact",
     "pipeline_curate",
     "corpus_shard_stats",
+    "join_asof",
+    "join_range_attribution",
     "events_sessionize",
     "events_json_extract",
     "events_tumbling_window",

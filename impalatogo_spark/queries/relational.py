@@ -1541,3 +1541,121 @@ def perf_string_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(nm == "blue rod", "eq"),
         cnt(F.upper(nm) == "BLUE ROD", "ueq"),
     )
+
+
+# ===========================================================================
+# Temporal joins (beyond the reference: its only non-equi path is
+# CrossJoinNode + conjuncts, be/src/exec/cross-join-node.cc — O(n*m)).
+# Scale-correct compositions in operators/temporal.py.
+# ===========================================================================
+
+@register(
+    "join_asof",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       v.event_id AS view_id,
+       epoch_us(v.ts) AS view_ts_us,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    tags=("join", "temporal"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the same user's most recent
+    prior-or-equal view event (NULL when none). Spark side is the
+    union+window form (operators/temporal.py::asof_join — one shuffle, zero
+    join operators); the oracle is DuckDB's native ASOF LEFT JOIN, so the
+    composition is verified against a first-class implementation."""
+    from impalatogo_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(p, v, by=["user_id"], right_cols=["event_id", "ts"])
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("event_id_r").alias("view_id"),
+        F.unix_micros("ts_r").alias("view_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("gap_us"),
+    )
+
+
+_ATTR_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute attribution window
+
+
+@register(
+    "join_range_attribution",
+    oracle=f"""
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, p.p_us AS purchase_ts_us,
+       count(c.event_id) AS n_clicks,
+       min(c.c_us) AS first_click_us,
+       max(c.c_us) AS last_click_us
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_us > p.p_us - {_ATTR_WINDOW_US}
+ AND c.c_us <= p.p_us
+GROUP BY 1, 2, 3
+""",
+    tags=("join", "temporal"),
+)
+def join_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks attributed to every purchase whose trailing
+    30-minute window contains them, with per-purchase click counts. Spark
+    side buckets time at the window width so the match is a plain hash join
+    on (user, bucket) + exact range filter (operators/temporal.py::
+    range_join_buckets) — never a nested-loop; the oracle is DuckDB's
+    inequality join."""
+    from impalatogo_spark.operators.temporal import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    wus = F.lit(_ATTR_WINDOW_US)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    intervals = purch.withColumn("start_us", F.col("p_us") - wus)
+    matches = range_join_buckets(
+        clicks,
+        intervals,
+        by=["user_id"],
+        point_ts="c_us",
+        start="start_us",
+        end="p_us",
+        bucket=F.floor(F.col("c_us") / wus),
+        n_buckets_expr=F.sequence(
+            F.floor(F.col("start_us") / wus), F.floor(F.col("p_us") / wus)
+        ),
+    )
+    agg = matches.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("c_us").alias("first_click_us"),
+        F.max("c_us").alias("last_click_us"),
+    )
+    return (
+        purch.join(agg, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("p_us").alias("purchase_ts_us"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
+            "first_click_us",
+            "last_click_us",
+        )
+    )

@@ -115,3 +115,27 @@ def test_shard_stats_scan_prunes_and_combines(spark, sf_dir):
     assert cols and "lang" not in cols and "source" not in cols \
         and "doc_id" not in cols
     assert plans.has_partial_aggregate(df)
+
+
+def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
+    """The as-of join must compile to union + window — exactly one hash
+    exchange on the key, and NO join operator anywhere (the reference's only
+    non-equi path was a nested-loop cross join; this is the scale-correct
+    replacement)."""
+    from impalatogo_spark.queries.relational import join_asof
+
+    df = join_asof(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan
+    assert plans.count_shuffles(df) == 1
+
+
+def test_range_join_never_nested_loop(spark, sf_dir):
+    """The bucketed range join must be a hash join on (key, bucket) — a
+    BroadcastNestedLoopJoin/CartesianProduct in this plan would be O(n*m)
+    at 100 TB."""
+    from impalatogo_spark.queries.relational import join_range_attribution
+
+    plan = plans.formatted_plan(join_range_attribution(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
