@@ -50,6 +50,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "text_pii_redact",
     "pipeline_curate",
     "corpus_shard_stats",
+    "corpus_pack_sequences",
+    "corpus_vocab_topk",
+    "embedding_quantize",
     "join_asof",
     "join_range_attribution",
     "events_sessionize",

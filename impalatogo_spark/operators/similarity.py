@@ -226,3 +226,115 @@ def ivf_ann_topk(assigned: DataFrame, centroids: list, queries: DataFrame,
         .filter(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+# ===========================================================================
+# Vector aggregation + compression (training-pipeline embedding ops)
+# ===========================================================================
+
+def label_centroids(df: DataFrame, emb_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label mean vector in skinny (label, dim, centroid) form.
+
+    Scale shape: posexplode -> groupBy(label, dim) with map-side combine —
+    the shuffle carries one partial (sum, count) per (label, dim) per task
+    (~640 rows/task here), never the vectors themselves. The wide-array form
+    (one row per label) is a cheap F.array of 64 firsts after this; the
+    skinny form IS the contract because it aggregates and compares exactly.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("dim", "v"),
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 5).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def label_centroids_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings)
+SELECT label, dim, round(avg(v), 5) AS centroid, count(*) AS n_vectors
+FROM e GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+def quantize_int8(df: DataFrame, emb_col: str = "embedding",
+                  id_col: str = "vec_id", label_col: str = "label") -> DataFrame:
+    """Scalar int8 quantization with per-dimension global [min, max] ranges:
+    q = floor((v - min_d) * 255 / (max_d - min_d)), clamped to [0, 255] —
+    the 4x compression step for a 100 TB embedding store (float32 -> uint8).
+
+    floor (not round) keeps the mapping engine-exact: both engines evaluate
+    the same IEEE double expression, and floor has no half-way ambiguity.
+    Per-vector output is an exact integer signature (dim-weighted sum) plus
+    quantized min/max — value-comparable without listing 64 columns.
+
+    Scale shape: pass 1 computes the 64-row range table (map-side-combined
+    min/max — fixed-size state); pass 2 broadcasts it back onto the exploded
+    vectors. Both shuffles carry O(dims), not O(vectors).
+    """
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("dim", "v"),
+    )
+    ranges = e.groupBy("dim").agg(
+        F.min("v").alias("min_v"), F.max("v").alias("max_v")
+    )
+    q = (
+        e.join(F.broadcast(ranges), "dim")
+        .withColumn(
+            "q",
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v") - F.col("min_v"))
+                        * 255.0
+                        / (F.col("max_v") - F.col("min_v"))
+                    ),
+                ),
+            ).cast("long"),
+        )
+    )
+    return (
+        q.groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * (F.col("dim") + 1)).alias("q_signature"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def quantize_int8_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings),
+r AS (SELECT dim, min(v) AS min_v, max(v) AS max_v FROM e GROUP BY dim),
+q AS (
+  SELECT e.vec_id, e.label, e.dim,
+         least(255, greatest(0,
+           CAST(floor((e.v - r.min_v) * 255.0 / (r.max_v - r.min_v)) AS BIGINT)
+         )) AS q
+  FROM e JOIN r USING (dim))
+SELECT vec_id, label,
+       CAST(sum(q * (dim + 1)) AS BIGINT) AS q_signature,
+       min(q) AS q_min, max(q) AS q_max
+FROM q GROUP BY vec_id, label ORDER BY vec_id
+"""

@@ -623,3 +623,109 @@ SELECT fp.fp64 % {n_shards} AS shard,
 FROM fp JOIN t ON t.doc_id = fp.doc_id
 GROUP BY 1 ORDER BY 1
 """
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   budget: int = 512, n_shards: int = 16) -> DataFrame:
+    """Greedy sequence packing: documents fill fixed token-budget training
+    sequences in deterministic (shard, doc_id) order — the assembly step
+    between a curated corpus and a trainer's fixed-length batches.
+
+    Packing is inherently order-dependent, so a single global order would
+    serialize; instead docs pack WITHIN their content-derived shard
+    (shard_stats' key), which is how a 100 TB corpus is packed in practice:
+    n_shards independent streams, each a window over its own partition. The
+    only shuffle is the hash exchange on shard; the running token sum is a
+    rows-unbounded window (no second pass). Docs longer than the budget get
+    a sequence of their own (seq position still deterministic).
+
+    seq_id = floor((cumsum_before) / budget): the standard streaming-fill
+    bound — each sequence holds >= 1 doc and at most `budget` tokens of
+    carried-over fill, identical in any engine with the same order.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    fp = F.md5(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    shard = F.pmod(F.conv(F.substring(fp, 1, 15), 16, 10).cast("long"),
+                   F.lit(n_shards))
+    d = df.select(
+        "doc_id", shard.alias("shard"), toks.alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("seq_id"),
+        (cum - F.col("n_tokens") - F.floor((cum - F.col("n_tokens")) / budget)
+         * budget).cast("long").alias("seq_offset"),
+    )
+
+
+def pack_sequences_oracle(budget: int = 512, n_shards: int = 16) -> str:
+    fp_q = fingerprint_oracle()
+    return f"""
+WITH fp AS ({fp_q}),
+d AS (
+  SELECT t.doc_id, fp.fp64 % {n_shards} AS shard,
+         CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents t JOIN fp ON fp.doc_id = t.doc_id),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM d)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(before * 1.0 / {budget}) AS BIGINT) AS seq_id,
+       CAST(before - floor(before * 1.0 / {budget}) * {budget} AS BIGINT)
+         AS seq_offset
+FROM c
+"""
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-level vocabulary: top-k words by total occurrences, with
+    document frequency — the tokenizer-training / stopword-discovery scan.
+
+    Scale shape: explode -> (word, doc_id) pre-aggregate (map-side combine
+    collapses within-doc repeats before the shuffle) -> word-level aggregate
+    (term frequency = sum of per-doc counts, doc frequency = count of docs)
+    -> global top-k via TakeOrderedAndProject (no full sort). Ties broken by
+    word for a deterministic cut.
+    """
+    from impalatogo_spark.operators import split_words
+
+    words = split_words(df.select("doc_id", F.col(text_col)),
+                        text_col=text_col, out="w")
+    per_doc = (
+        words.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        per_doc.groupBy("word")
+        .agg(
+            F.sum("tf").alias("term_freq"),
+            F.count("*").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), "word")
+        .limit(k)
+    )
+
+
+def vocab_topk_oracle(k: int = 100) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+per_doc AS (SELECT word, doc_id, count(*) AS tf FROM w GROUP BY 1, 2)
+SELECT word, CAST(sum(tf) AS BIGINT) AS term_freq,
+       count(*) AS doc_freq
+FROM per_doc GROUP BY word
+ORDER BY term_freq DESC, word LIMIT {k}
+"""

@@ -763,3 +763,54 @@ def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py::shard_stats). Re-run-stable: no Spark-internal hash
     in the contract."""
     return X.shard_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_centroids",
+    oracle=S.label_centroids_oracle(),
+    tags=("similarity", "pipeline"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in skinny (label, dim, centroid) form —
+    vector aggregation whose shuffle carries O(labels x dims) partial sums,
+    never vectors (operators/similarity.py::label_centroids)."""
+    return S.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_quantize",
+    oracle=S.quantize_int8_oracle(),
+    tags=("similarity", "pipeline"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization against per-dimension global ranges (the
+    float32->uint8 compression pass for an embedding store), emitted as an
+    exact per-vector integer signature. floor-based mapping keeps both
+    engines bit-identical (operators/similarity.py::quantize_int8)."""
+    return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=X.pack_sequences_oracle(),
+    tags=("pipeline", "scale"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing in deterministic (shard, doc_id)
+    order — the curated-corpus -> fixed-length-training-sequences assembly
+    step. Packs within content-derived shards so 100 TB packs as n_shards
+    independent window streams (operators/text.py::pack_sequences)."""
+    return X.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle=X.vocab_topk_oracle(),
+    tags=("pipeline", "text"),
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 by term frequency with document frequency —
+    the tokenizer-training / stopword-discovery scan. Two-level aggregate
+    (map-side combine on (word, doc)) + TakeOrderedAndProject top-k
+    (operators/text.py::vocab_topk)."""
+    return X.vocab_topk(_t(spark, sf_dir, "documents"))

@@ -139,3 +139,42 @@ def test_range_join_never_nested_loop(spark, sf_dir):
     plan = plans.formatted_plan(join_range_attribution(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Packing must be one hash exchange on shard + a partition-local
+    window — a global-order window here would serialize the whole corpus
+    through one task."""
+    from impalatogo_spark.queries.pipeline import corpus_pack_sequences
+
+    df = corpus_pack_sequences(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.count_shuffles(df) == 1
+    assert "Window" in plan
+
+
+def test_vocab_topk_combines_and_takes_ordered(spark, sf_dir):
+    """Vocab scan: (word, doc) pre-aggregate must map-side combine, and the
+    global top-k must be TakeOrderedAndProject, not a full sort."""
+    from impalatogo_spark.queries.pipeline import corpus_vocab_topk
+
+    df = corpus_vocab_topk(spark, sf_dir)
+    assert plans.has_partial_aggregate(df)
+    assert plans.uses_take_ordered(df)
+
+
+def test_quantize_broadcasts_ranges(spark, sf_dir):
+    """The 64-row per-dimension range table must broadcast back onto the
+    exploded vectors — shuffling the exploded corpus to join 64 rows would
+    move O(vectors x dims) rows at 100 TB."""
+    from impalatogo_spark.queries.pipeline import embedding_quantize
+
+    assert plans.uses_broadcast_join(embedding_quantize(spark, sf_dir))
+
+
+def test_centroids_partial_aggregate(spark, sf_dir):
+    """Centroid aggregation must partial-aggregate: the shuffle carries
+    (label, dim) partial sums, never raw vectors."""
+    from impalatogo_spark.queries.pipeline import embedding_centroids
+
+    assert plans.has_partial_aggregate(embedding_centroids(spark, sf_dir))
