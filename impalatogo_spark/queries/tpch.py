@@ -467,7 +467,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9",
     oracle="""
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       round(sum(CAST(round(amount * 100) AS BIGINT)) / 100.0, 2) AS sum_profit
 FROM (
   SELECT n_name AS nation, year(o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
@@ -504,7 +505,13 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(
+            # cents-summing, see tpcds_q89 for rationale: round(sum(double), 2)
+            # sits on half-boundaries and varies with partition order.
+            F.round(F.sum(F.round(F.col("amount") * 100, 0)) / 100.0, 2).alias(
+                "sum_profit"
+            )
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -605,10 +612,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     oracle="""
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -1391,34 +1398,50 @@ def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q65",
     oracle="""
 WITH part_rev AS (
-  SELECT l_partkey AS pk, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT l_partkey AS pk,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS rev_cents
   FROM lineitem GROUP BY l_partkey
+),
+thr AS (
+  SELECT CAST(sum(rev_cents) AS DOUBLE) * 0.85 / count(*) AS thr_cents
+  FROM part_rev
 )
-SELECT p_partkey, p_name, revenue
+SELECT p_partkey, p_name, round(rev_cents / 100.0, 2) AS revenue
 FROM part_rev
 JOIN part ON pk = p_partkey
-WHERE revenue <= (SELECT avg(revenue) * 0.85 FROM part_rev)
+CROSS JOIN thr
+WHERE rev_cents <= thr_cents
 ORDER BY p_partkey
 """,
     tags=("tpcds", "subquery"),
 )
 def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q65 shape: items whose revenue is below 0.85x the average item
-    revenue — aggregated frame reused for both the scalar and the filter
-    (the scalar is a 1-row broadcast, not a rescan)."""
+    revenue — the scalar threshold is a 1-row broadcast, not a rescan.
+
+    Determinism: revenue is summed as integer cents (exact in the 2^53 integer
+    domain regardless of partition order), and the 0.85x-average threshold is
+    computed as one IEEE multiply + divide over those exact integers, so the
+    borderline membership test is bit-identical between Spark and the oracle.
+    """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     part_rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
-    ).persist()
-    threshold = part_rev.agg((F.avg("revenue") * 0.85).alias("thr"))
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        ).alias("rev_cents")
+    )
+    threshold = part_rev.agg(
+        (F.sum("rev_cents") * 0.85 / F.count(F.lit(1))).alias("thr_cents")
+    )
     return (
         part_rev.join(F.broadcast(threshold))
-        .filter(F.col("revenue") <= F.col("thr"))
+        .filter(F.col("rev_cents") <= F.col("thr_cents"))
         .join(part, F.col("pk") == F.col("p_partkey"))
-        .select("p_partkey", "p_name", "revenue")
+        .select(
+            "p_partkey", "p_name", F.round(F.col("rev_cents") / 100.0, 2).alias("revenue")
+        )
         .orderBy("p_partkey")
     )
 
