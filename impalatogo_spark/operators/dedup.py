@@ -78,6 +78,32 @@ def word_shingles_oracle(n: int = 3) -> str:
 """
 
 
+def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than `max_df` documents (stopword
+    shingles) before any shingle-equijoin.
+
+    This is the standard guard against the hot-key scale-killer in exact
+    shingle-join candidate generation: boilerplate n-grams ("terms of
+    service", license headers) have document frequency in the millions at
+    100 TB, and a self-equijoin on the raw shingle does per-key O(DF^2) work
+    on ONE shuffle partition. Capping DF bounds per-key join work at
+    max_df^2 while near-dup semantics are preserved — a shingle shared by
+    thousands of documents carries no near-duplicate signal (the same reason
+    MinHash implementations drop stop-shingles).
+
+    The hot list is produced by a map-side-combined count on `g`; the
+    anti-join is left to AQE to broadcast when the hot list is small (it is,
+    by definition, at most |shingle rows| / max_df keys).
+    """
+    hot = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("g")
+    )
+    return sh.join(hot, "g", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------

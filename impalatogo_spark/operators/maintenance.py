@@ -142,10 +142,17 @@ def file_pruning_stats(spark: SparkSession, path: str, predicate: str) -> dict:
     pruning a parquet reader performs. Returns {'files', 'needed'}."""
     import pyarrow.parquet as pq
 
-    col = predicate.split()[0]
-    lo_s, hi_s = None, None
     # predicate format: "col BETWEEN lo AND hi"
     parts = predicate.split()
+    if (
+        len(parts) != 5
+        or parts[1].upper() != "BETWEEN"
+        or parts[3].upper() != "AND"
+    ):
+        raise ValueError(
+            f"file_pruning_stats expects 'col BETWEEN lo AND hi', got {predicate!r}"
+        )
+    col = parts[0]
     lo_s, hi_s = float(parts[2]), float(parts[4])
     files = [
         os.path.join(r, f)
@@ -160,7 +167,9 @@ def file_pruning_stats(spark: SparkSession, path: str, predicate: str) -> dict:
         fmin, fmax = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            if st is None:
+            # a statistics object with unset min/max is as opaque as no
+            # statistics at all — the file cannot be pruned
+            if st is None or not st.has_min_max:
                 fmin, fmax = float("-inf"), float("inf")
                 break
             fmin = st.min if fmin is None else min(fmin, st.min)
@@ -183,11 +192,24 @@ def upsert_table(spark: SparkSession, path: str, updates: DataFrame,
     handling. Same temp-write + swap as compact_table, so readers never see
     a half-merged table. On a real lakehouse this maps onto a transactional
     MERGE; on plain parquet the rewrite IS the transaction.
+
+    MERGE semantics require one update row per key: duplicate keys in
+    `updates` would ALL survive the anti-join+union, so they are rejected up
+    front. All counts over `updates` run BEFORE the directory swap — an
+    `updates` frame derived from `path` itself must never be re-evaluated
+    against post-swap data.
     """
+    n_updates = updates.count()
+    n_update_keys = updates.select(key).distinct().count()
+    if n_update_keys != n_updates:
+        raise ValueError(
+            f"upsert_table: updates has {n_updates} rows but only "
+            f"{n_update_keys} distinct {key!r} keys — dedup before upserting"
+        )
     cur = spark.read.parquet(path)
+    n_before = cur.count()
     kept = cur.join(updates.select(key).distinct(), key, "left_anti")
     merged = kept.unionByName(updates.select(*cur.columns))
-    n_before = cur.count()
     tmp = path.rstrip("/") + f".upsert_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + f".old_{uuid.uuid4().hex[:8]}"
@@ -196,4 +218,4 @@ def upsert_table(spark: SparkSession, path: str, updates: DataFrame,
     shutil.rmtree(old, ignore_errors=True)
     n_after = spark.read.parquet(path).count()
     return {"rows_before": n_before, "rows_after": n_after,
-            "updates": updates.count()}
+            "updates": n_updates}

@@ -39,6 +39,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     suffix: str = "_r",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward (inclusive) as-of join: for every left row, attach the
     right row with the greatest right_ts <= left_ts within the same `by`
@@ -48,16 +49,29 @@ def asof_join(
     last(right-struct, ignorenulls=True) over a window ordered by
     (ts, side) with side ordering reference-before-probe so an equal
     timestamp matches (inclusive bound). One shuffle, no join operator.
+
+    Determinism contract: if `right` holds multiple rows per (by, right_ts),
+    which one wins is partition-order-dependent (and any other engine's ASOF
+    would make its own arbitrary pick). Pass `right_tiebreak` (a right-side
+    column name) to make the max-tiebreak row win deterministically — it
+    becomes a third window sort key, so the fix costs nothing: still ONE
+    shuffle, no pre-reduce. The oracle twin is a right side pre-reduced to
+    one row per (by, ts) keeping max(tiebreak) (queries/relational.py::
+    join_asof).
     """
     rcols = list(right_cols) or [c for c in right.columns if c not in by]
     r_struct = F.struct(*[F.col(c) for c in rcols])
     # null literal of the same struct type for the probe-side rows
     r_type = right.select(r_struct.alias("s")).schema["s"].dataType
 
+    tb = (
+        F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+    )
     l_tagged = left.select(
         *by,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(0).alias("__tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(r_type).alias("__r"),
     )
@@ -65,6 +79,7 @@ def asof_join(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        tb.alias("__tb"),
         F.lit(None)
         .cast(left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s"))
               .schema["s"].dataType)
@@ -74,7 +89,7 @@ def asof_join(
     u = l_tagged.unionByName(r_tagged)
     w = (
         W.partitionBy(*by)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__tb")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
@@ -102,13 +117,23 @@ def range_join_buckets(
     bucket span Column); each interval is exploded into its covered buckets
     with sequence() — keep the bucket width >= typical interval length so
     the explosion factor stays ~2.
+
+    Both sides are explicitly aliased before the join: when points and
+    intervals descend from the same source DataFrame (the common
+    events-vs-events case), unqualified `p[k] == iv[k]` hits Spark's
+    same-lineage ambiguity ("trivially true equals" warning) and survives
+    only via a version-fragile self-join heuristic. Qualified references
+    make the by-key equality unambiguous in every Spark version.
     """
-    p = points.withColumn("__b", bucket)
-    iv = intervals.withColumn("__bs", n_buckets_expr).withColumn(
-        "__b", F.explode("__bs")
-    ).drop("__bs")
-    cond = [p["__b"] == iv["__b"]] + [p[k] == iv[k] for k in by]
+    p = points.withColumn("__b", bucket).alias("__rjb_p")
+    iv = (
+        intervals.withColumn("__b", F.explode(n_buckets_expr)).alias("__rjb_iv")
+    )
+    cond = [F.col("__rjb_p.__b") == F.col("__rjb_iv.__b")] + [
+        F.col(f"__rjb_p.{k}") == F.col(f"__rjb_iv.{k}") for k in by
+    ]
     joined = p.join(iv, cond, "inner").filter(
-        (p[point_ts] > iv[start]) & (p[point_ts] <= iv[end])
+        (F.col(f"__rjb_p.{point_ts}") > F.col(f"__rjb_iv.{start}"))
+        & (F.col(f"__rjb_p.{point_ts}") <= F.col(f"__rjb_iv.{end}"))
     )
     return joined

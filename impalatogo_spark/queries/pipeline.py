@@ -96,10 +96,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs_banded(sim, max_hamming=3)
 
 
+_JACCARD_MAX_DF = 50  # stop-shingle cap: identical on Spark and oracle sides
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({D.word_shingles_oracle()}),
+WITH sh0 AS ({D.word_shingles_oracle()}),
+hot AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) > {_JACCARD_MAX_DF}),
+sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot ON sh0.g = hot.g),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
@@ -115,8 +120,16 @@ WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.3
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard >= 0.3 via the shingle-join form: pairs sharing
     zero shingles never materialize (the join on `g` is the candidate
-    generator — no cross product)."""
-    sh = D.word_shingles(_t(spark, sf_dir, "documents")).persist()
+    generator — no cross product).
+
+    Shingles with document frequency > _JACCARD_MAX_DF are dropped as
+    stopword shingles BEFORE the join, on both sides (operators/dedup.py::
+    cap_shingle_df): without the cap, one boilerplate shingle at 100 TB puts
+    O(DF^2) pair work on a single shuffle partition. Jaccard is then exact
+    over the capped shingle sets."""
+    sh = D.cap_shingle_df(
+        D.word_shingles(_t(spark, sf_dir, "documents")), _JACCARD_MAX_DF
+    ).persist()
     sa = sh.select(F.col("id").alias("id_a"), "g")
     sb = sh.select(F.col("id").alias("id_b"), "g")
     inter = (
@@ -142,24 +155,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b AS (
+  {S.sign_bands_oracle()}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b,
+       round(list_dot_product(a.emb, b2.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))),
              4) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.emb, b.emb)
-            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+FROM cand JOIN e a ON a.vec_id = id_a JOIN e b2 ON b2.vec_id = id_b
+WHERE round(list_dot_product(a.emb, b2.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))),
             4) >= 0.45
 """,
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= 0.45). Double-precision arithmetic
-    on both sides; similarity rounded to 4dp before thresholding."""
+    """Embedding near-dup pairs (cosine >= 0.45) via the SCALE path:
+    sign-band blocking (pigeonhole on the embedding's own sign pattern) as
+    the candidate generator, then exact rounded cosine verify — the plan is
+    a (band, key) hash equijoin, never the O(n^2) id_a < id_b cross form.
+    The oracle mirrors the banding exactly (sign tests have no float
+    arithmetic, so the candidate set is bit-identical across engines); the
+    all-pairs exact form survives as cosine_pairs(), the subset-asserting
+    oracle twin in tests/test_similarity.py."""
     e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
-    return S.cosine_pairs(e, threshold=0.45)
+    return S.sign_band_pairs(e, threshold=0.45)
 
 
 # ===========================================================================

@@ -1553,7 +1553,8 @@ def perf_string_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+v AS (SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
 SELECT p.event_id AS purchase_id, p.user_id,
        epoch_us(p.ts) AS purchase_ts_us,
        v.event_id AS view_id,
@@ -1568,7 +1569,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior-or-equal view event (NULL when none). Spark side is the
     union+window form (operators/temporal.py::asof_join — one shuffle, zero
     join operators); the oracle is DuckDB's native ASOF LEFT JOIN, so the
-    composition is verified against a first-class implementation."""
+    composition is verified against a first-class implementation.
+
+    Determinism under (user_id, ts) view duplicates: the Spark side passes
+    right_tiebreak='event_id' (max event_id wins inside the single window
+    pass — still one shuffle); the oracle pre-reduces the view side to one
+    row per (user_id, ts) keeping max(event_id), which selects the same
+    winner. Without this, each engine makes its own arbitrary pick and the
+    gate is red only on unlucky testdata."""
     from impalatogo_spark.operators.temporal import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -1578,7 +1586,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id"
     )
-    j = asof_join(p, v, by=["user_id"], right_cols=["event_id", "ts"])
+    j = asof_join(
+        p, v, by=["user_id"], right_cols=["event_id", "ts"],
+        right_tiebreak="event_id",
+    )
     return j.select(
         F.col("event_id").alias("purchase_id"),
         "user_id",

@@ -98,3 +98,55 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_table_dir):
     finally:
         shutil.rmtree(zpath, ignore_errors=True)
         shutil.rmtree(rpath, ignore_errors=True)
+
+
+def test_upsert_updates_and_inserts(spark, tmp_table_dir):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+    base.write.parquet(tmp_table_dir)
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, score double"
+    )
+    report = Mnt.upsert_table(spark, tmp_table_dir, updates, key="id")
+    assert report == {"rows_before": 3, "rows_after": 4, "updates": 2}
+    rows = {r["id"]: (r["name"], r["score"])
+            for r in spark.read.parquet(tmp_table_dir).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0),
+                    4: ("d", 40.0)}
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_table_dir):
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        tmp_table_dir
+    )
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, name string"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        Mnt.upsert_table(spark, tmp_table_dir, dup, key="id")
+
+
+def test_upsert_from_self_derived_updates(spark, tmp_table_dir):
+    """`updates` computed FROM the target table must be counted before the
+    swap — the report reflects pre-swap frames, not re-evaluated lineage."""
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, score double"
+    ).write.parquet(tmp_table_dir)
+    updates = (
+        spark.read.parquet(tmp_table_dir)
+        .filter(F.col("id") == 1)
+        .withColumn("score", F.col("score") + 1)
+    )
+    report = Mnt.upsert_table(spark, tmp_table_dir, updates, key="id")
+    assert report == {"rows_before": 2, "rows_after": 2, "updates": 1}
+    rows = {r["id"]: r["score"]
+            for r in spark.read.parquet(tmp_table_dir).collect()}
+    assert rows == {1: 11.0, 2: 20.0}
+
+
+def test_file_pruning_rejects_malformed_predicate(spark, tmp_table_dir):
+    spark.createDataFrame([(1,)], "x long").write.parquet(tmp_table_dir)
+    with pytest.raises(ValueError, match="BETWEEN"):
+        Mnt.file_pruning_stats(spark, tmp_table_dir, "x > 3")

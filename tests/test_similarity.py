@@ -137,3 +137,27 @@ def test_connected_components_chain_diameter(spark):
     assert out.select(F.countDistinct("cluster_id")).first()[0] == 1
     assert out.agg(F.min("cluster_id")).first()[0] == 0
     assert out.count() == 12
+
+
+def test_sign_band_pairs_subset_of_exact_and_nonvacuous(spark, sf_dir):
+    """The banded embedding near-dup path (the registered scale plan) must
+    return a SUBSET of the all-pairs exact result (precision 1.0 — verify
+    stage is exact cosine), and must find real pairs on the test corpus."""
+    e = S.with_double_embedding(table(spark, sf_dir, "embeddings"))
+    exact = {(r.id_a, r.id_b) for r in S.cosine_pairs(e, 0.45).collect()}
+    banded = {(r.id_a, r.id_b) for r in S.sign_band_pairs(e, 0.45).collect()}
+    assert banded <= exact
+    assert len(banded) >= 1, "banded near-dup vacuous on test corpus"
+    # documented recall at this band setting (~0.56 at cos 0.45) — floor it
+    # loosely so testdata regeneration can't flake the suite
+    assert len(banded) / len(exact) >= 0.2
+
+
+def test_cap_shingle_df_drops_only_hot(spark):
+    """cap_shingle_df removes exactly the shingles above the DF cap."""
+    rows = [(i, "common shingle text") for i in range(5)] + [
+        (1, "rare one here"), (2, "rare two here")
+    ]
+    sh = spark.createDataFrame(rows, "id int, g string")
+    kept = {r.g for r in D.cap_shingle_df(sh, max_df=4).collect()}
+    assert kept == {"rare one here", "rare two here"}

@@ -68,3 +68,51 @@ def test_range_join_strict_open_start_closed_end(spark):
     )
     # (start, end]: start excluded, end included, other keys excluded
     assert got == ["at_end", "inside"]
+
+
+def test_asof_right_tiebreak_deterministic(spark):
+    """With duplicate (key, ts) right rows, right_tiebreak must make the
+    max-tiebreak row win — on any partitioning (ADVICE r1: without this the
+    winner is partition-order-dependent and the oracle diverges)."""
+    left = spark.createDataFrame([(1, 100, "p")], "k int, ts long, lid string")
+    right = spark.createDataFrame(
+        [(1, 90, 7, "a"), (1, 90, 9, "b"), (1, 90, 8, "c")],
+        "k int, ts long, rid int, tag string",
+    ).repartition(8)
+    for _ in range(3):
+        [row] = asof_join(
+            left, right, by=["k"], right_cols=["rid", "tag"],
+            right_tiebreak="rid",
+        ).collect()
+        assert row["rid_r"] == 9 and row["tag_r"] == "b"
+
+
+def test_range_join_same_lineage_no_trivial_equals(spark):
+    """Points and intervals derived from the SAME DataFrame must join on the
+    real by-key equality (qualified aliases), not a trivially-true self
+    predicate: wrong-key pairs must never match."""
+    ev = spark.createDataFrame(
+        [(1, 100, "click"), (2, 150, "click"), (1, 160, "buy"), (2, 400, "buy")],
+        "k int, ts long, kind string",
+    )
+    points = ev.filter(F.col("kind") == "click").select("k", "ts")
+    intervals = (
+        ev.filter(F.col("kind") == "buy")
+        .select("k", (F.col("ts") - 100).alias("s"), F.col("ts").alias("e"))
+    )
+    width = 100
+    got = range_join_buckets(
+        points,
+        intervals,
+        by=["k"],
+        point_ts="ts",
+        start="s",
+        end="e",
+        bucket=F.floor(F.col("ts") / width),
+        n_buckets_expr=F.sequence(
+            F.floor(F.col("s") / width), F.floor(F.col("e") / width)
+        ),
+    ).select(F.col("__rjb_p.k").alias("pk"), F.col("__rjb_p.ts").alias("pts"))
+    rows = {(r["pk"], r["pts"]) for r in got.collect()}
+    # k=1 click@100 is in (60,160]; k=2 click@150 is NOT in (300,400]
+    assert rows == {(1, 100)}
