@@ -73,6 +73,8 @@ def main() -> None:
     # warmup: pay codegen/JIT/session costs outside the measurement
     registry[names[0]].spark_fn(spark, sf_dir).collect()
 
+    from impalatogo_spark.session import release_persisted
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name].spark_fn
@@ -81,6 +83,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
+            # keep run N's persisted intermediates from inflating run N+1's
+            # memory (and from surviving the whole suite)
+            release_persisted()
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)

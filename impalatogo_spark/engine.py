@@ -275,6 +275,29 @@ def create_function(engine: "Engine", name: str, fn, return_type: str,
     return udf
 
 
+def create_java_function(engine: "Engine", name: str, class_name: str,
+                         jar_path: str):
+    """Hive Java UDF path (reference `be/src/exprs/hive-udf-call.cc` +
+    `fe/.../hive/executor/`): CREATE [TEMPORARY] FUNCTION ... USING JAR.
+
+    Spark executes classes extending org.apache.hadoop.hive.ql.exec.UDF
+    natively, but ONLY under the Hive session catalog — the in-memory
+    catalog has no Hive-UDF handler (NO_HANDLER_FOR_UDAF). Build the session
+    with spark.sql.catalogImplementation=hive to use this
+    (tests/test_hive_udf.py runs the end-to-end jar path in a subprocess).
+    """
+    impl = engine.spark.conf.get("spark.sql.catalogImplementation", "in-memory")
+    if impl != "hive":
+        raise RuntimeError(
+            "Hive Java UDFs need spark.sql.catalogImplementation=hive "
+            f"(current: {impl}); rebuild the session with the hive catalog"
+        )
+    uri = jar_path if "://" in jar_path else f"file://{jar_path}"
+    engine.spark.sql(
+        f"CREATE TEMPORARY FUNCTION {name} AS '{class_name}' USING JAR '{uri}'"
+    )
+
+
 def create_aggregate_function(engine: "Engine", name: str, fn, return_type: str):
     """CREATE AGGREGATE FUNCTION equivalent: pandas GROUPED_AGG UDA.
     fn: pd.Series -> scalar."""
@@ -290,5 +313,8 @@ Engine.create_function = lambda self, name, fn, return_type, vectorized=True: (
 )
 Engine.create_aggregate_function = lambda self, name, fn, return_type: (
     create_aggregate_function(self, name, fn, return_type)
+)
+Engine.create_java_function = lambda self, name, class_name, jar_path: (
+    create_java_function(self, name, class_name, jar_path)
 )
 Engine.show_functions = lambda self: self.spark.sql("SHOW USER FUNCTIONS")

@@ -72,3 +72,51 @@ def codegen_operator_count(df: DataFrame) -> int:
     df.collect()
     plan = formatted_plan(df)
     return len(re.findall(r"\*\s+\w", plan))
+
+
+def executed_metrics(df: DataFrame) -> list[tuple[int, str, dict]]:
+    """Per-operator runtime metrics of the EXECUTED plan — (depth, node name,
+    {metric description: value}) rows in pre-order.
+
+    This is the engine's runtime-profile surface, approximating the
+    reference's per-node counter tree (be/src/service/query-exec-state.h:
+    65-91 RuntimeProfile): rows produced, shuffle bytes/records, spill
+    sizes, scan output — whatever each physical node registered. Metrics are
+    populated by EXECUTION: call after an action, else values are zero.
+    AdaptiveSparkPlanExec hides its final plan behind executedPlan —
+    unwrapped explicitly so AQE queries profile the plan that actually ran.
+    """
+    out: list[tuple[int, str, dict]] = []
+
+    def walk(node, depth: int) -> None:
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan(), depth)
+            return
+        vals = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[str(kv._2().name().get()) if kv._2().name().isDefined()
+                 else str(kv._1())] = kv._2().value()
+        out.append((depth, str(name), vals))
+        # InputAdapter / QueryStage wrappers keep real children one level down
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), depth + 1)
+        if "QueryStage" in name:  # nodeName strips the Exec suffix
+            walk(node.plan(), depth + 1)
+
+    walk(df._jdf.queryExecution().executedPlan(), 0)  # noqa: SLF001
+    return out
+
+
+def profile_text(df: DataFrame) -> str:
+    """Render executed_metrics as the indented profile tree the shell's
+    `profile` command prints."""
+    lines = []
+    for depth, name, vals in executed_metrics(df):
+        shown = ", ".join(f"{k}: {v:,}" for k, v in sorted(vals.items())
+                          if isinstance(v, int))
+        lines.append("  " * depth + f"{name}" + (f"  [{shown}]" if shown else ""))
+    return "\n".join(lines)

@@ -18,7 +18,7 @@ from impalatogo_spark.operators import multimodal as M
 from impalatogo_spark.operators import similarity as S
 from impalatogo_spark.operators import text as X
 from impalatogo_spark.queries import register
-from impalatogo_spark.session import register_tables, table
+from impalatogo_spark.session import register_tables, table, tracked_persist
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,7 +63,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sig_sh = D.word_shingles(docs, distinct=False)
     cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
-    sh = D.word_shingles(docs).persist()
+    sh = tracked_persist(D.word_shingles(docs))
     return D.verify_jaccard(cand, sh, threshold=0.5)
 
 
@@ -127,9 +127,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap_shingle_df): without the cap, one boilerplate shingle at 100 TB puts
     O(DF^2) pair work on a single shuffle partition. Jaccard is then exact
     over the capped shingle sets."""
-    sh = D.cap_shingle_df(
-        D.word_shingles(_t(spark, sf_dir, "documents")), _JACCARD_MAX_DF
-    ).persist()
+    sh = tracked_persist(
+        D.cap_shingle_df(
+            D.word_shingles(_t(spark, sf_dir, "documents")), _JACCARD_MAX_DF
+        )
+    )
     sa = sh.select(F.col("id").alias("id_a"), "g")
     sb = sh.select(F.col("id").alias("id_b"), "g")
     inter = (
@@ -696,8 +698,8 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sig_sh = D.word_shingles(docs, distinct=False)
     cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
-    sh = D.word_shingles(docs).persist()
-    pairs = D.verify_jaccard(cand, sh, threshold=0.5).persist()
+    sh = tracked_persist(D.word_shingles(docs))
+    pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
     return D.connected_components_star(pairs)
 
 
@@ -733,8 +735,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sig_sh = D.word_shingles(docs, distinct=False)
     cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
-    sh = D.word_shingles(docs).persist()
-    pairs = D.verify_jaccard(cand, sh, threshold=0.5).persist()
+    sh = tracked_persist(D.word_shingles(docs))
+    pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
     return D.connected_components(pairs)
 
 

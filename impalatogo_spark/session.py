@@ -112,6 +112,34 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
             table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() with session-lifetime accounting. Query functions persist
+    intermediates that outlive the function (the returned plan references
+    them lazily), so they cannot unpersist locally; in a long-lived session
+    every run would leak a cached RDD (round-1 verdict #7). Harnesses call
+    release_persisted() between queries; getPersistentRDDs stays empty after
+    a suite run (tests/test_scale.py)."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame; returns how many were released."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

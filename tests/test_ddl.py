@@ -182,10 +182,10 @@ def test_load_data_files_into_table(eng, spark, sf_dir):
 
 
 def test_avro_gated(spark, sf_dir):
-    """Avro scanner parity (hdfs-avro-scanner.cc): the spark-avro module is
-    not bundled in this container's pyspark — assert the documented gate
-    (clean error naming the missing module), keeping the capability mapping
-    explicit rather than silently absent."""
+    """Native spark-avro module detection: when absent (this container),
+    the write fails with a clean error naming avro — and the REAL executed
+    Avro coverage lives in tests/test_avro.py via the pure-Python container
+    reader (impalatogo_spark/sources/avro.py) incl. schema resolution."""
     n = table(spark, sf_dir, "nation")
     with tempfile.TemporaryDirectory() as d:
         try:

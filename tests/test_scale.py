@@ -112,3 +112,20 @@ def test_incremental_dedup_persisted_index_equivalence(spark, sf_dir, tmp_path):
     )
     assert sorted(map(tuple, indexed.collect())) == inline
     assert len(inline) > 0
+
+
+def test_no_persisted_rdds_after_release(spark, sf_dir):
+    """Round-1 verdict #7 (unpersist audit): persist-using queries must
+    leave ZERO cached RDDs behind once the harness releases them — a
+    long-lived session otherwise accumulates a cache entry per query run."""
+    from impalatogo_spark.queries.pipeline import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+    from impalatogo_spark.session import release_persisted
+
+    for fn in (dedup_ngram_jaccard, dedup_minhash_lsh):
+        fn(spark, sf_dir).collect()
+        assert release_persisted() >= 1
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    assert jsc.getPersistentRDDs().size() == 0

@@ -58,3 +58,64 @@ def test_shell_one_shot_error_exit_code():
     )
     assert proc.returncode == 1
     assert "ERROR" in proc.stderr
+
+
+def test_shell_rerun_source_profile_and_delimited(tmp_path):
+    """Round-2 parity pass (verdict #8/#9): source <file>, rerun/@N,
+    -B delimited output, and a `profile` command whose output carries the
+    executed plan's per-operator runtime metrics."""
+    sql_file = tmp_path / "script.sql"
+    sql_file.write_text("SELECT n_nationkey FROM nation WHERE n_nationkey < 2;")
+    script = (
+        "SELECT count(*) AS n FROM region;\n"
+        "profile;\n"
+        f"source {sql_file};\n"
+        "rerun 1;\n"
+        "@-1;\n"
+        "quit;\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "tools/i2s_shell.py", "--sf-dir",
+         "/root/testdata/sf0.001", "-B"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = proc.stdout
+    # -B: bare value rows, no ascii box
+    assert "| 5" not in out and "\n5\n" in out
+    # profile: per-operator metrics of the executed plan
+    assert "number of output rows" in out
+    assert "Scan parquet" in out or "HashAggregate" in out
+    # source: the script's rows appear
+    assert "\n0\n" in out and "\n1\n" in out
+    # rerun 1 re-executes the count (a second bare 5); @-1 re-runs rerun's
+    # target again (a third 5)
+    assert out.count("\n5") >= 3
+
+
+def test_shell_rerun_bad_index_reports_error():
+    proc = subprocess.run(
+        [sys.executable, "tools/i2s_shell.py", "-q", "rerun 99"],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 1
+    assert "history has" in proc.stderr
+
+
+def test_shell_escape_command():
+    proc = subprocess.run(
+        [sys.executable, "tools/i2s_shell.py", "-q", "shell echo i2s_$((40+2))"],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0
+    assert "i2s_42" in proc.stdout

@@ -72,6 +72,9 @@ for name in sorted(qs):
         sdf = qs[name](spark, SF_DIR)
         srows = sdf.collect()
         scols = [c.lower() for c in sdf.columns]
+        from impalatogo_spark.session import release_persisted
+
+        release_persisted()  # queries cache intermediates; don't accumulate
     except Exception as e:
         print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:140]}")
         fails += 1

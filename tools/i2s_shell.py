@@ -10,8 +10,15 @@ Usage:
 
 Shell commands (backslash-free, impala-shell style):
   use <db>; set k=v; set; explain <sql>; describe <tbl>; show tables;
-  refresh <tbl>; profile; history; version; help; quit/exit
+  refresh <tbl>; profile; history; rerun <n> (or @n); source <file>;
+  shell <cmd> (or !<cmd>); version; help; quit/exit
 Everything else is executed as (Impala-dialect) SQL via the Engine.
+
+Output modes (impala-shell parity): default pretty tables; -B prints
+delimited plain rows (tab unless --output_delimiter).
+`profile` prints the executed plan's per-operator runtime metrics tree
+(rows, shuffle bytes, spill — impalatogo_spark/plans.py::profile_text),
+the RuntimeProfile equivalent.
 """
 
 from __future__ import annotations
@@ -42,7 +49,8 @@ def _fmt_table(cols, rows, max_rows=100) -> str:
 
 
 class Shell:
-    def __init__(self, sf_dir: str | None):
+    def __init__(self, sf_dir: str | None, delimited: bool = False,
+                 output_delimiter: str = "\t"):
         from impalatogo_spark.engine import Engine
         from impalatogo_spark.session import get_spark, register_tables
 
@@ -52,6 +60,8 @@ class Shell:
             register_tables(self.spark, sf_dir)
         self.history: list[str] = []
         self.last_profile: str = ""
+        self.delimited = delimited
+        self.output_delimiter = output_delimiter
 
     def execute(self, stmt: str) -> str:
         stmt = stmt.strip().rstrip(";").strip()
@@ -69,6 +79,33 @@ class Shell:
             return "\n".join(f"[{i}] {s}" for i, s in enumerate(self.history[:-1], 1))
         if low == "profile":
             return self.last_profile or "(no previous query)"
+        if low.startswith("rerun ") or stmt.startswith("@"):
+            # impala-shell: rerun N / @N re-executes history entry N (1-based;
+            # negative counts from the end). The rerun itself was just
+            # appended — drop it so it doesn't pollute history.
+            self.history.pop()
+            arg = stmt[1:] if stmt.startswith("@") else stmt.split(None, 1)[1]
+            try:
+                idx = int(arg)
+            except ValueError:
+                raise ValueError(f"rerun: not an index: {arg!r}") from None
+            n = len(self.history)
+            pos = idx - 1 if idx > 0 else n + idx
+            if not 0 <= pos < n:
+                raise ValueError(f"rerun: history has {n} entries, no [{idx}]")
+            return self.execute(self.history[pos])
+        if low.startswith("source "):
+            path = stmt.split(None, 1)[1].strip().strip("'\"")
+            with open(path) as f:
+                text = f.read()
+            outs = [self.execute(s) for s in text.split(";") if s.strip()]
+            return "\n".join(o for o in outs if o)
+        if low.startswith("shell ") or stmt.startswith("!"):
+            import subprocess
+
+            cmd = stmt[1:] if stmt.startswith("!") else stmt.split(None, 1)[1]
+            res = subprocess.run(cmd, shell=True, capture_output=True, text=True)
+            return res.stdout + res.stderr
         if low.startswith("use "):
             self.spark.sql(stmt)
             return f"Database changed to {stmt.split()[1]}"
@@ -85,12 +122,19 @@ class Shell:
         df = self.engine.sql(stmt)
         rows = df.collect()
         dt = time.perf_counter() - t0
+        from impalatogo_spark.plans import profile_text
+
         self.last_profile = (
             f"Query: {stmt}\nRows: {len(rows)}\nElapsed: {dt:.3f}s\n"
-            + df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-                df._jdf.queryExecution(), "simple"
-            )
+            + profile_text(df)
         )
+        if self.delimited:
+            d = self.output_delimiter
+            body = "\n".join(
+                d.join("NULL" if v is None else str(v) for v in tuple(r))
+                for r in rows
+            )
+            return body
         body = _fmt_table(df.columns, [tuple(r) for r in rows])
         return f"{body}\nFetched {len(rows)} row(s) in {dt:.2f}s"
 
@@ -100,8 +144,13 @@ def main() -> None:
     ap.add_argument("-q", "--query", help="execute one statement and exit")
     ap.add_argument("-f", "--file", help="execute a ;-separated SQL script")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"))
+    ap.add_argument("-B", "--delimited", action="store_true",
+                    help="plain delimited output instead of pretty tables")
+    ap.add_argument("--output_delimiter", default="\t",
+                    help="field delimiter for -B output (default tab)")
     args = ap.parse_args()
-    shell = Shell(args.sf_dir)
+    shell = Shell(args.sf_dir, delimited=args.delimited,
+                  output_delimiter=args.output_delimiter)
 
     def run_script(text: str) -> int:
         rc = 0
