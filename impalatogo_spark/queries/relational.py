@@ -1670,3 +1670,175 @@ def join_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_us",
         )
     )
+
+
+# ===========================================================================
+# Multi-level aggregation: ROLLUP / CUBE / GROUPING SETS (round 2).
+# The reference's grammar stops at plain GROUP BY (sql-parser.y) — these are
+# the OLAP grouping shapes its TPC-DS workload files (q18/q22/q36/q67) need,
+# expressed through Catalyst's native Expand-based grouping-set execution:
+# ONE scan + one shuffle for ALL grouping levels, not a UNION of per-level
+# aggregates (the naive form rescans the fact table once per level).
+# ===========================================================================
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT p_type, p_brand,
+       CAST(grouping(p_type, p_brand) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY ROLLUP (p_type, p_brand)
+""",
+    tags=("aggregation", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q22 shape: hierarchy subtotals via ROLLUP — (type, container),
+    (type), () levels in one Expand pass. grouping_id distinguishes the
+    subtotal rows from genuine NULL group values (Spark's grouping_id bit
+    order matches DuckDB's multi-arg grouping())."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select("p_type", "p_brand", "gid", "n", "sum_qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("aggregation", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping levels from one
+    Expand — money summed as integer cents (repo rounding policy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "rev_cents")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("aggregation", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry (Catalyst Expand):
+    the (priority, status) detail, per-priority subtotal, and grand total in
+    one pass."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id() AS gid, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """,
+    )
+
+
+@register(
+    "window_ntile_dist",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+""",
+    tags=("window",),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist battery. The window orders by
+    integer cents + key tie-break so ranks are engine-exact; the dist
+    outputs are ratios of exact integers rounded at 6dp on both sides."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): customers ordering in both years.
+    Compiles to a left-semi hash join after per-side aggregation — no sort."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): 1997 customers who did not return in 1998 —
+    left-anti join shape."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)  # subtract == EXCEPT DISTINCT

@@ -178,3 +178,20 @@ def test_centroids_partial_aggregate(spark, sf_dir):
     from impalatogo_spark.queries.pipeline import embedding_centroids
 
     assert plans.has_partial_aggregate(embedding_centroids(spark, sf_dir))
+
+
+def test_rollup_single_expand_single_scan(spark, sf_dir):
+    """ROLLUP/CUBE must execute as ONE Expand + one aggregation pipeline —
+    not a per-level UNION that rescans the fact table once per grouping
+    level (4 levels of cube = 4x the scan cost at 100 TB)."""
+    from impalatogo_spark.queries.relational import agg_cube, agg_rollup
+
+    import re
+
+    for fn in (agg_rollup, agg_cube):
+        plan = plans.formatted_plan(fn(spark, sf_dir))
+        # formatted plans name each node once in the tree and once in the
+        # details — count distinct "(n) Expand" node headers
+        assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+        assert "Union" not in plan
