@@ -6,8 +6,19 @@ capabilities a training-data system needs. See events.py for the operators.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from impalatogo_spark.queries import register
+
+
+def _materialize_for_teardown(df: DataFrame) -> DataFrame:
+    """TEST/HARNESS-ONLY: pin a result whose backing files are about to be
+    deleted (temp-dir streaming sinks) by collecting it into a local-relation
+    DataFrame. Never import this into a pipeline path — it pulls every row
+    through the driver by design; a real pipeline leaves the sink directory
+    in place and reads it lazily."""
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), df.schema)
 
 
 @register(
@@ -108,8 +119,43 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(os.path.join(base, "out"))
             .select("doc_id", "status").orderBy("doc_id")
         )
-        # materialize before the tmp dir disappears
-        result = spark.createDataFrame(out.collect(), out.schema)
-        return result
+        # the tmp-dir sink disappears in the finally below
+        return _materialize_for_teardown(out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "streaming_stream_join",
+    oracle=f"""
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join"),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks attributed to purchases
+    within a trailing 30-minute window), run to completion with
+    Trigger.AvailableNow — oracle-exact against DuckDB's batch inequality
+    join, proving the streaming state machinery loses nothing on replay."""
+    from impalatogo_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        stream_stream_attribution,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    out = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        window_minutes=30,
+    )
+    return run_available_now(spark, out)

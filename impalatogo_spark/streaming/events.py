@@ -139,3 +139,47 @@ def streaming_dedup(stream: DataFrame, key_cols: list[str],
     are evicted — the standard incremental-ingest dedup for a training-data
     pipeline; unbounded state otherwise)."""
     return stream.withWatermark("ts", watermark).dropDuplicates(key_cols)
+
+
+def stream_stream_attribution(purchases: DataFrame, clicks: DataFrame,
+                              window_minutes: int = 30,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream inner join: every (purchase, click) pair of
+    the same user where the click happened within the trailing
+    `window_minutes` before the purchase — the STREAMING twin of
+    operators/temporal.py::range_join_buckets (the batch range join).
+
+    Both sides carry watermarks and the join condition time-bounds click vs
+    purchase, so Spark can size the join state buffers and evict rows older
+    than watermark + window — bounded state at any throughput, the
+    stream-stream join contract Structured Streaming requires for append
+    output. Under Trigger.AvailableNow over static files the result equals
+    the batch inequality join exactly (oracle-checked by
+    streaming_stream_join)."""
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
