@@ -119,3 +119,30 @@ def test_shell_escape_command():
     )
     assert proc.returncode == 0
     assert "i2s_42" in proc.stdout
+
+
+def test_shell_summary_and_unset():
+    script = (
+        "SELECT count(*) AS n FROM region;\n"
+        "summary;\n"
+        "set NUM_NODES=4;\n"
+        "unset NUM_NODES;\n"
+        "set;\n"
+        "quit;\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "tools/i2s_shell.py", "--sf-dir",
+         "/root/testdata/sf0.001"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "rows=" in proc.stdout            # summary carries row counts
+    assert "unset NUM_NODES" in proc.stdout
+    # after unset, `set` listing no longer shows it
+    assert "NUM_NODES=4\n(no session options set)" not in proc.stdout
+    tail = proc.stdout.split("unset NUM_NODES", 1)[1]
+    assert "NUM_NODES" not in tail

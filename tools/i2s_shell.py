@@ -9,9 +9,9 @@ Usage:
   python tools/i2s_shell.py --sf-dir DIR         # register testdata tables
 
 Shell commands (backslash-free, impala-shell style):
-  use <db>; set k=v; set; explain <sql>; describe <tbl>; show tables;
-  refresh <tbl>; profile; history; rerun <n> (or @n); source <file>;
-  shell <cmd> (or !<cmd>); version; help; quit/exit
+  use <db>; set k=v; set; unset k; explain <sql>; describe <tbl>;
+  show tables; refresh <tbl>; profile; summary; history; rerun <n> (or @n);
+  source <file>; shell <cmd> (or !<cmd>); version; help; quit/exit
 Everything else is executed as (Impala-dialect) SQL via the Engine.
 
 Output modes (impala-shell parity): default pretty tables; -B prints
@@ -79,6 +79,23 @@ class Shell:
             return "\n".join(f"[{i}] {s}" for i, s in enumerate(self.history[:-1], 1))
         if low == "profile":
             return self.last_profile or "(no previous query)"
+        if low == "summary":
+            # impala-shell `summary`: the operator/row-count condensation of
+            # the full profile
+            if not self.last_profile:
+                return "(no previous query)"
+            keep = []
+            for line in self.last_profile.splitlines():
+                if "number of output rows" in line:
+                    rows = line.split("number of output rows:")[1].split(",")[0]
+                    keep.append(f"{line.split('[')[0].rstrip()}  rows={rows.strip().rstrip(']')}")
+                elif not line.startswith(" ") or "[" not in line:
+                    keep.append(line.split("[")[0].rstrip())
+            return "\n".join(k for k in keep if k)
+        if low.startswith("unset "):
+            k = stmt.split(None, 1)[1].strip()
+            self.engine.unset(k)
+            return f"unset {k.upper()}"
         if low.startswith("rerun ") or stmt.startswith("@"):
             # impala-shell: rerun N / @N re-executes history entry N (1-based;
             # negative counts from the end). The rerun itself was just
