@@ -59,6 +59,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_json_extract",
     "events_tumbling_window",
     "func_date_arith",
+    # round 2: banded embedding near-dup, OLAP grouping, dist windows, setops
+    "dedup_embedding_cosine",
+    "agg_rollup",
+    "agg_cube",
+    "window_ntile_dist",
+    "set_intersect",
 ]
 RUNS = 3
 

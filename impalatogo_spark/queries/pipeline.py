@@ -842,3 +842,116 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine on (word, doc)) + TakeOrderedAndProject top-k
     (operators/text.py::vocab_topk)."""
     return X.vocab_topk(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH w AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT id AS doc_id, w AS term, tf, df_docs,
+         round(tf * ln(CAST(n AS DOUBLE) / df_docs), 4) AS tfidf
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+    tags=("text",),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic feature-extraction op.
+
+    Scale shape: term frequencies are one map-side-combined groupBy on
+    (doc, term); document frequencies reuse the tf frame (one more combine on
+    term — never a rescan); the corpus size joins in as a 1-row broadcast;
+    top-k is a per-doc window on the ROUNDED score with a term tie-break so
+    rank order is engine-exact."""
+    from impalatogo_spark.operators import split_words
+
+    docs = _t(spark, sf_dir, "documents")
+    # split_words materializes the word ARRAY behind a Generate barrier
+    # (one split per row); the explode to word rows is a separate step
+    w = split_words(
+        docs.select(F.col("doc_id").alias("id"), "text"), keep=("id",), out="wa"
+    ).select("id", F.explode("wa").alias("w"))
+    tf = w.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "w")
+        .join(F.broadcast(n))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("w").alias("term"),
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df_docs")), 4
+            ).alias("tfidf"),
+        )
+    )
+    wspec = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wspec))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df_docs", "tfidf", "rnk")
+    )
+
+
+_RARE_DF_CAP = 2  # a word is "rare" if it appears in <= 2 documents
+
+
+@register(
+    "text_rare_word_fraction",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1)
+SELECT id AS doc_id,
+       CAST(sum(tf) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN df_docs <= {_RARE_DF_CAP} THEN tf ELSE 0 END)
+            AS BIGINT) AS rare_tokens,
+       round(sum(CASE WHEN df_docs <= {_RARE_DF_CAP} THEN tf ELSE 0 END)
+             * 1.0 / sum(tf), 6) AS rare_frac
+FROM tf JOIN dfreq USING (w)
+GROUP BY 1
+""",
+    tags=("text", "quality"),
+)
+def text_rare_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-rarity quality signal: the fraction of a document's tokens
+    whose corpus document-frequency is <= _RARE_DF_CAP (high fraction =
+    unusual vocabulary = OCR noise / spam / code; a standard corpus-quality
+    gate next to text_quality's surface features). Integer token counts
+    with a single exact division — engine-deterministic."""
+    from impalatogo_spark.operators import split_words
+
+    docs = _t(spark, sf_dir, "documents")
+    # split_words materializes the word ARRAY behind a Generate barrier
+    # (one split per row); the explode to word rows is a separate step
+    w = split_words(
+        docs.select(F.col("doc_id").alias("id"), "text"), keep=("id",), out="wa"
+    ).select("id", F.explode("wa").alias("w"))
+    tf = w.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df_docs"))
+    rare_tf = F.when(F.col("df_docs") <= _RARE_DF_CAP, F.col("tf")).otherwise(0)
+    return (
+        tf.join(dfreq, "w")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.sum("tf").alias("total_tokens"),
+            F.sum(rare_tf).alias("rare_tokens"),
+            F.round(F.sum(rare_tf) * 1.0 / F.sum("tf"), 6).alias("rare_frac"),
+        )
+    )

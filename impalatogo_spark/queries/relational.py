@@ -1842,3 +1842,42 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.subtract(b)  # subtract == EXCEPT DISTINCT
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+WITH t AS (SELECT o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderstatus,
+       round(quantile_cont(cents, 0.25), 4) AS p25,
+       round(quantile_cont(cents, 0.5),  4) AS p50,
+       round(quantile_cont(cents, 0.9),  4) AS p90,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_disc
+FROM t GROUP BY 1
+""",
+    tags=("aggregation", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile battery (continuous interpolation + discrete) over
+    integer cents — interpolation between exact integers is one IEEE
+    multiply+add, so values are engine-identical. Complements the
+    appx_median sketch path with the exact form (SQL entry:
+    percentile_cont/percentile_disc WITHIN GROUP)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH t AS (SELECT o_orderstatus,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders)
+        SELECT o_orderstatus,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 4) AS p25,
+               round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY cents), 4) AS p50,
+               round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY cents), 4) AS p90,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+                   AS p50_disc
+        FROM t GROUP BY o_orderstatus
+        """,
+    )

@@ -195,3 +195,14 @@ def test_rollup_single_expand_single_scan(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
         assert "Union" not in plan
+
+
+def test_embedding_neardup_is_bucketed_not_allpairs(spark, sf_dir):
+    """The registered embedding near-dup path must be a (band, key) hash
+    equijoin — no nested-loop / cartesian anywhere (the round-1 all-pairs
+    form was O(n^2) by construction)."""
+    from impalatogo_spark.queries.pipeline import dedup_embedding_cosine
+
+    plan = plans.simple_plan(dedup_embedding_cosine(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
