@@ -95,3 +95,47 @@ def streaming_incremental_dedup(stream: DataFrame, index_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_upsert_ingest(stream: DataFrame, table_path: str,
+                            key: str, checkpoint_dir: str,
+                            order_col: str | None = None):
+    """Continuously-corrected corpus: each micro-batch MERGEs into the
+    parquet table via operators/maintenance.py::upsert_table — existing keys
+    are replaced, new keys appended, so re-delivered/corrected documents
+    supersede their previous versions (the upsert twin of
+    streaming_incremental_dedup's insert-only index fold).
+
+    Within a batch, duplicate keys are pre-reduced to the max-`order_col`
+    row (deterministic; upsert_table rejects duplicate keys by contract).
+    State lives entirely in the target table — the stream itself is
+    stateless, so a restart resumes from the checkpoint with no rebuild.
+    """
+    from pyspark.sql import Window as W
+
+    from impalatogo_spark.operators.maintenance import upsert_table
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if order_col is not None:
+            w = W.partitionBy(key).orderBy(
+                F.desc(order_col), F.desc(F.xxhash64(*batch_df.columns))
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates([key])
+        if not os.path.isdir(table_path) or not os.listdir(table_path):
+            batch_df.write.mode("overwrite").parquet(table_path)
+        else:
+            upsert_table(spark, table_path, batch_df, key=key)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -46,9 +46,12 @@ QUERIES = all_queries()
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
+    from impalatogo_spark.session import release_persisted
+
     q = QUERIES[name]
     sdf = q.spark_fn(spark, sf_dir)
     srows = sdf.collect()
+    release_persisted()  # keep the 149-query session's cache flat
     scols = [c.lower() for c in sdf.columns]
 
     if q.oracle is None:

@@ -298,3 +298,36 @@ def test_streaming_ingest_dedup_index_update_folds_batches(spark, sf_dir, tmp_pa
     kept_b1 = {d for d, s in b1.items() if s == "kept"}
     assert len(kept_b1) > 0
     assert all(b2[d] == "exact_dup" for d in kept_b1)
+
+
+def test_streaming_upsert_ingest(spark, tmp_path):
+    """foreachBatch upsert ingest: later micro-batches REPLACE rows with the
+    same key and append new keys — the corrected-corpus shape. Batches
+    arrive in file order (maxFilesPerTrigger=1)."""
+    import os
+
+    from impalatogo_spark.streaming.ingest import streaming_upsert_ingest
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = "doc_id long, rev long, text string"
+    b1 = spark.createDataFrame(
+        [(1, 1, "one v1"), (2, 1, "two v1")], schema)
+    b2 = spark.createDataFrame(
+        [(2, 2, "two v2"), (2, 1, "two dup-key older"), (3, 1, "three v1")],
+        schema)
+    b1.coalesce(1).write.parquet(os.path.join(in_dir, "f0"))
+    b2.coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = streaming_upsert_ingest(
+        stream, str(tmp_path / "tbl"), key="doc_id",
+        checkpoint_dir=str(tmp_path / "ckpt"), order_col="rev",
+    )
+    q.awaitTermination()
+    rows = {r.doc_id: (r.rev, r.text)
+            for r in spark.read.parquet(str(tmp_path / "tbl")).collect()}
+    assert rows == {1: (1, "one v1"), 2: (2, "two v2"), 3: (1, "three v1")}
