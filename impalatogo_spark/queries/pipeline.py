@@ -955,3 +955,83 @@ def text_rare_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rare_tf) * 1.0 / F.sum("tf"), 6).alias("rare_frac"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view_click,
+       CAST(sum(CASE WHEN t_click >= t_view AND t_buy >= t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM per_user
+""",
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel: per-user FIRST timestamp of
+    each step (one map-side-combined groupBy — never a self-join per step),
+    then ordering predicates over exact epoch-us integers. The standard
+    product-analytics funnel the reference would need three query passes
+    for."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    vc = F.col("t_click") >= F.col("t_view")
+    full = vc & (F.col("t_buy") >= F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(vc, 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(full, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch_us(ts) / 604800000000::BIGINT)
+                                AS BIGINT) AS wk
+  FROM events
+),
+cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY 1)
+SELECT c.cohort_wk,
+       CAST(a.wk - c.cohort_wk AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM activity a JOIN cohort c USING (user_id)
+WHERE a.wk - c.cohort_wk <= 3
+GROUP BY 1, 2
+""",
+    tags=("events", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity epoch-week,
+    counted at week offsets 0-3. Weeks are exact integer epoch-us floors —
+    no calendar arithmetic to diverge between engines. Two
+    map-side-combined aggregations + one equijoin on user_id (cohort side is
+    one row per user — AQE broadcasts it when small)."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(F.unix_micros("ts") / F.lit(7 * 86400 * 1_000_000)).cast("long")
+    activity = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("week_offset", (F.col("wk") - F.col("cohort_wk")).cast("long"))
+        .filter(F.col("week_offset") <= 3)
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
