@@ -331,3 +331,45 @@ def test_random_semi_anti_parity(seed, spark, duck, sf_dir):
     )
     d_norm = sorted(tuple(str(c) for c in r) for r in duck.execute(sql).fetchall())
     assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
+
+
+def _gen_grouping_select(seed: int) -> str:
+    """Random multi-level grouping query: ROLLUP/CUBE/GROUPING SETS over
+    random key pairs with integer aggregates + grouping() disambiguation —
+    the round-2 Expand surface under the same seeded-differential harness
+    as plain GROUP BY."""
+    rng = random.Random(40_000 + seed)
+    keys = rng.sample(
+        ["n_regionkey", "(n_nationkey % 3)", "length(n_name)",
+         "substr(n_name, 1, 1)"],
+        2,
+    )
+    k1, k2 = keys
+    shape = rng.choice(
+        [f"ROLLUP ({k1}, {k2})", f"CUBE ({k1}, {k2})",
+         f"GROUPING SETS (({k1}, {k2}), ({k1}), ())"]
+    )
+    inner = _int_expr(rng, rng.randint(1, 2))
+    fn = rng.choice(["sum", "min", "max", "count"])
+    # grouping_id() (multi-arg in BOTH engines; Spark's grouping() is
+    # single-arg) disambiguates subtotal NULLs from genuine NULL keys;
+    # CAST both sides' aggregate to BIGINT (DuckDB sums to HUGEINT)
+    return (
+        f"SELECT {k1} AS k1, {k2} AS k2, "
+        f"CAST(grouping_id({k1}, {k2}) AS BIGINT) AS gid, "
+        f"CAST({fn}({inner}) AS BIGINT) AS a0, count(*) AS n "
+        f"FROM nation GROUP BY {shape}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_grouping_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_grouping_select(seed)
+    srows = spark.sql(sql).collect()
+    drows = duck.execute(sql).fetchall()
+    s_norm = sorted(tuple(str(c) for c in r) for r in srows)
+    d_norm = sorted(tuple(str(c) for c in r) for r in drows)
+    assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
