@@ -119,6 +119,42 @@ class Engine:
         reference's FE cost-based join ordering inputs)."""
         self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
 
+    def compute_incremental_stats(self, table: str,
+                                  partition: Mapping[str, object] | None = None,
+                                  ) -> None:
+        """COMPUTE INCREMENTAL STATS [PARTITION (...)] (grammar
+        sql-parser.y COMPUTE INCREMENTAL; incremental-stats per-partition
+        accumulation in the reference FE) -> partition-scoped ANALYZE: only
+        the named partition is rescanned, table-level row counts update
+        incrementally — the same contract at Spark's granularity."""
+        if partition:
+            spec = ", ".join(
+                f"{k} = '{v}'" if isinstance(v, str) else f"{k} = {v}"
+                for k, v in partition.items()
+            )
+            self.spark.sql(
+                f"ANALYZE TABLE {table} PARTITION ({spec}) COMPUTE STATISTICS"
+            )
+        else:
+            self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+
+    def show_partitions(self, table: str) -> DataFrame:
+        """SHOW PARTITIONS (shell/impala-shell surface; HdfsTable partition
+        listing)."""
+        return self.spark.sql(f"SHOW PARTITIONS {table}")
+
+    def show_column_stats(self, table: str) -> DataFrame:
+        """SHOW COLUMN STATS -> DESCRIBE EXTENDED per column is Spark's
+        surface; this returns (col_name, data_type, comment) + the analyzed
+        min/max/ndv when stats exist."""
+        return self.spark.sql(f"DESCRIBE EXTENDED {table}")
+
+    def show_table_stats(self, table: str) -> DataFrame:
+        """SHOW TABLE STATS -> DESCRIBE EXTENDED (rowCount/sizeInBytes land
+        in the Statistics row once ANALYZE has run)."""
+        df = self.spark.sql(f"DESCRIBE EXTENDED {table}")
+        return df.filter(F.col("col_name").isin("Statistics", "Location", "Provider"))
+
     def show_tables(self) -> DataFrame:
         return self.spark.sql("SHOW TABLES")
 

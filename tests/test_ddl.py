@@ -269,3 +269,29 @@ def test_mixed_format_partitions(eng, spark, tmp_path):
     # ALTER ... SET FILEFORMAT is metadata-only reinterpretation
     mt.set_fileformat(3, "orc")  # no-op change keeps the table readable
     assert eng.sql("SELECT count(*) AS c FROM mixedfmt").first().c == 30
+
+
+def test_incremental_stats_and_partition_listing(eng, spark):
+    """COMPUTE INCREMENTAL STATS PARTITION + SHOW PARTITIONS / TABLE STATS
+    (round-2 parity: the reference's per-partition stats accumulation and
+    shell listing surface)."""
+    spark.sql("DROP TABLE IF EXISTS i2s_test.part_stats_t")
+    spark.sql(
+        "CREATE TABLE i2s_test.part_stats_t (x INT, p STRING) "
+        "USING parquet PARTITIONED BY (p)"
+    )
+    spark.sql(
+        "INSERT INTO i2s_test.part_stats_t PARTITION (p='a') VALUES (1), (2)"
+    )
+    spark.sql(
+        "INSERT INTO i2s_test.part_stats_t PARTITION (p='b') VALUES (3)"
+    )
+    parts = {r[0] for r in eng.show_partitions("i2s_test.part_stats_t").collect()}
+    assert parts == {"p=a", "p=b"}
+    eng.compute_incremental_stats("i2s_test.part_stats_t", {"p": "a"})
+    eng.compute_incremental_stats("i2s_test.part_stats_t")
+    stats = eng.show_table_stats("i2s_test.part_stats_t").collect()
+    assert any("Statistics" in r[0] for r in stats)
+    cols = {r[0] for r in eng.show_column_stats("i2s_test.part_stats_t").collect()}
+    assert "x" in cols and "p" in cols
+    spark.sql("DROP TABLE i2s_test.part_stats_t")
