@@ -1035,3 +1035,73 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", "week_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "pipeline_curate_multimodal",
+    oracle=f"""
+WITH q AS (SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 200),
+keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+k1 AS (SELECT q.doc_id, q.n_chars FROM q JOIN keepers USING (doc_id)),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings JOIN k1 ON vec_id = k1.doc_id
+),
+b AS (
+  {{sign_bands}}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+),
+neardup AS (
+  SELECT DISTINCT id_b
+  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b2 ON b2.vec_id = id_b
+  WHERE round(list_dot_product(a.emb, b2.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b2.emb, b2.emb))), 4) >= 0.45
+)
+SELECT k1.doc_id, k1.n_chars, em.label
+FROM k1
+JOIN embeddings em ON em.vec_id = k1.doc_id
+ANTI JOIN neardup ON k1.doc_id = neardup.id_b
+ORDER BY k1.doc_id
+""".replace("{sign_bands}", S.sign_bands_oracle()),
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation flagship: documents joined 1:1 with their
+    embedding modality, then (1) length quality gate, (2) exact text dedup
+    (min doc_id per md5 fingerprint), (3) embedding near-dup removal via the
+    banded sign-LSH candidates + exact cosine verify — the higher doc_id of
+    every qualifying pair drops (keep-first rule, deterministic and
+    oracle-expressible without iterative chaining).
+
+    Scale shape: gates are scan-local filters; dedup shuffles the 32-byte
+    hash; the near-dup stage runs only on gate survivors and is the
+    (band, key) equijoin — at 100 TB no stage touches more than the
+    surviving corpus, and nothing is all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    q = docs.filter(F.col("n_chars") >= 200).select("doc_id", "text", "n_chars")
+    keepers = q.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    k1 = q.join(keepers.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "n_chars"
+    )
+    corpus = emb.join(
+        k1.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    ).select("vec_id", "embedding")
+    neardup = (
+        S.sign_band_pairs(corpus, threshold=0.45)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    labels = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return (
+        k1.join(neardup, "doc_id", "left_anti")
+        .join(labels, "doc_id")
+        .select("doc_id", "n_chars", "label")
+        .orderBy("doc_id")
+    )
