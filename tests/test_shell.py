@@ -146,3 +146,19 @@ def test_shell_summary_and_unset():
     assert "NUM_NODES=4\n(no session options set)" not in proc.stdout
     tail = proc.stdout.split("unset NUM_NODES", 1)[1]
     assert "NUM_NODES" not in tail
+
+
+def test_shell_output_file(tmp_path):
+    out = tmp_path / "result.txt"
+    proc = subprocess.run(
+        [sys.executable, "tools/i2s_shell.py", "--sf-dir",
+         "/root/testdata/sf0.001", "-B", "-o", str(out),
+         "-q", "SELECT count(*) AS n FROM region"],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "5" in proc.stdout          # still printed to stdout
+    assert "5" in out.read_text()      # and duplicated to the file

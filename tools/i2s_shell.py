@@ -165,9 +165,21 @@ def main() -> None:
                     help="plain delimited output instead of pretty tables")
     ap.add_argument("--output_delimiter", default="\t",
                     help="field delimiter for -B output (default tab)")
+    ap.add_argument("-o", "--output_file",
+                    help="write query output to this file as well as stdout")
     args = ap.parse_args()
     shell = Shell(args.sf_dir, delimited=args.delimited,
                   output_delimiter=args.output_delimiter)
+    import builtins
+
+    out_f = open(args.output_file, "w") if args.output_file else None
+    _print = builtins.print
+
+    def print(*a, **kw):  # noqa: A001 - impala-shell -o duplicates output
+        _print(*a, **kw)
+        if out_f is not None and kw.get("file") in (None, sys.stdout):
+            _print(*a, file=out_f)
+            out_f.flush()
 
     def run_script(text: str) -> int:
         rc = 0
