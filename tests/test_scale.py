@@ -124,8 +124,11 @@ def test_no_persisted_rdds_after_release(spark, sf_dir):
     )
     from impalatogo_spark.session import release_persisted
 
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    # other tests' localCheckpoint RDDs may linger until GC — assert no NET
+    # growth from these queries, not a globally empty cache
+    before = jsc.getPersistentRDDs().size()
     for fn in (dedup_ngram_jaccard, dedup_minhash_lsh):
         fn(spark, sf_dir).collect()
         assert release_persisted() >= 1
-    jsc = spark.sparkContext._jsc  # noqa: SLF001
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= before
