@@ -1105,3 +1105,103 @@ def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "label")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle="""
+WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM t GROUP BY lang
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per_lang)
+SELECT lang, n_docs, tokens,
+       round(tokens * 1.0 / total, 6) AS actual_share,
+       round((1.0 / (SELECT count(*) FROM per_lang))
+             / (tokens * 1.0 / total), 6) AS resample_weight
+FROM per_lang CROSS JOIN tot
+""",
+    tags=("pipeline", "mixture"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-language token shares and the resampling
+    weight that moves the corpus to a UNIFORM target mixture
+    (weight = target_share / actual_share) — the knob a pretraining
+    pipeline turns to rebalance domains. One map-side-combined aggregate;
+    shares are ratios of exact integer token counts (engine-deterministic).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    per_lang = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    tot = per_lang.agg(
+        F.sum("tokens").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return (
+        per_lang.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") * 1.0 / F.col("total"), 6).alias("actual_share"),
+            F.round(
+                (1.0 / F.col("n_langs")) / (F.col("tokens") * 1.0 / F.col("total")), 6
+            ).alias("resample_weight"),
+        )
+    )
+
+
+_BUDGET_TOKENS = 800  # per-source token budget for the sampling query
+
+
+@register(
+    "corpus_budget_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+""",
+    tags=("pipeline", "sampling"),
+)
+def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsampling: per source, keep documents in
+    content-hash order until the cumulative token count reaches the budget.
+    Hash order makes the selection a deterministic uniform sample that is
+    stable across runs/engines/partitionings (no RAND, no Spark-internal
+    hash); the cumulative sum is a per-source window — one hash exchange on
+    source, state bounded per partition."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
