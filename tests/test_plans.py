@@ -206,3 +206,27 @@ def test_embedding_neardup_is_bucketed_not_allpairs(spark, sf_dir):
     plan = plans.simple_plan(dedup_embedding_cosine(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Sweep every registered batch query: a CartesianProduct node (a
+    non-broadcast cross join) is never acceptable — at 100 TB it is an
+    O(n*m) shuffle explosion. (1-row-broadcast scalar subqueries compile to
+    BroadcastNestedLoopJoin, which is fine — the broadcast side is one
+    row by construction; this sweep targets the genuinely unbounded form.)"""
+    from impalatogo_spark.queries import all_queries
+
+    offenders = []
+    for name, q in sorted(all_queries().items()):
+        if "streaming" in name:  # streaming plans materialize via sinks
+            continue
+        try:
+            plan = plans.simple_plan(q.spark_fn(spark, sf_dir))
+        except Exception:
+            continue  # rows-only queries that need special harnesses
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    from impalatogo_spark.session import release_persisted
+
+    release_persisted()
+    assert not offenders, f"CartesianProduct in: {offenders}"
