@@ -158,6 +158,12 @@ class Engine:
     def show_tables(self) -> DataFrame:
         return self.spark.sql("SHOW TABLES")
 
+    def show_create_table(self, table: str) -> str:
+        """SHOW CREATE TABLE (ToSqlUtils.getCreateTableSql in the reference
+        frontend; show-create-table.test) -> Spark's native statement,
+        returned as the DDL string."""
+        return self.spark.sql(f"SHOW CREATE TABLE {table}").first()[0]
+
     def describe(self, table: str, formatted: bool = False) -> DataFrame:
         kw = "DESCRIBE FORMATTED" if formatted else "DESCRIBE"
         return self.spark.sql(f"{kw} {table}")

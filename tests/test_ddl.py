@@ -105,6 +105,40 @@ def test_show_and_describe(eng):
     assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
 
 
+def test_show_create_table(eng):
+    """SHOW CREATE TABLE round-trips the table's DDL (show-create-table.test;
+    fe ToSqlUtils.getCreateTableSql)."""
+    ddl = eng.show_create_table("i2s_test.nation_copy")
+    assert "CREATE TABLE" in ddl
+    assert "nation_copy" in ddl
+    assert "n_nationkey" in ddl and "n_regionkey" in ddl
+
+
+def test_unmatched_schema_null_fills_old_files(eng, spark):
+    """Scanner behavior when table metadata has MORE columns than a data file
+    (test-unmatched-schema.test): rows from pre-ALTER files read NULL for the
+    added column; post-ALTER inserts carry real values."""
+    eng.ctas("i2s_test.unmatched", "SELECT n_nationkey, n_name FROM nation")
+    spark.sql("ALTER TABLE i2s_test.unmatched ADD COLUMN (new_col STRING)")
+    spark.sql(
+        "INSERT INTO i2s_test.unmatched VALUES (99, 'NEWLAND', 'fresh')"
+    )
+    rows = spark.table("i2s_test.unmatched").collect()
+    assert len(rows) == 26
+    old = [r for r in rows if r.n_nationkey != 99]
+    assert all(r.new_col is None for r in old)
+    assert [r.new_col for r in rows if r.n_nationkey == 99] == ["fresh"]
+
+
+def test_wide_row_10mb_string(eng, spark):
+    """wide-row.test: a 10 MB string value survives write+scan+length()."""
+    spark.sql(
+        "SELECT repeat('x', 10485760) AS string_col"
+    ).write.mode("overwrite").saveAsTable("i2s_test.widerow")
+    got = eng.sql("SELECT length(string_col) AS l FROM i2s_test.widerow").first().l
+    assert got == 10485760
+
+
 def test_alter_table_add_drop_column(eng, spark):
     """ALTER TABLE ADD/DROP COLUMN (AlterTableAddReplaceColsStmt.java)."""
     eng.ctas("i2s_test.alter_t", "SELECT n_nationkey FROM nation")
