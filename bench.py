@@ -60,6 +60,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_tumbling_window",
     "func_date_arith",
     # round 2: banded embedding near-dup, OLAP grouping, dist windows, setops
+    "dedup_substring_spans",
     "dedup_embedding_cosine",
     "agg_rollup",
     "agg_cube",

@@ -23,7 +23,7 @@ net-new capabilities built on the operator set SURVEY.md §2 maps.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_HASHES = 16
@@ -741,4 +741,188 @@ clean AS (
   FROM kept GROUP BY doc_id)
 SELECT doc_id, n_kept, length(txt) AS clean_len, md5(txt) AS clean_md5
 FROM clean ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better": remove verbatim substrings that occur more
+# than once in the corpus). Word-level approximation of the suffix-array
+# method: a duplicated span is a maximal run of k-gram fingerprints whose
+# fingerprint occurs >= min_count times corpus-wide.
+# ---------------------------------------------------------------------------
+
+def substring_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """Maximal duplicated word-span detection: every position whose k-word
+    gram repeats (>= min_count occurrences corpus-wide) is duplicated;
+    overlapping/adjacent duplicated grams merge into one span per document.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_grams) — token
+    positions are 0-based inclusive.
+
+    Scale shape (100 TB): the shuffle key is the 32-byte md5 of the k-gram,
+    never the text; the frequency pass is a map-side-combining groupBy; the
+    span merge is one window per document (one shuffle on doc id). No
+    suffix array materializes — the k-gram lattice IS the index, exactly
+    the trade the reference's comparison-harness-style exact twins make.
+    The semi join against duplicated fingerprints is a shuffled hash join
+    (dup set is corpus-sized; do NOT broadcast).
+    """
+    from impalatogo_spark.operators import split_words
+
+    w = split_words(
+        df.select(F.col(id_col).alias("id"), text_col),
+        text_col=text_col, out="__words", keep=("id",),
+    )
+    words = F.col("__words")
+    grams = (
+        w.filter(F.size(words) >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - k),
+                    lambda p: F.md5(F.concat_ws(" ", F.slice(words, p + 1, k))),
+                )
+            ).alias("start", "fp"),
+        )
+    )
+    dup = (
+        grams.groupBy("fp")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("fp")
+    )
+    spans = grams.join(dup, "fp", "left_semi").select(
+        "id",
+        F.col("start").cast("long").alias("start"),
+        (F.col("start") + (k - 1)).cast("long").alias("end"),
+    )
+    win = Window.partitionBy("id").orderBy("start")
+    prev_end = F.max("end").over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "ni",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("ni").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_grams",
+        )
+    )
+
+
+def substring_spans_oracle(k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of substring_spans over the `documents` view — identical
+    gram fingerprints (md5 of the space-joined k words), identical
+    overlap-or-adjacent island merge."""
+    return f"""
+WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT id, i AS start, md5(array_to_string(words[(i+1):(i+{k})], ' ')) AS fp
+  FROM w, UNNEST(range(len(words) - {k - 1})) AS t(i)
+  WHERE len(words) >= {k}
+),
+dup AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= {min_count}),
+s AS (
+  SELECT g.id, CAST(g.start AS BIGINT) AS start,
+         CAST(g.start + {k - 1} AS BIGINT) AS e
+  FROM g SEMI JOIN dup ON g.fp = dup.fp
+),
+f AS (
+  SELECT id, start, e,
+         CASE WHEN max(e) OVER pw IS NULL OR start > max(e) OVER pw + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM s
+  WINDOW pw AS (PARTITION BY id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+i AS (
+  SELECT id, start, e,
+         sum(ni) OVER (PARTITION BY id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+)
+SELECT id AS doc_id, min(start) AS span_start, max(e) AS span_end,
+       max(e) - min(start) + 1 AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM i GROUP BY id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup survivor selection: clusters -> one canonical document kept per
+# cluster (the end-to-end "which rows do I actually drop" step).
+# ---------------------------------------------------------------------------
+
+def near_dup_survivors(docs: DataFrame, components: DataFrame,
+                       id_col: str = "doc_id",
+                       quality_col: str = "n_chars") -> DataFrame:
+    """Per near-dup cluster (size >= 2), pick the survivor: max quality,
+    then min doc_id as the deterministic tie-break. Returns one row per
+    cluster: (cluster_id, survivor_id, cluster_size, removed).
+
+    `components` is (doc_id, cluster_id) from connected_components[_star].
+    Scale: one broadcast-size-agnostic shuffled join docs->components on
+    doc_id, then a per-cluster aggregate — the survivor pick is a max over
+    a packed (quality, -id) key, not a window sort.
+    """
+    joined = components.join(
+        docs.select(F.col(id_col).alias("doc_id"), quality_col), "doc_id"
+    )
+    # pack (quality asc, doc_id desc) into one orderable struct: survivor =
+    # max struct -> greatest quality, smallest id on ties
+    packed = joined.select(
+        "cluster_id",
+        F.struct(
+            F.col(quality_col).alias("q"), (-F.col("doc_id")).alias("nid")
+        ).alias("pick"),
+    )
+    return (
+        packed.groupBy("cluster_id")
+        .agg(F.max("pick").alias("best"), F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            "cluster_id",
+            (-F.col("best.nid")).alias("survivor_id"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("removed"),
+        )
+    )
+
+
+def survivors_oracle(clusters_sql: str, quality_col: str = "n_chars") -> str:
+    """DuckDB twin: same packed-max survivor rule over the recursive-CTE
+    cluster assignment."""
+    return f"""
+WITH comp AS ({clusters_sql}),
+j AS (
+  SELECT comp.cluster_id, d.doc_id, d.{quality_col} AS q
+  FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+),
+r AS (
+  SELECT cluster_id,
+         max(struct_pack(q := q, nid := -doc_id)) AS best,
+         CAST(count(*) AS BIGINT) AS cluster_size
+  FROM j GROUP BY cluster_id
+)
+SELECT cluster_id, -best.nid AS survivor_id, cluster_size,
+       cluster_size - 1 AS removed
+FROM r WHERE cluster_size >= 2
 """

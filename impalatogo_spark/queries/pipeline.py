@@ -741,6 +741,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    oracle=D.substring_spans_oracle(k=8, min_count=2),
+    tags=("dedup", "text"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (word-level suffix-array
+    approximation, Lee et al.): positions whose 8-word gram repeats
+    corpus-wide, merged into maximal per-document spans. Shuffles md5
+    fingerprints only; scale notes in operators/dedup.py::substring_spans."""
+    return D.substring_spans(_t(spark, sf_dir, "documents"), k=8, min_count=2)
+
+
+@register(
+    "dedup_survivors",
+    oracle=D.survivors_oracle(D.clusters_oracle(D.minhash_lsh_oracle(threshold=0.5))),
+    tags=("dedup", "graph"),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup survivor selection: MinHash-LSH verified pairs ->
+    connected components -> one kept doc per cluster (max n_chars, min id
+    tie-break as a packed-struct max — no per-cluster sort window). The
+    'which rows do I actually drop' step a curation pipeline ends with."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = tracked_persist(D.word_shingles(docs))
+    pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
+    return D.near_dup_survivors(docs, D.connected_components(pairs))
+
+
+@register(
     "dedup_paragraph",
     oracle=D.paragraph_dedup_oracle(),
     tags=("dedup", "text"),

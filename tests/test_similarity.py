@@ -161,3 +161,56 @@ def test_cap_shingle_df_drops_only_hot(spark):
     sh = spark.createDataFrame(rows, "id int, g string")
     kept = {r.g for r in D.cap_shingle_df(sh, max_df=4).collect()}
     assert kept == {"rare one here", "rare two here"}
+
+
+def test_substring_spans_island_merge(spark):
+    """Hand-built fixture: two docs share one verbatim 10-word run; the
+    9 duplicated 8-gram positions merge into ONE span covering tokens
+    [2,11] in doc 1 and [0,9] in doc 2; unique text yields no spans."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "u1 u2 " + shared + " t1 t2"),
+        (2, shared + " z9"),
+        (3, " ".join(f"only{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in D.substring_spans(df, k=8).collect()
+    }
+    assert got == {1: (2, 11, 10, 3), 2: (0, 9, 10, 3)}
+
+
+def test_substring_spans_adjacent_islands_merge(spark):
+    """Two duplicated grams separated by exactly one position (adjacent
+    spans) merge; separated by more stay two spans."""
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    # doc3/doc4 share a and b; doc3 has them adjacent (gap 0 tokens between
+    # spans? positions 0-7 and 8-15 -> adjacent, merge), doc4 separates them
+    # by 3 unique tokens -> two islands
+    rows = [
+        (30, a + " " + b),
+        (40, a + " x1 x2 x3 " + b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in D.substring_spans(df, k=8).collect()
+    )
+    assert got == [(30, 0, 15), (40, 0, 7), (40, 11, 18)]
+
+
+def test_near_dup_survivors_picks_quality_then_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (9, 7)],
+        "doc_id long, n_chars long",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (9, 9)],
+        "doc_id long, cluster_id long",
+    )
+    rows = D.near_dup_survivors(docs, comp).collect()
+    assert len(rows) == 1  # singleton clusters excluded
+    r = rows[0]
+    assert (r.cluster_id, r.survivor_id, r.cluster_size, r.removed) == (1, 2, 3, 2)
