@@ -1069,6 +1069,51 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS transitions,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    tags=("events",),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: count + total
+    dwell time for every (prev_type -> next_type) edge. One window shuffle
+    on user_id then a map-side-combined groupBy; ordering tie-broken by
+    event_id so lag() is deterministic; dwell summed in exact epoch-us
+    integers (no float time arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count("*").alias("transitions"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        )
+    )
+
+
+@register(
     "pipeline_curate_multimodal",
     oracle=f"""
 WITH q AS (SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 200),
