@@ -156,6 +156,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh0 AS ({D.word_shingles_oracle()}),
+hot AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) > {_JACCARD_MAX_DF}),
+sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot ON sh0.g = hot.g),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+SELECT id_a, id_b,
+       round(inter * 1.0 / least(na.n, nb.n), 4) AS containment
+FROM pairs JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+WHERE inter * 2 >= least(na.n, nb.n)
+""",
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup via the overlap coefficient
+    |A∩B| / min(|A|,|B|) >= 0.5 — catches a short document contained
+    verbatim inside a longer one, which symmetric Jaccard misses (the
+    union denominator drowns the small side). Same capped shingle-join
+    candidate generator as dedup_ngram_jaccard; the threshold test is the
+    integer comparison 2*inter >= min(na, nb) so borderline membership
+    never rides a float boundary (the reported score is display-only)."""
+    sh = tracked_persist(
+        D.cap_shingle_df(
+            D.word_shingles(_t(spark, sf_dir, "documents")), _JACCARD_MAX_DF
+        )
+    )
+    sa = sh.select(F.col("id").alias("id_a"), "g")
+    sb = sh.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        sa.join(sb, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    m = F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("inter") * 2 >= m)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / m, 4).alias("containment"),
+        )
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
