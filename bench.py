@@ -66,6 +66,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "agg_cube",
     "window_ntile_dist",
     "set_intersect",
+    # round 2 (cont.): model-scoring gate, Bloom prefilter, int8 ADC MIPS,
+    # pivot reshaping
+    "text_quality_classifier",
+    "dedup_bloom_prefilter",
+    "ann_topk_quantized",
+    "agg_pivot",
 ]
 RUNS = 3
 

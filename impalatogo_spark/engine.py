@@ -51,6 +51,12 @@ class Engine:
 
     def sql(self, text: str) -> DataFrame:
         """Execute Impala-dialect SQL (translated to Spark SQL)."""
+        m = re.match(r"\s*SHOW\s+FILES\s+IN\s+([\w.`]+)\s*;?\s*$", text,
+                     flags=re.IGNORECASE)
+        if m:
+            # Impala-only statement (sql-parser.y SHOW FILES) — no Spark SQL
+            # equivalent to translate to; served from catalog metadata.
+            return self.show_files(m.group(1))
         translated = translate(text)
         if self.options.get("APPX_COUNT_DISTINCT", "0") in ("1", "true", "TRUE"):
             # query-option rewrite count(distinct x) -> ndv(x), the reference's
@@ -157,6 +163,34 @@ class Engine:
 
     def show_tables(self) -> DataFrame:
         return self.spark.sql("SHOW TABLES")
+
+    def show_files(self, table: str) -> DataFrame:
+        """SHOW FILES IN <table> (grammar sql-parser.y SHOW FILES; HdfsTable
+        file-descriptor listing): one row per data file with its size and
+        partition-relative path. Resolved from the catalog location and
+        walked driver-side — file metadata is catalog-scale, not data-scale,
+        so this never touches executors (same as the reference, which serves
+        it from the catalog's file descriptors)."""
+        import os
+
+        loc = (
+            self.spark.sql(f"DESCRIBE EXTENDED {table}")
+            .filter(F.col("col_name") == "Location")
+            .first()["data_type"]
+        )
+        root = loc[len("file:"):] if loc.startswith("file:") else loc
+        rows = []
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.startswith("_") or f.startswith("."):
+                    continue
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, root)
+                part = os.path.dirname(rel)
+                rows.append((rel, int(os.path.getsize(full)), part))
+        return self.spark.createDataFrame(
+            sorted(rows), "path string, size bigint, partition string"
+        )
 
     def show_create_table(self, table: str) -> str:
         """SHOW CREATE TABLE (ToSqlUtils.getCreateTableSql in the reference

@@ -926,3 +926,135 @@ SELECT cluster_id, -best.nid AS survivor_id, cluster_size,
        cluster_size - 1 AS removed
 FROM r WHERE cluster_size >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter (batch-vs-corpus exact dedup at scale)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 65536  # bit-space size
+BLOOM_K = 4      # hash functions (4 disjoint md5 hex chunks)
+
+
+def _bloom_positions(text: Column, m: int = BLOOM_M) -> Column:
+    """BLOOM_K bit positions for one document: disjoint 4-hex-char chunks of
+    md5(text), each mod m — k independent-enough hashes from ONE md5
+    evaluation, engine-mirrorable bit-for-bit."""
+    return F.array(
+        *[
+            F.conv(F.substring(F.md5(text), 1 + 8 * j, 4), 16, 10).cast("long") % m
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_prefilter_dedup(incoming: DataFrame, corpus: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          m: int = BLOOM_M) -> DataFrame:
+    """Exact batch-vs-corpus dedup behind a Bloom-filter prefilter: the
+    corpus is summarized as the SET BIT POSITIONS of a Bloom filter
+    (BLOOM_K md5-derived positions per doc, BLOOM_M-bit space); an incoming
+    doc is a candidate only if ALL its k positions are set. Only candidates
+    pay the exact fingerprint join — the standard way to make a
+    batch-vs-100-TB-corpus membership check cheap: the filter is O(m) bits
+    (a broadcast bitmap on a cluster; here a distinct-positions table whose
+    size is <= min(m, k * corpus_docs)), the corpus itself never joins.
+
+    By construction there are NO false negatives (every exact dup is a
+    bloom hit — asserted in tests/test_dedup.py); false positives are the
+    documented Bloom trade-off and are resolved by the exact join, so the
+    final exact_dup column is exact.
+
+    Returns one row per incoming doc: (doc_id, bloom_hit, exact_dup).
+    """
+    bits = (
+        corpus.select(F.explode(_bloom_positions(F.col(text_col), m)).alias("pos"))
+        .distinct()
+    )
+    inc = incoming.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fp"),
+        F.explode(_bloom_positions(F.col(text_col), m)).alias("pos"),
+    )
+    # per incoming doc: count how many of its (distinct) positions are set.
+    # distinct BEFORE the count: two hash chunks of one doc may collide on
+    # the same position, which must count once against the k-of-k test.
+    hits = (
+        inc.select("doc_id", "fp", "pos")
+        .distinct()
+        .withColumn("n_pos", F.count("*").over(Window.partitionBy("doc_id")))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "fp", "n_pos")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == F.col("n_pos"))
+        .select("doc_id", "fp")
+    )
+    corpus_fp = corpus.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    exact = hits.join(corpus_fp, "fp", "left_semi").select(
+        "doc_id", F.lit(True).alias("exact_dup")
+    )
+    return (
+        incoming.select(F.col(id_col).alias("doc_id"))
+        .join(hits.select("doc_id", F.lit(True).alias("bloom_hit")), "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bloom_prefilter_oracle(inject_offset: int = 1_000_000_000) -> str:
+    """DuckDB twin of the registered query: odd-doc batch PLUS relabeled
+    copies of every 10th even corpus doc (known duplicates — the testdata
+    has no natural exact dups, so the dup path would otherwise be vacuous),
+    identical md5-chunk positions, set-bit table, k-of-k membership test,
+    exact verify on candidates only."""
+    def poly(start: int) -> str:
+        return "(" + " + ".join(
+            f"CAST(strpos('{HEX}', substr(h, {start + i}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        ) + f") % {BLOOM_M}"
+
+    pos_c = " UNION ALL ".join(
+        f"SELECT doc_id, h, {poly(1 + 8 * j)} AS pos FROM hashed_c"
+        for j in range(BLOOM_K)
+    )
+    pos_b = " UNION ALL ".join(
+        f"SELECT doc_id, h, {poly(1 + 8 * j)} AS pos FROM hashed_b"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {inject_offset} AS doc_id, text
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+hashed_c AS (SELECT doc_id, md5(text) AS h FROM corpus),
+hashed_b AS (SELECT doc_id, md5(text) AS h FROM batch),
+pos_c AS ({pos_c}),
+bits AS (SELECT DISTINCT pos FROM pos_c),
+pos_b AS ({pos_b}),
+inc AS (SELECT DISTINCT doc_id, h, pos FROM pos_b),
+npos AS (SELECT doc_id, count(*) AS n_pos FROM inc GROUP BY doc_id),
+hits AS (
+  SELECT inc.doc_id, any_value(inc.h) AS h
+  FROM inc JOIN bits USING (pos) JOIN npos USING (doc_id)
+  GROUP BY inc.doc_id, npos.n_pos
+  HAVING count(*) = npos.n_pos
+),
+corpus_fp AS (SELECT DISTINCT h FROM hashed_c),
+exact AS (SELECT doc_id FROM hits WHERE h IN (SELECT h FROM corpus_fp))
+SELECT b.doc_id,
+       (hits.doc_id IS NOT NULL) AS bloom_hit,
+       (exact.doc_id IS NOT NULL) AS exact_dup
+FROM batch b
+LEFT JOIN hits ON hits.doc_id = b.doc_id
+LEFT JOIN exact ON exact.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""

@@ -729,3 +729,64 @@ SELECT word, CAST(sum(tf) AS BIGINT) AS term_freq,
 FROM per_doc GROUP BY word
 ORDER BY term_freq DESC, word LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (fastText/CCNet-shaped gate)
+# ---------------------------------------------------------------------------
+
+def classifier_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Linear text classifier via the hashing trick: each token hashes to an
+    integer weight, the document score is the weight sum — the shape of a
+    fastText-style quality gate (CCNet / RedPajama filtering) run at corpus
+    scale, where the "model" is a token->weight lookup fused into the scan.
+
+    Weights here are md5-derived stand-ins (w = hash(token) % 101 - 50,
+    i.e. [-50, 50]) so the operator is deterministic and oracle-exact; a
+    real deployment broadcasts the trained weight table and the plan is
+    identical. Everything is integer arithmetic: the keep decisions
+    (sum >= 0, mean weight >= 0.5) are exact BIGINT comparisons with no
+    float threshold to wobble.
+
+    Scale shape: explode -> per-doc sum with map-side combine; the shuffle
+    carries one (doc, partial-sum) per task, never tokens. Zero Python.
+    """
+    from impalatogo_spark.operators import split_words
+
+    words = split_words(df.select("doc_id", F.col(text_col)),
+                        text_col=text_col, out="w")
+    wt = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long") % 101
+        - 50
+    )
+    per = words.select("doc_id", F.explode("w").alias("tok")).select(
+        "doc_id", wt.alias("wt")
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("wt").alias("score_int")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "score_int",
+        (F.col("score_int") >= 0).alias("keep"),
+        (F.col("score_int") * 2 >= F.col("n_tokens")).alias("keep_strict"),
+    ).orderBy("doc_id")
+
+
+def classifier_scores_oracle() -> str:
+    """DuckDB twin: identical md5-weight hashing (strpos hex polynomial —
+    DuckDB has no conv())."""
+    hex_poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (SELECT doc_id, ({hex_poly}) % 101 - 50 AS wt FROM w)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_int,
+       CAST(sum(wt) AS BIGINT) >= 0 AS keep,
+       CAST(sum(wt) AS BIGINT) * 2 >= count(*) AS keep_strict
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1337,3 +1337,59 @@ def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@register(
+    "text_quality_classifier",
+    oracle=X.classifier_scores_oracle(),
+    tags=("text", "quality"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (fastText/CCNet-shaped gate):
+    md5-derived token weights, integer score sum, exact BIGINT keep
+    thresholds. The model-scoring-at-scale plan: weight lookup fused into
+    the scan, map-side-combined per-doc sum. Scale notes in
+    operators/text.py::classifier_scores."""
+    return X.classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=D.bloom_prefilter_oracle(),
+    tags=("dedup",),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter for batch-vs-corpus exact dedup:
+    the batch (odd-doc_id docs PLUS relabeled copies of every 10th even doc
+    — injected known duplicates, since the synthetic corpus has no natural
+    exact dups) is checked against the even-doc_id corpus's 65536-bit /
+    4-hash Bloom set; only bloom-hit candidates pay the exact fingerprint
+    join. No false negatives by construction (asserted in
+    tests/test_dedup.py, which also forces the false-positive path with a
+    tiny m); scale notes in operators/dedup.py::bloom_prefilter_dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text"
+            )
+        )
+    )
+    return D.bloom_prefilter_dedup(batch, corpus)
+
+
+@register(
+    "ann_topk_quantized",
+    oracle=S.quantized_mips_oracle(k=5, query_max=5),
+    tags=("similarity",),
+)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate MIPS top-5 over the int8-quantized embedding store
+    (vec_id < 5 as queries): integer dot products over quantized codes —
+    bit-deterministic ranking, 4x less scan I/O than float32. Recall vs the
+    exact float inner-product ranking asserted in tests/test_similarity.py;
+    scale notes in operators/similarity.py::quantized_mips_topk."""
+    return S.quantized_mips_topk(_t(spark, sf_dir, "embeddings"), k=5)

@@ -1881,3 +1881,109 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t GROUP BY o_orderstatus
         """,
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT user_id % 20 AS bucket,
+""" + ",\n".join(
+        f"       CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN"
+        f" CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS {t}_cents"
+        for t in _EVENT_TYPES
+    ) + """
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    tags=("aggregation", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per user-bucket revenue cents by event type as columns.
+    Explicit pivot values compile to ONE aggregate pass (pivot-first
+    aggregation), not a per-value UNION — the Spark-native relational
+    pivot the reference lacks (documented beyond-reference extension).
+    Money summed as integer cents (repo rounding policy)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("bucket"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = ev.groupBy("bucket").pivot("event_type", list(_EVENT_TYPES)).agg(
+        F.sum("cents")
+    )
+    return p.select(
+        "bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cents") for t in _EVENT_TYPES],
+    ).orderBy("bucket")
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+WITH p AS (
+  SELECT user_id % 20 AS bucket,
+""" + ",\n".join(
+        f"         CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN"
+        f" CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    ) + """
+  FROM events GROUP BY 1)
+SELECT bucket, event_type, cents FROM p
+UNPIVOT (cents FOR event_type IN (click, error, purchase, signup, view))
+ORDER BY bucket, event_type
+""",
+    tags=("aggregation", "pivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): widen then unpivot back to (bucket, event_type,
+    cents) — the wide-to-long reshaping primitive, exercised as a
+    round-trip so the oracle pins both directions. Zero-filled cells
+    survive the round-trip (UNPIVOT keeps non-NULL measures)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("bucket"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = ev.groupBy("bucket").pivot("event_type", list(_EVENT_TYPES)).agg(
+        F.sum("cents")
+    )
+    wide = p.select(
+        "bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+    return wide.unpivot(
+        "bucket", list(_EVENT_TYPES), "event_type", "cents"
+    ).orderBy("bucket", "event_type")
+
+
+@register(
+    "lateral_explode_tokens",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id, tok, count(*) AS n
+FROM w WHERE length(tok) >= 8
+GROUP BY doc_id, tok ORDER BY doc_id, tok
+""",
+    tags=("sql", "complex-types"),
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode through the SQL entry — the Hive/Spark SQL
+    surface for array flattening (complex-type queries the reference's
+    1.x-era grammar lacks; documented beyond-reference extension). The
+    Generate node runs inside the scan stage — no shuffle until the
+    groupBy."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT doc_id, tok, count(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE doc_id % 50 = 0 AND length(tok) >= 8
+        GROUP BY doc_id, tok ORDER BY doc_id, tok
+        """,
+    )

@@ -77,7 +77,7 @@ def get_spark(app_name: str = "impalatogo-spark", cpus: int | None = None) -> Sp
         # queries 2-3x slower at the tail of the 82-query bench suite).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

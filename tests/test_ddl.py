@@ -105,6 +105,20 @@ def test_show_and_describe(eng):
     assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
 
 
+def test_show_files(eng, spark):
+    """SHOW FILES IN <table> (sql-parser.y SHOW FILES): one row per data
+    file with size and partition-relative path, including partitioned
+    layouts."""
+    rows = eng.show_files("i2s_test.nation_copy").collect()
+    assert rows and all(r.size > 0 for r in rows)
+    assert all(not r.path.startswith("_") for r in rows)
+    prows = eng.show_files("i2s_test.nation_part").collect()
+    assert prows and any("n_regionkey=" in r.partition for r in prows)
+    # SQL-statement surface: SHOW FILES IN <table> through Engine.sql
+    srows = eng.sql("SHOW FILES IN i2s_test.nation_copy").collect()
+    assert {r.path for r in srows} == {r.path for r in rows}
+
+
 def test_show_create_table(eng):
     """SHOW CREATE TABLE round-trips the table's DDL (show-create-table.test;
     fe ToSqlUtils.getCreateTableSql)."""

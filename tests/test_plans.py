@@ -230,3 +230,27 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
 
     release_persisted()
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_pivot_single_aggregate_pass(spark, sf_dir):
+    """PIVOT with explicit values must compile to ONE aggregation pipeline
+    over one scan (PivotFirst) — never a per-value UNION or one scan per
+    pivot column (5 event types = 5x the scan cost at 100 TB)."""
+    import re
+
+    from impalatogo_spark.queries.relational import agg_pivot
+
+    plan = plans.formatted_plan(agg_pivot(spark, sf_dir))
+    assert "Union" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_bloom_prefilter_broadcasts_bits_and_never_joins_corpus_text(spark, sf_dir):
+    """The Bloom bit-set must reach the batch via a broadcast join (it is
+    filter-sized by construction); the corpus side contributes only md5
+    fingerprints/positions to any exchange — full text never shuffles."""
+    from impalatogo_spark.queries.pipeline import dedup_bloom_prefilter
+
+    plan = plans.formatted_plan(dedup_bloom_prefilter(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

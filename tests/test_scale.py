@@ -132,3 +132,59 @@ def test_no_persisted_rdds_after_release(spark, sf_dir):
         fn(spark, sf_dir).collect()
         assert release_persisted() >= 1
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Joining a lang-partitioned fact with a filtered dim must inject a
+    dynamicpruning expression into the fact scan's PartitionFilters — at
+    100 TB this is the difference between scanning one partition and all of
+    them, and it requires only that the layout is partitioned and the join
+    is declarative (Catalyst inserts the runtime subquery itself)."""
+    from impalatogo_spark import plans
+    from impalatogo_spark.session import table
+
+    docs = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "pdocs")
+    docs.write.partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame([("en", 1), ("fr", 0)], "lang string, flag int")
+    j = fact.join(dim.filter(F.col("flag") == 1), "lang").groupBy("lang").count()
+    plan = plans.formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_reaches_probe_side(spark, sf_dir):
+    """With a selective build side and a shuffle join, Spark's runtime bloom
+    filter (might_contain) must be injected on the probe side — the
+    row-level analogue of DPP for unpartitioned join keys; at 100 TB it
+    drops most probe rows before the exchange."""
+    from impalatogo_spark import plans
+    from impalatogo_spark.session import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plans.formatted_plan(j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

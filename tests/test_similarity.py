@@ -4,6 +4,7 @@ banded-simhash completeness vs the quadratic form."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from impalatogo_spark.operators import dedup as D
@@ -214,3 +215,64 @@ def test_near_dup_survivors_picks_quality_then_min_id(spark):
     assert len(rows) == 1  # singleton clusters excluded
     r = rows[0]
     assert (r.cluster_id, r.survivor_id, r.cluster_size, r.removed) == (1, 2, 3, 2)
+
+
+def test_quantized_mips_recall_vs_exact_float(spark, sf_dir):
+    """ADC fixed-point MIPS over int8 codes must agree with the exact
+    double-precision inner-product top-5 almost everywhere (the fixed-point
+    + quantization error only reorders near-ties)."""
+    from collections import defaultdict
+
+    from impalatogo_spark.session import table
+
+    e = S.with_double_embedding(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
+        "q_id", "vec_id", S._dot(F.col("q_emb"), F.col("embedding")).alias("ip")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    exact = (
+        j.withColumn("r", F.row_number().over(w))
+        .filter("r <= 5")
+        .select("q_id", "vec_id")
+        .collect()
+    )
+    approx = (
+        S.quantized_mips_topk(table(spark, sf_dir, "embeddings"), k=5)
+        .select("q_id", "vec_id")
+        .collect()
+    )
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.q_id].add(r.vec_id)
+    for r in approx:
+        ap[r.q_id].add(r.vec_id)
+    overlaps = [len(ex[k] & ap[k]) / 5 for k in ex]
+    assert sum(overlaps) / len(overlaps) >= 0.8
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_resolution(spark):
+    """Bloom membership can never miss a true duplicate (k-of-k positions of
+    identical text are identical); with a deliberately tiny bit space the
+    false-positive path fires and the exact join must resolve it."""
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # 5 true dups of corpus docs + 20 fresh docs
+        [(1000 + i, f"corpus document number {i} body") for i in range(5)]
+        + [(2000 + i, f"fresh incoming document {i} body") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.bloom_prefilter_dedup(batch, corpus, m=64).collect()}
+    assert len(out) == 25
+    for i in range(5):
+        r = out[1000 + i]
+        assert r.bloom_hit and r.exact_dup  # no false negatives
+    fresh = [out[2000 + i] for i in range(20)]
+    assert all(not r.exact_dup for r in fresh)  # exact join resolves FPs
+    # tiny m (64 bits, ~160 set positions) forces bloom false positives:
+    assert any(r.bloom_hit for r in fresh)
