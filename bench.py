@@ -72,6 +72,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "dedup_bloom_prefilter",
     "ann_topk_quantized",
     "agg_pivot",
+    "events_variant_extract",
+    "text_quality_percentile_gate",
+    "corpus_contrastive_triplets",
 ]
 RUNS = 3
 

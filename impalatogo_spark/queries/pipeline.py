@@ -1393,3 +1393,107 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact float inner-product ranking asserted in tests/test_similarity.py;
     scale notes in operators/similarity.py::quantized_mips_topk."""
     return S.quantized_mips_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("events", "json", "variant"),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    parse_json once into the binary variant encoding, then typed
+    try_variant_get paths — the modern engine path for JSON columns
+    (parse once, extract many, ~an order of magnitude cheaper than
+    re-parsing the string per get_json_object call when several paths are
+    read). events_json_extract keeps the classic string-path twin."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "text_quality_percentile_gate",
+    oracle="""
+WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+s AS (SELECT doc_id, lang,
+             CAST(sum((
+""" + " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ) + """
+             ) % 101 - 50) AS BIGINT) AS score_int
+      FROM w GROUP BY doc_id, lang),
+r AS (SELECT doc_id, lang, score_int,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY score_int DESC, doc_id) AS pr
+      FROM s)
+SELECT doc_id, lang, score_int, round(pr, 6) AS pr, pr <= 0.5 AS kept
+FROM r ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality cut: keep the top half of documents
+    by classifier score WITHIN each language — the mixture-preserving form
+    of quality filtering (a global cut would gut low-resource languages).
+    percent_rank is (rank-1)/(n-1) over exact integers with a full
+    tie-break, so both engines compute the identical double. One window
+    shuffle on lang; score aggregation is map-side combined."""
+    from impalatogo_spark.operators import split_words
+
+    docs = _t(spark, sf_dir, "documents")
+    words = split_words(docs.select("doc_id", "lang", "text"),
+                        text_col="text", out="w", keep=("doc_id", "lang"))
+    wt = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long") % 101
+        - 50
+    )
+    s = (
+        words.select("doc_id", "lang", F.explode("w").alias("tok"))
+        .select("doc_id", "lang", wt.alias("wt"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("wt").alias("score_int"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("score_int"), F.asc("doc_id"))
+    r = s.withColumn("pr", F.percent_rank().over(w))
+    return r.select(
+        "doc_id",
+        "lang",
+        "score_int",
+        F.round("pr", 6).alias("pr"),
+        (F.col("pr") <= 0.5).alias("kept"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_contrastive_triplets",
+    oracle=S.contrastive_triplets_oracle(threshold=0.45),
+    tags=("similarity", "pipeline"),
+)
+def corpus_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for contrastive
+    embedding training: banded near-dup positives + deterministic
+    hash-picked negatives under the informative-margin condition
+    (neg_sim < pos_sim). Scale notes in
+    operators/similarity.py::contrastive_triplets."""
+    return S.contrastive_triplets(_t(spark, sf_dir, "embeddings"), threshold=0.45)

@@ -159,3 +159,31 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_minutes=30,
     )
     return run_available_now(spark, out)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark (the
+    state-bounded streaming dedup operator: per-key state expires with the
+    event-time watermark instead of growing forever as plain
+    dropDuplicates would). The source is deliberately DOUBLED (union of
+    two identical streams), so every event_id arrives twice; the deduped
+    per-type counts must equal the batch counts over the single corpus —
+    an exact oracle for a genuinely streaming execution."""
+    from impalatogo_spark.streaming.events import events_stream, run_available_now
+    from pyspark.sql import functions as F
+
+    doubled = events_stream(spark, sf_dir).unionByName(events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_available_now(spark, agg, output_mode="complete").orderBy("event_type")
