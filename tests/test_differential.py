@@ -161,7 +161,7 @@ def test_random_window_parity(seed, spark, duck, sf_dir):
     assert s_norm == d_norm, f"seed {seed} diverged:\n{sql}"
 
 
-def _gen_join_select(seed: int) -> str:
+def _gen_join_shapes_select(seed: int) -> str:
     """Random join query over nation x region (+ customer for volume):
     inner/left/right/full equi joins with optional extra theta conjunct,
     cross join + filter, and EXISTS/NOT EXISTS (the portable spelling of
@@ -213,11 +213,11 @@ def _gen_join_select(seed: int) -> str:
 
 
 @pytest.mark.parametrize("seed", range(15))
-def test_random_join_parity(seed, spark, duck, sf_dir):
+def test_random_join_shapes_parity(seed, spark, duck, sf_dir):
     from impalatogo_spark.session import register_tables
 
     register_tables(spark, sf_dir)
-    sql = _gen_join_select(seed)
+    sql = _gen_join_shapes_select(seed)
     srows = spark.sql(sql).collect()
     drows = duck.execute(sql).fetchall()
     s_norm = sorted(tuple(str(c) for c in r) for r in srows)
