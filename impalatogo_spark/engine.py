@@ -35,6 +35,7 @@ _SPARK_CONF_OPTIONS = {
     "BATCH_SIZE": None,  # internal to Tungsten
     "DISABLE_CODEGEN": "spark.sql.codegen.wholeStage",  # inverted bool
     "APPX_COUNT_DISTINCT": None,  # handled as a rewrite in sql()
+    "REQUEST_POOL": None,  # handled in set(): Spark scheduler pool
 }
 
 
@@ -75,6 +76,14 @@ class Engine:
         """SET key=value (Impala query options mapped onto Spark confs)."""
         key = key.upper()
         self.options[key] = str(value)
+        if key == "REQUEST_POOL":
+            # Impala admission-control pool -> Spark FAIR scheduler pool
+            # (admission-controller.cc request pools). Pool assignment is a
+            # thread-local property, matching Impala's per-session pool.
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", str(value) or None
+            )
+            return
         conf = _SPARK_CONF_OPTIONS.get(key)
         if conf == "spark.sql.codegen.wholeStage":
             self.spark.conf.set(conf, "false" if str(value) in ("1", "true") else "true")

@@ -1497,3 +1497,46 @@ def corpus_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (neg_sim < pos_sim). Scale notes in
     operators/similarity.py::contrastive_triplets."""
     return S.contrastive_triplets(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+_STRAT_RATES = {"en": 10, "de": 30, "es": 30, "fr": 30, "zh": 30}  # percent
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         (""" + " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ) + """) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket
+FROM h
+WHERE bucket < CASE lang WHEN 'en' THEN 10 ELSE 30 END
+ORDER BY doc_id
+""",
+    tags=("sampling",),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: per-language keep rates
+    (en 10%, others 30%) decided by md5(doc_id) mod 100 — the reproducible
+    twin of sampleBy (sample_stratified, rows-only): the SAME rows are kept
+    on every run, engine, cluster size, and partitioning, which is what a
+    shareable 100 TB training subset actually requires. Zero shuffle — the
+    filter runs inside the scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
