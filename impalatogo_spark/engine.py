@@ -47,6 +47,13 @@ class Engine:
         ensure_session_confs(spark)
         self.options: dict[str, str] = {}
         self.mixed_tables: dict[str, "MixedFormatTable"] = {}
+        # authorization surface (sql-parser.y:647-747); enforcement is opt-in
+        # to preserve the reference's default (auth off unless configured)
+        from impalatogo_spark import authz as _authz
+
+        self.authz = _authz.AuthzCatalog()
+        self.authz_user: str = spark.sql("SELECT current_user()").first()[0]
+        self.enforce_authz = False
 
     # -- SQL entry -----------------------------------------------------------
 
@@ -58,6 +65,11 @@ class Engine:
             # Impala-only statement (sql-parser.y SHOW FILES) — no Spark SQL
             # equivalent to translate to; served from catalog metadata.
             return self.show_files(m.group(1))
+        from impalatogo_spark import authz as _authz
+
+        handled = _authz.dispatch(self.authz, self.spark, self.authz_user, text)
+        if handled is not None:
+            return handled
         translated = translate(text)
         if self.options.get("APPX_COUNT_DISTINCT", "0") in ("1", "true", "TRUE"):
             # query-option rewrite count(distinct x) -> ndv(x), the reference's
@@ -68,7 +80,11 @@ class Engine:
                 translated,
                 flags=re.IGNORECASE,
             )
-        return self.spark.sql(translated)
+        df = self.spark.sql(translated)
+        if self.enforce_authz:
+            _authz.enforce(self.authz, self.authz_user, "SELECT",
+                           _authz.catalog_tables(df))
+        return df
 
     # -- session options -----------------------------------------------------
 
@@ -126,6 +142,11 @@ class Engine:
         """INSERT INTO/OVERWRITE (HdfsTableSink, be/src/exec/hdfs-table-sink.cc).
         Dynamic-partition overwrite matches the reference's per-partition
         INSERT OVERWRITE semantics."""
+        if self.enforce_authz:
+            from impalatogo_spark import authz as _authz
+
+            name = table if "." in table else f"default.{table}"
+            _authz.enforce(self.authz, self.authz_user, "INSERT", {name})
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         df.write.insertInto(table, overwrite=overwrite)
 

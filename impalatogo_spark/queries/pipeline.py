@@ -1540,3 +1540,77 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < rate)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embedding_kmeans",
+    oracle=S.kmeans_oracle(k=4, iters=3),
+    tags=("similarity", "clustering"),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd k-means over the embeddings table (k=4, 3
+    rounds): every assignment and centroid is reproduced bit-for-bit by the
+    unrolled DuckDB CTE oracle — the full-value gate for iterative
+    clustering, next to the recall-tested float paths (ann_topk_ivf).
+    SemDeDup-style semantic dedup = these clusters + the existing
+    intra-cluster cosine prune (dedup_embedding_cosine)."""
+    return S.kmeans_quantized(_t(spark, sf_dir, "embeddings"), k=4, iters=3)
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS wa FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(wa) - 1),
+                        i -> wa[i] || ' ' || wa[i + 1]) AS bg
+  FROM s WHERE len(wa) >= 2
+),
+e AS (SELECT doc_id, unnest(bg) AS g FROM b),
+cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(cnt.c) AS BIGINT) AS familiarity_sum,
+       CAST(sum(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_bigrams,
+       round(sum(cnt.c) * 1.0 / count(*), 6) AS familiarity
+FROM e JOIN cnt USING (g)
+GROUP BY 1
+""",
+    tags=("text", "quality"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language-model familiarity — the KenLM-style
+    perplexity gate's deterministic integer twin: a document's bigrams are
+    scored by their corpus frequency (familiarity_sum / n_bigrams), and
+    bigrams seen nowhere else (count 1) are the OOV signal. Integer sums +
+    one final division — engine-exact. Scale: the bigram relation shuffles
+    (hash(g)-sized) strings twice (count + join-back) with map-side
+    combine; no self-join, so boilerplate bigrams partial-aggregate instead
+    of funneling one reducer."""
+    from impalatogo_spark.operators import split_words
+
+    docs = _t(spark, sf_dir, "documents")
+    wa = split_words(docs.select("doc_id", "text"), keep=("doc_id",), out="wa")
+    bg = (
+        wa.filter(F.size("wa") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(wa) - 1),"
+                       " i -> concat(wa[i - 1], ' ', wa[i]))")
+            ).alias("g"),
+        )
+    )
+    cnt = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(cnt, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("familiarity_sum"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("oov_bigrams"),
+            F.round(F.sum("c") * 1.0 / F.count(F.lit(1)), 6).alias("familiarity"),
+        )
+    )
