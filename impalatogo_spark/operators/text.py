@@ -790,3 +790,157 @@ SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_int,
        CAST(sum(wt) AS BIGINT) * 2 >= count(*) AS keep_strict
 FROM s GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# -- BPE merge training ------------------------------------------------------
+
+def bpe_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-type frequency table (the classic BPE training input): one
+    distributed groupBy over whitespace tokens; empty tokens dropped."""
+    from impalatogo_spark.operators import split_words
+
+    w = split_words(df.select(text_col), keep=(), out="wa").select(
+        F.explode("wa").alias("w")
+    )
+    return (
+        w.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_pair_counts(wf: DataFrame, syms_col: str = "syms") -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts — the per-round
+    reduction of BPE training. Shuffles (lhs, rhs, partial sum) with
+    map-side combine; symbol arrays never leave their scan task."""
+    pairs = wf.filter(F.size(syms_col) >= 2).select(
+        # the size guard matters: sequence(0, -1) is DESCENDING in Spark,
+        # so an unguarded single-symbol word would fabricate a bogus pair
+        "freq",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size({syms_col}) - 2),"
+                f" i -> struct({syms_col}[i] AS lhs, {syms_col}[i + 1] AS rhs))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("freq", F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _bpe_apply_merge(syms, lhs: str, rhs: str):
+    """Greedy left-to-right non-overlapping merge of (lhs, rhs) -> lhs||rhs
+    inside a symbol array, as an exact aggregate() fold: state is
+    (out-array, pending-symbol); each input symbol either completes a merge
+    with the pending one, or flushes it. Pure codegen — no UDF."""
+    merged = F.lit(lhs + rhs)
+    zero = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("pending"),
+    )
+
+    def step(acc, s):
+        return (
+            F.when(
+                acc["pending"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("pending")),
+            )
+            .when(
+                (acc["pending"] == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.struct(
+                    F.array_append(acc["out"], merged).alias("out"),
+                    F.lit(None).cast("string").alias("pending"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["pending"]).alias("out"),
+                    s.alias("pending"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pending"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pending"])
+        )
+
+    return F.aggregate(syms, zero, step, fin)
+
+
+def bpe_merges(df: DataFrame, text_col: str = "text",
+               n_merges: int = 8) -> list[tuple[int, str, str, int]]:
+    """BPE merge-table training (Sennrich-style, over word types):
+    character-initial symbol sequences, n_merges rounds of
+    count-pairs -> pick (max count, lexicographic tie-break) -> greedy
+    merge application. Returns [(rank, lhs, rhs, pair_count)].
+
+    Spark shape per round: ONE skinny pair-count shuffle (map-side
+    combined) + a 1-row driver collect for the argmax + a scan-local fold
+    to apply the merge; the symbol table is localCheckpoint'd per round
+    (iterative-DataFrame rule — see dedup_clusters) so lineage stays flat
+    and the fold result is materialized once, not re-derived per
+    downstream lambda element. Rounds are O(n_merges) scans of the
+    word-TYPE table (vocabulary-sized, not corpus-sized — the classic
+    reason BPE trains on word frequencies)."""
+    wf = bpe_word_freqs(df, text_col)
+    cur = wf.select("w", "freq", F.split("w", "").alias("syms"))
+    cur = cur.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        best = (
+            bpe_pair_counts(cur)
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .first()
+        )
+        if best is None or best.pair_count < 2:
+            break
+        merges.append((r, best.lhs, best.rhs, best.pair_count))
+        cur = cur.select(
+            "w", "freq", _bpe_apply_merge(F.col("syms"), best.lhs, best.rhs).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_reference(word_freqs: dict[str, int],
+                         n_merges: int = 8) -> list[tuple[int, str, str, int]]:
+    """Plain-Python BPE used as the exactness oracle in tests (the
+    iterative fold is not expressible in one DuckDB statement — list_reduce
+    cannot carry struct state in 1.0 — so the gate is implementation
+    equivalence, like streaming_stateful_sessions)."""
+    seqs: dict[tuple[str, ...], int] = {tuple(w): f for w, f in word_freqs.items()}
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, f in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((r, lhs, rhs, cnt))
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for seq, f in seqs.items():
+            out: list[str] = []
+            pending: str | None = None
+            for s in seq:
+                if pending is None:
+                    pending = s
+                elif pending == lhs and s == rhs:
+                    out.append(lhs + rhs)
+                    pending = None
+                else:
+                    out.append(pending)
+                    pending = s
+            if pending is not None:
+                out.append(pending)
+            new_seqs[tuple(out)] = new_seqs.get(tuple(out), 0) + f
+        seqs = new_seqs
+    return merges

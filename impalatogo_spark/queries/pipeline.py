@@ -1614,3 +1614,96 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c") * 1.0 / F.count(F.lit(1)), 6).alias("familiarity"),
         )
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+WITH pairs AS ({D.minhash_lsh_oracle(threshold=0.5)})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(p.jaccard * 10000) AS BIGINT)) AS BIGINT)
+           AS jaccard_e4_sum
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+""",
+    tags=("dedup", "governance"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which source pairs share near-dup
+    content (LSH-verified Jaccard >= 0.5), with pair counts and mean
+    similarity — the data-governance rollup a multi-source 100 TB corpus
+    needs before mixing (which crawls/dumps overlap, and how badly).
+    Composition: the existing MinHash->LSH->verify pipeline (banded, never
+    all-pairs) + two broadcast-friendly joins back to the skinny
+    (doc_id, source) projection + one tiny groupBy. Similarity mass is an
+    integer e4 sum (jaccard is already 4dp-rounded, so *10000 re-rounds to
+    an exact BIGINT — no avg() half-boundary between engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = tracked_persist(D.word_shingles(docs))
+    pairs = D.verify_jaccard(cand, sh, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 10000).cast("long"))
+            .alias("jaccard_e4_sum"),
+        )
+    )
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    oracle="""
+WITH wtok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+       FROM wtok WHERE w <> '' GROUP BY 1),
+idx AS (SELECT w, freq, unnest(range(length(w) - 1)) AS i
+        FROM wf WHERE length(w) >= 2)
+SELECT substr(w, CAST(i AS INT) + 1, 1) AS lhs,
+       substr(w, CAST(i AS INT) + 2, 1) AS rhs,
+       CAST(sum(freq) AS BIGINT) AS pair_count
+FROM idx
+GROUP BY 1, 2
+""",
+    tags=("text", "bpe"),
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 of BPE training as an oracle-exact query: frequency-weighted
+    adjacent CHARACTER pair counts over the word-type table. The iterative
+    trainer (corpus_bpe_merges) repeats exactly this reduction per round;
+    gating round 0 against DuckDB pins the distributed pair-count shape the
+    whole trainer stands on."""
+    wf = X.bpe_word_freqs(_t(spark, sf_dir, "documents"))
+    syms = wf.select("freq", F.split("w", "").alias("syms"))
+    return X.bpe_pair_counts(syms)
+
+
+@register(
+    "corpus_bpe_merges",
+    tags=("text", "bpe"),
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (8 rounds) over the corpus — the vocabulary
+    -construction step of a training-data pipeline. Iterative argmax +
+    greedy merge application is not expressible in one DuckDB statement
+    (list_reduce carries no struct state in 1.0), so this entry is
+    rows-only for the driver; tests/test_bpe.py proves EXACT equivalence
+    (merge table and all intermediate pair counts) against a plain-Python
+    reference implementation at sf0.001."""
+    rows = X.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, pair_count bigint"
+    )
