@@ -75,6 +75,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_variant_extract",
     "text_quality_percentile_gate",
     "corpus_contrastive_triplets",
+    # round 2 (cont.): exact-integer clustering, bigram LM gate, governance
+    # matrix, BPE vocabulary training
+    "embedding_kmeans",
+    "text_bigram_lm_score",
+    "dedup_cross_source_matrix",
+    "corpus_bpe_merges",
 ]
 RUNS = 3
 

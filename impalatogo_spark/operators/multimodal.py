@@ -201,3 +201,87 @@ def thumbnail_oracle() -> str:
 WITH t AS (SELECT doc_id, md5(text) AS h FROM documents)
 SELECT doc_id, [{pairs}] AS thumbnail FROM t
 """
+
+
+def ahash_16(df: DataFrame) -> DataFrame:
+    """Average-hash (aHash) over the 4x4 thumbnail: bit i set iff pixel i is
+    above the thumbnail mean — the classic perceptual-hash recipe, with the
+    mean comparison done as the exact integer cross-multiplication
+    16*pixel > sum(pixels) (no division, engine-exact). Input: fake_resize_
+    4x4 output; swap in the real resizer and this stage is unchanged —
+    aHash only ever sees the decoded thumbnail."""
+    total = F.aggregate("thumbnail", F.lit(0), lambda a, x: a + x)
+    out = df.withColumn("__total", total)
+    ahash = F.expr(
+        "aggregate(sequence(0, 15), 0,"
+        " (acc, i) -> acc + IF(16 * thumbnail[i] > __total,"
+        " shiftleft(1, i), 0))"
+    )
+    return out.select("doc_id", ahash.alias("ahash"))
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual-hash near-dup pairs at Hamming <= max_hamming via the
+    pigeonhole banded join (4 nibbles; <=3 differing bits guarantee >=1
+    equal nibble — the simhash_pairs_banded argument), then the exact
+    Hamming verify on candidates only. Never all-pairs."""
+    bands = hashes.select(
+        "doc_id", "ahash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn("nib", F.expr("shiftright(ahash, band * 4)").bitwiseAND(15))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def phash_dedup_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin: thumbnail ints from the md5 hex pairs, integer-exact
+    aHash bits, nibble-banded candidates, exact Hamming verify."""
+    hexpos = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    pairs = ", ".join(
+        f"CAST(({hexpos.format(p=2 * i + 1)}) * 16"
+        f" + ({hexpos.format(p=2 * i + 2)}) AS INT)"
+        for i in range(16)
+    )
+    bits = " + ".join(
+        f"CASE WHEN 16 * tb[{i + 1}] > list_sum(tb) THEN {1 << i} ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents),
+px AS (SELECT doc_id, [{pairs}] AS tb FROM t),
+ah AS (SELECT doc_id, CAST({bits} AS INT) AS ahash FROM px),
+b AS (
+  SELECT doc_id, ahash, CAST(gs.band AS INT) AS band,
+         (ahash >> (4 * CAST(gs.band AS INT))) & 15 AS nib
+  FROM ah, (SELECT unnest(range(4)) AS band) gs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.ahash AS ha, y.ahash AS hb
+  FROM b x JOIN b y
+    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""

@@ -1707,3 +1707,66 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, lhs string, rhs string, pair_count bigint"
     )
+
+
+@register(
+    "events_burst_detection",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT user_id,
+         CAST(sum(n_events) AS BIGINT) AS user_total,
+         CAST(count(*) AS BIGINT) AS n_active_hours
+  FROM hourly GROUP BY 1
+)
+SELECT h.user_id, h.hour, h.n_events, t.user_total, t.n_active_hours
+FROM hourly h JOIN tot t USING (user_id)
+WHERE 2 * h.n_events * t.n_active_hours > 3 * t.user_total
+""",
+    tags=("events", "anomaly"),
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-burst detection: flag hours where a user's event
+    count exceeds 1.5x their mean active-hour rate. The threshold is the
+    integer cross-multiplication 2*n_events*n_active_hours > 3*user_total
+    — no division, no floats, engine-exact. Shape: two map-side-combined
+    aggregations + one join on user_id; the per-user totals relation is
+    users-sized (tiny next to events), so AQE broadcasts it."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = hourly.groupBy("user_id").agg(
+        F.sum("n_events").alias("user_total"),
+        F.count(F.lit(1)).alias("n_active_hours"),
+    )
+    return hourly.join(tot, "user_id").filter(
+        2 * F.col("n_events") * F.col("n_active_hours") > 3 * F.col("user_total")
+    ).select("user_id", "hour", "n_events", "user_total", "n_active_hours")
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=M.phash_dedup_oracle(max_hamming=3),
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection over the binary payload
+    column: decode -> 4x4 thumbnail (Arrow-batched mapInPandas; the decode
+    is the repo's deterministic fake, the plumbing is real) -> integer-
+    exact aHash -> nibble-banded candidate join -> exact Hamming verify
+    (<= 3). The image-modality twin of dedup_simhash_pairs: banded, never
+    all-pairs, and the whole chain (including the Python decode stage) is
+    reproduced bit-for-bit by the DuckDB oracle."""
+    docs = M.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.phash_near_dup_pairs(M.ahash_16(M.fake_resize_4x4(docs)))
