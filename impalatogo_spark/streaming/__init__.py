@@ -187,3 +187,97 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
     return run_available_now(spark, agg, output_mode="complete").orderBy("event_type")
+
+
+@register(
+    "streaming_stream_join_outer",
+    oracle="""
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join"),
+)
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join, oracle-exact against the
+    batch left join: unmatched purchases must be NULL-emitted, which only
+    happens when the event-time watermark passes their join window — the
+    state-EVICTION contract. The harness appends a far-future sentinel row
+    in a LATER file (mtime-ordered, maxFilesPerTrigger splits the batches)
+    so the final watermark sweeps every real purchase out of the state
+    store; the sentinel itself is filtered from the output. Without the
+    sentinel, purchases within (watermark + window) of stream end would
+    stay buffered forever — the exact tail-flush problem a production
+    pipeline solves with watermark heartbeats."""
+    import datetime
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from impalatogo_spark.session import table
+    from impalatogo_spark.streaming.events import (
+        run_available_now,
+        stream_stream_attribution_outer,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    base = _tempfile.mkdtemp(prefix="i2s_ssjoin_outer_")
+    try:
+        in_dir = _os.path.join(base, "in")
+        # ONE data file: the whole event range must enter in the first
+        # batch, before any watermark exists — a second data batch would
+        # see a watermark derived from the first file's max ts and DROP
+        # its older rows at the join input
+        ev.coalesce(1).write.parquet(in_dir)
+        mx = ev.agg(F.max("ts").alias("m")).first().m
+        # TWO sentinel batches: batch N carries sentinel-1, which advances
+        # the watermark past every real purchase's join window; batch N+1
+        # (sentinel-2) is the batch DURING which that watermark is applied
+        # and the remaining unmatched purchases NULL-emit. Relying on a
+        # trailing no-data batch instead is trigger-dependent (measured: 3
+        # tail purchases stayed buffered under AvailableNow).
+        seen = set(_os.listdir(in_dir))
+        bumps: dict[str, int] = {f: 0 for f in seen}
+        for i, hours in enumerate((4, 8), start=1):
+            # one sentinel PER SIDE: each side's withWatermark node only
+            # sees its own filtered rows, and the query watermark is the
+            # MIN across nodes — a purchase-only sentinel leaves the click
+            # watermark (and therefore the join eviction) stuck
+            spark.createDataFrame(
+                [(int(1 << 60) + 2 * i, mx + datetime.timedelta(hours=hours),
+                  -1, "purchase"),
+                 (int(1 << 60) + 2 * i + 1, mx + datetime.timedelta(hours=hours),
+                  -1, "click")],
+                "event_id long, ts timestamp, user_id long, event_type string",
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            for f in set(_os.listdir(in_dir)) - seen:
+                bumps[f] = 30 * i
+            seen = set(_os.listdir(in_dir))
+        now = _time.time()
+        for f, bump in bumps.items():
+            if f.endswith(".parquet"):
+                _os.utime(_os.path.join(in_dir, f), (now + bump, now + bump))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = stream_stream_attribution_outer(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+            window_minutes=30,
+        )
+        res = run_available_now(spark, out).filter(F.col("user_id") >= 0)
+        return _materialize_for_teardown(res)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

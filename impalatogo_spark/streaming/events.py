@@ -183,3 +183,42 @@ def stream_stream_attribution(purchases: DataFrame, clicks: DataFrame,
         "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
+
+
+def stream_stream_attribution_outer(purchases: DataFrame, clicks: DataFrame,
+                                    window_minutes: int = 30,
+                                    watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: like
+    stream_stream_attribution, but purchases with NO qualifying click are
+    emitted NULL-extended once the watermark passes their join window —
+    the state-EVICTION half of the stream-stream join contract the inner
+    form never exercises. Spark holds an unmatched purchase in the state
+    store exactly until watermark > p_ts + window, then emits it with NULL
+    click columns; state stays bounded at any throughput."""
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return p.join(c, cond, "leftOuter").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
