@@ -1770,3 +1770,37 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduced bit-for-bit by the DuckDB oracle."""
     docs = M.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return M.phash_near_dup_pairs(M.ahash_16(M.fake_resize_4x4(docs)))
+
+
+@register(
+    "dedup_semantic",
+    oracle=S.semantic_dedup_oracle(k=4, iters=3, threshold=0.4),
+    tags=("dedup", "similarity", "clustering"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: integer-exact k-means
+    clusters, then exact cosine ONLY within each cluster (>= 0.4) — the
+    published cluster-then-prune recipe that replaces global all-pairs
+    with bounded per-cluster work. Every stage (including the iterative
+    clustering) is reproduced bit-for-bit by the DuckDB oracle — see
+    operators/similarity.py::semantic_dedup_pairs."""
+    return S.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=3, threshold=0.4
+    )
+
+
+@register(
+    "ann_topk_ivf_exact",
+    oracle=S.ivf_exact_oracle(k_cells=8, iters=3, n_queries=5,
+                              n_probe=2, topk=5),
+    tags=("similarity", "ann"),
+)
+def ann_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose EVERY mechanism — cell membership, probe ranking,
+    candidate pruning, scoring, top-k — has an exact DuckDB twin: integer
+    k-means cells (8), integer query->centroid probe ranking (2 probes),
+    exact BIGINT dot-product scoring. The float IVF (ann_topk_ivf) keeps
+    its recall gate; this entry proves the index mechanics themselves are
+    correct, not just statistically useful."""
+    return S.ivf_exact_topk(_t(spark, sf_dir, "embeddings"), k_cells=8,
+                            iters=3, n_queries=5, n_probe=2, topk=5)
