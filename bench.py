@@ -81,6 +81,13 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "text_bigram_lm_score",
     "dedup_cross_source_matrix",
     "corpus_bpe_merges",
+    # round 2 (cont.): SemDeDup, oracle-exact IVF, perceptual-hash dedup,
+    # burst + path event analytics
+    "dedup_semantic",
+    "ann_topk_ivf_exact",
+    "multimodal_phash_dedup",
+    "events_burst_detection",
+    "events_path_analysis",
 ]
 RUNS = 3
 

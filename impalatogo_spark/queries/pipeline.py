@@ -1804,3 +1804,43 @@ def ann_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct, not just statistically useful."""
     return S.ivf_exact_topk(_t(spark, sf_dir, "embeddings"), k_cells=8,
                             iters=3, n_queries=5, n_probe=2, topk=5)
+
+
+@register(
+    "events_path_analysis",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT 10
+""",
+    tags=("events", "paths"),
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most common 3-step event-type
+    sequences across users (lead() windows over the per-user timeline,
+    (ts, event_id) ordering so timestamp ties cannot reorder the path).
+    ONE window shuffle on user_id + one map-side-combined count; the LIMIT
+    carries the full deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(10)
+    )

