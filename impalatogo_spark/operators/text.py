@@ -944,3 +944,36 @@ def bpe_merges_reference(word_freqs: dict[str, int],
             new_seqs[tuple(out)] = new_seqs.get(tuple(out), 0) + f
         seqs = new_seqs
     return merges
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
+               text_col: str = "text") -> DataFrame:
+    """Apply a learned BPE merge table to the corpus: per document, words
+    split to characters, then every merge applied IN RANK ORDER as a chain
+    of pure-codegen aggregate() folds (greedy left-to-right each, exactly
+    the trainer's application rule). Output: per-doc BPE token counts and
+    the chars-per-token compression ratio — the tokenizer-cost estimate a
+    data-mixing pipeline prices corpora with.
+
+    Scale shape: zero shuffles before the final per-doc aggregation; the
+    merge chain is 8 nested codegen folds over word arrays inside the scan
+    stage. The merge table is bounded (vocab-sized) and arrives as plain
+    literals, never a join."""
+    from impalatogo_spark.operators import split_words
+
+    wa = split_words(df.select("doc_id", text_col), keep=("doc_id",), out="wa")
+    words = wa.select("doc_id", F.explode("wa").alias("w")).filter(F.col("w") != "")
+    syms = F.split(F.col("w"), "")
+    for _, lhs, rhs, _cnt in sorted(merges):
+        syms = _bpe_apply_merge(syms, lhs, rhs)
+    per_word = words.select(
+        "doc_id",
+        F.length("w").alias("n_chars"),
+        F.size(syms).alias("n_tokens"),
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_tokens").alias("n_bpe_tokens"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_tokens"), 6)
+        .alias("chars_per_token"),
+    )

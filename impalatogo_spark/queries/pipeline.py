@@ -1844,3 +1844,20 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "corpus_bpe_encode",
+    tags=("text", "bpe"),
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-cost estimation: train the 8-merge BPE table, then apply
+    it corpus-wide (8 chained codegen folds, zero pre-agg shuffles) to
+    report per-doc BPE token counts and chars-per-token — how a data-mixing
+    pipeline prices corpora before sampling. Iterative train + apply is
+    non-SQL-expressible, so rows-only at the driver; tests/test_bpe.py
+    checks exact equality of every per-doc count against the plain-Python
+    reference tokenizer."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = X.bpe_merges(docs, n_merges=8)
+    return X.bpe_encode(docs, merges).orderBy("doc_id")

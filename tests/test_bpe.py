@@ -42,3 +42,38 @@ def test_bpe_reference_tiebreak_is_lexicographic():
     wf = {"ab": 2, "cd": 2}  # equal counts -> (a,b) wins lexicographically
     merges = X.bpe_merges_reference(wf, n_merges=1)
     assert merges == [(0, "a", "b", 2)]
+
+
+def test_bpe_encode_matches_reference_tokenizer(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    merges = X.bpe_merges(docs, n_merges=8)
+    got = {r.doc_id: (r.n_chars, r.n_bpe_tokens)
+           for r in X.bpe_encode(docs, merges).collect()}
+
+    def encode_word(w):
+        seq = list(w)
+        for _, lhs, rhs, _c in sorted(merges):
+            out, pending = [], None
+            for s in seq:
+                if pending is None:
+                    pending = s
+                elif pending == lhs and s == rhs:
+                    out.append(lhs + rhs)
+                    pending = None
+                else:
+                    out.append(pending)
+                    pending = s
+            if pending is not None:
+                out.append(pending)
+            seq = out
+        return len(seq)
+
+    want = {}
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in row.text.split(" ") if w]
+        want[row.doc_id] = (
+            sum(len(w) for w in words),
+            sum(encode_word(w) for w in words),
+        )
+    assert got == want
+    assert len(got) > 0
