@@ -331,3 +331,63 @@ def test_streaming_upsert_ingest(spark, tmp_path):
     rows = {r.doc_id: (r.rev, r.text)
             for r in spark.read.parquet(str(tmp_path / "tbl")).collect()}
     assert rows == {1: (1, "one v1"), 2: (2, "two v2"), 3: (1, "three v1")}
+
+
+def test_streaming_resume_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Restart semantics: run the ingest-dedup stream to completion over a
+    partial input directory, then ADD more files and rerun with the SAME
+    checkpoint. The file-source offset log must skip everything already
+    processed — each doc statused exactly once, union of both runs equal to
+    a single full run. This is the exactly-once-across-restarts contract a
+    production ingest relies on (checkpoint = source offsets + sink commits).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.session import table
+    from impalatogo_spark.streaming.ingest import (
+        documents_stream,
+        streaming_incremental_dedup,
+        write_corpus_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    base = str(tmp_path)
+    in_dir = os.path.join(base, "in")
+    idx = os.path.join(base, "idx")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    write_corpus_index(corpus, idx)
+
+    # phase 1: only bucket-0 files exist
+    first = incoming.filter(F.col("doc_id") % 4 == 1)
+    rest = incoming.filter(F.col("doc_id") % 4 == 3)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    q1 = streaming_incremental_dedup(
+        documents_stream(spark, in_dir), idx, out, ckpt, update_index=False)
+    q1.awaitTermination()
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 == first.count()
+
+    # phase 2: more files arrive; SAME checkpoint -> only new files process
+    rest.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = streaming_incremental_dedup(
+        documents_stream(spark, in_dir), idx, out, ckpt, update_index=False)
+    q2.awaitTermination()
+    result = spark.read.parquet(out)
+    assert result.count() == incoming.count()  # no reprocessing, no loss
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # and the union equals a single-shot run over the full input (same
+    # statuses as the batch twin used by streaming_ingest_dedup's oracle)
+    single = os.path.join(base, "single")
+    q3 = streaming_incremental_dedup(
+        documents_stream(spark, in_dir), idx, single,
+        os.path.join(base, "ckpt2"), update_index=False)
+    q3.awaitTermination()
+    a = {(r.doc_id, r.status) for r in result.select("doc_id", "status").collect()}
+    b = {(r.doc_id, r.status)
+         for r in spark.read.parquet(single).select("doc_id", "status").collect()}
+    assert a == b
