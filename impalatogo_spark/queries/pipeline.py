@@ -1861,3 +1861,54 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = X.bpe_merges(docs, n_merges=8)
     return X.bpe_encode(docs, merges).orderBy("doc_id")
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=f"""
+WITH m AS ({D.minhash_lsh_oracle(threshold=0.5)}),
+sims AS ({D.simhash_oracle()}),
+s AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sims a JOIN sims b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+j AS (
+  SELECT coalesce(m.id_a, s.id_a) AS id_a,
+         coalesce(m.id_b, s.id_b) AS id_b,
+         m.id_a IS NOT NULL AS in_minhash,
+         s.id_a IS NOT NULL AS in_simhash
+  FROM m FULL OUTER JOIN s ON m.id_a = s.id_a AND m.id_b = s.id_b
+)
+SELECT in_minhash, in_simhash, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2
+""",
+    tags=("dedup", "governance"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement diagnostic: how the MinHash-LSH pair set
+    (Jaccard >= 0.5) and the banded SimHash pair set (Hamming <= 3) overlap
+    — the calibration readout you check before choosing thresholds for a
+    100 TB run (each method's pairs are cheap; the full outer join is
+    pair-set-sized, tiny next to the corpus). Both inputs are the existing
+    banded scale pipelines; the oracle composes their existing twins."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = tracked_persist(D.word_shingles(docs))
+    m = D.verify_jaccard(cand, sh, threshold=0.5).select("id_a", "id_b")
+    s = D.simhash_pairs_banded(D.simhash(docs), max_hamming=3).select(
+        F.col("id_a").alias("s_a"), F.col("id_b").alias("s_b")
+    )
+    j = m.join(
+        s, (F.col("id_a") == F.col("s_a")) & (F.col("id_b") == F.col("s_b")),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.col("id_a").isNotNull().alias("in_minhash"),
+            F.col("s_a").isNotNull().alias("in_simhash"),
+        )
+        .groupBy("in_minhash", "in_simhash")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1987,3 +1987,56 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, tok ORDER BY doc_id, tok
         """,
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         epoch_us(p.ts) AS purchase_ts_us,
+         v.event_id AS view_id,
+         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT purchase_id, user_id, purchase_ts_us,
+       CASE WHEN gap_us <= 1800000000 THEN view_id END AS view_id,
+       CASE WHEN gap_us <= 1800000000 THEN gap_us END AS gap_us
+FROM j
+""",
+    tags=("join", "temporal"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (the pandas merge_asof `tolerance` /
+    telemetry-alignment semantics): the most recent prior view counts only
+    if it happened within 30 minutes of the purchase; staler matches are
+    NULLed exactly like no-match. Same one-shuffle union+window plan as
+    join_asof — tolerance is a post-pick projection, not a different join.
+    The oracle applies the identical cutoff over DuckDB's native ASOF
+    LEFT JOIN."""
+    from impalatogo_spark.operators.temporal import asof_join
+
+    tol_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        p, v, by=["user_id"], right_cols=["event_id", "ts"],
+        right_tiebreak="event_id",
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("ts_r")
+    within = gap <= F.lit(tol_us)
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.when(within, F.col("event_id_r")).alias("view_id"),
+        F.when(within, gap).alias("gap_us"),
+    )
