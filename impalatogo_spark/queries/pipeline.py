@@ -1912,3 +1912,77 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("in_minhash", "in_simhash")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "multimodal_vad_segments",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_no,
+         md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS i)
+),
+e AS (
+  SELECT doc_id, frame_no,
+         (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 16
+          + CAST(strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT))
+             AS energy
+  FROM f
+),
+v AS (
+  SELECT doc_id, frame_no,
+         frame_no - row_number() OVER (PARTITION BY doc_id ORDER BY frame_no)
+             AS grp
+  FROM e WHERE energy >= 128
+),
+runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM v GROUP BY doc_id, grp
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN energy >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_voiced
+  FROM e GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_frames, t.n_voiced,
+       coalesce(max(r.run_len), 0) AS longest_run
+FROM tot t LEFT JOIN runs r ON r.doc_id = t.doc_id
+GROUP BY t.doc_id, t.n_frames, t.n_voiced
+""",
+    tags=("multimodal", "segmentation"),
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style frame segmentation over the binary payload: frames (the
+    Arrow-batched 1-to-N decode shape), a per-frame energy gate (md5-derived
+    deterministic fake energy; a real RMS plugs in unchanged), and
+    per-document voiced-run statistics via the gaps-and-islands window
+    (frame_no - row_number groups consecutive voiced frames). Counts and
+    run lengths are integers; the whole chain, Python decode included, is
+    oracle-exact. Shape: mapInPandas frames -> one window shuffle on doc_id
+    -> map-side-combined rollup."""
+    docs = M.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    frames = M.sample_frames(docs)
+    e = frames.select(
+        "doc_id", "frame_no",
+        F.conv(F.substring("frame_hash", 1, 2), 16, 10).cast("long")
+        .alias("energy"),
+    )
+    voiced = e.filter(F.col("energy") >= 128)
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    runs = (
+        voiced.withColumn("grp", F.col("frame_no") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("longest_run"))
+    )
+    tot = e.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.when(F.col("energy") >= 128, 1).otherwise(0)).alias("n_voiced"),
+    )
+    return tot.join(runs, "doc_id", "left").select(
+        "doc_id", "n_frames", "n_voiced",
+        F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
+    )
