@@ -1986,3 +1986,28 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_frames", "n_voiced",
         F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
     )
+
+
+@register(
+    "text_language_confusion",
+    oracle=f"""
+WITH pred AS ({X.lang_scores_oracle()})
+SELECT lang AS actual_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+    tags=("text", "quality", "governance"),
+)
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram classifier's predictions
+    against the corpus's labeled lang column — the calibration readout
+    before trusting the classifier as a 100 TB filter gate. One scan +
+    one tiny map-side-combined groupBy over the existing lang_scores
+    expressions."""
+    scored = X.lang_scores(_t(spark, sf_dir, "documents"))
+    return (
+        scored.groupBy(
+            F.col("lang").alias("actual_lang"), F.col("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
