@@ -88,6 +88,13 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "multimodal_phash_dedup",
     "events_burst_detection",
     "events_path_analysis",
+    # round 2 (final): BPE encode, tolerance as-of, method agreement, VAD
+    # segmentation, lang confusion
+    "corpus_bpe_encode",
+    "join_asof_tolerance",
+    "dedup_method_agreement",
+    "multimodal_vad_segments",
+    "text_language_confusion",
 ]
 RUNS = 3
 

@@ -162,3 +162,28 @@ def test_shell_output_file(tmp_path):
     assert proc.returncode == 0, proc.stderr
     assert "5" in proc.stdout          # still printed to stdout
     assert "5" in out.read_text()      # and duplicated to the file
+
+
+def test_shell_authorization_statements():
+    """The GRANT/REVOKE surface (sql-parser.y:647-747) flows through the
+    shell's SQL path like any statement — roles catalog lives on the
+    engine for the session's lifetime."""
+    script = (
+        "CREATE ROLE analyst;\n"
+        "GRANT ROLE analyst TO GROUP eng;\n"
+        "GRANT SELECT ON TABLE default.orders TO ROLE analyst;\n"
+        "SHOW ROLES;\n"
+        "SHOW GRANT ROLE analyst;\n"
+        "quit;\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "tools/i2s_shell.py", "--sf-dir", "/root/testdata/sf0.001"],
+        input=script,
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0
+    assert "analyst" in proc.stdout
+    assert "SELECT" in proc.stdout
