@@ -2011,3 +2011,72 @@ def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS mx FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST((epoch_us((SELECT mx FROM mx)) - epoch_us(max(ts)))
+              // 3600000000 AS BIGINT) AS hours_since_last,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS monetary_cents
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, hours_since_last, frequency, monetary_cents,
+         ntile(4) OVER (ORDER BY hours_since_last DESC, user_id) AS r_score,
+         ntile(4) OVER (ORDER BY frequency, user_id) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_cents, user_id) AS m_score
+  FROM per_user
+)
+SELECT user_id, hours_since_last, frequency, monetary_cents,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+FROM scored
+""",
+    tags=("events", "analytics"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quartiles):
+    the classic behavioral-cohort rollup. Monetary sums are integer cents
+    (the repo's money rule); recency is whole hours against the corpus max
+    timestamp; every ntile ordering carries a user_id tie-break so quartile
+    boundaries are engine-identical. One groupBy shuffle + three window
+    passes over the users-sized relation."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.expr("(unix_micros(mx) - unix_micros(last_ts))"
+                   " div 3600000000").alias("hours_since_last"),
+            "frequency", "monetary_cents",
+        )
+    )
+    r_w = W.orderBy(F.desc("hours_since_last"), "user_id")
+    f_w = W.orderBy("frequency", "user_id")
+    m_w = W.orderBy("monetary_cents", "user_id")
+    scored = per_user.select(
+        "user_id", "hours_since_last", "frequency", "monetary_cents",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int"),
+    )

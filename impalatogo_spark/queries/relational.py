@@ -2040,3 +2040,47 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("event_id_r")).alias("view_id"),
         F.when(within, gap).alias("gap_us"),
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+WITH c AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+b AS (
+  SELECT cents,
+         ntile(8) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS bucket
+  FROM c
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM b GROUP BY 1
+""",
+    tags=("agg", "histogram"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 quantile buckets over extendedprice) — the
+    planner-statistics histogram form next to the existing equi-width
+    `agg_histogram`. Prices are integer cents and the ntile ordering is
+    fully tie-broken by (cents, orderkey, linenumber), so bucket
+    boundaries are engine-identical. One global sort (TopN-free window)
+    + map-side-combined rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    w = W.orderBy("cents", "l_orderkey", "l_linenumber")
+    return (
+        c.select("cents", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
