@@ -2080,3 +2080,48 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("int"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH sh AS ({D.word_shingles_oracle()}),
+firsts AS (SELECT g, min(id) AS first_doc FROM sh GROUP BY g),
+per_doc AS (
+  SELECT sh.id AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = sh.id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams
+  FROM sh JOIN firsts f ON f.g = sh.g
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, novel_grams,
+       round(novel_grams * 1.0 / n_grams, 6) AS novelty
+FROM per_doc
+""",
+    tags=("text", "dedup", "quality"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain scoring for curriculum/dedup ordering: the fraction
+    of a document's distinct 3-gram shingles that appear FIRST in this
+    document (global min doc_id owns the gram) — documents full of grams
+    already seen earlier contribute little new text. Integer counts + one
+    final division. Shape: one map-side-combined min() per gram + a
+    join-back keyed on the gram — same two-shuffle skew-immune pattern as
+    paragraph dedup (hot grams partial-aggregate; the join fans out, never
+    funnels)."""
+    sh = tracked_persist(D.word_shingles(_t(spark, sf_dir, "documents")))
+    firsts = sh.groupBy("g").agg(F.min("id").alias("first_doc"))
+    return (
+        sh.join(firsts, "g")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0))
+            .alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("novel_grams") * 1.0 / F.col("n_grams"), 6),
+        )
+    )

@@ -2084,3 +2084,42 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+@register(
+    "window_locf_impute",
+    oracle="""
+SELECT event_id, user_id,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS last_purchase_value,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS purchases_so_far
+FROM events
+""",
+    tags=("window", "timeseries"),
+)
+def window_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation (the time-series gap-fill
+    operator): every event carries the user's most recent purchase value so
+    far — last_value(... IGNORE NULLS) over a running frame, with
+    (ts, event_id) ordering so timestamp ties can't flip the carried value.
+    One window shuffle on user_id; both engines support IGNORE NULLS
+    natively."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.last(pval, ignorenulls=True).over(w), 4)
+        .alias("last_purchase_value"),
+        F.count(pval).over(w).alias("purchases_so_far"),
+    )
