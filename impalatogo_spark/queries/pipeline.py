@@ -2125,3 +2125,116 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("novel_grams") * 1.0 / F.col("n_grams"), 6),
         )
     )
+
+
+@register(
+    "pipeline_curate_report",
+    oracle=f"""
+WITH verdicts AS ({X.curate_oracle()})
+SELECT CASE WHEN v.pred_lang <> 'en' THEN 'lang'
+            WHEN v.quality_score < 1.0 THEN 'quality'
+            WHEN v.is_exact_dup = 1 THEN 'exact_dup'
+            WHEN v.contaminated = 1 THEN 'contaminated'
+            ELSE 'kept' END AS outcome,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM verdicts v JOIN documents d ON d.doc_id = v.doc_id
+GROUP BY 1
+""",
+    tags=("pipeline", "governance"),
+)
+def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: every document attributed to its FIRST
+    failing gate (lang -> quality -> exact-dup -> decontamination -> kept)
+    with document and character mass per outcome — the yield/loss readout
+    a nightly 100 TB curation run publishes. Costs one tiny groupBy on top
+    of the existing curate() plan (the n_chars join is column-pruned to
+    two columns)."""
+    docs = _t(spark, sf_dir, "documents")
+    v = X.curate(docs)
+    outcome = (
+        F.when(F.col("pred_lang") != "en", "lang")
+        .when(F.col("quality_score") < 1.0, "quality")
+        .when(F.col("is_exact_dup") == 1, "exact_dup")
+        .when(F.col("contaminated") == 1, "contaminated")
+        .otherwise("kept")
+    )
+    return (
+        v.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(outcome.alias("outcome"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+WITH sh AS ({D.word_shingles_oracle()}),
+hashed AS (SELECT id, ({" + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}" for i in range(8))}) AS h
+           FROM (SELECT id, md5(g) AS hx FROM sh)),
+sig AS (SELECT id, {", ".join(
+        f"min(({a} * h + {b}) % {D.P_MERSENNE}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(D._MH_A, D._MH_B)))} FROM hashed GROUP BY id),
+buckets AS ({" UNION ALL ".join(
+        "SELECT id, " + str(b) + " AS band, md5("
+        + " || '|' || ".join(f"mh{b * (D.N_HASHES // D.BANDS) + r}"
+                             for r in range(D.N_HASHES // D.BANDS))
+        + ") AS key FROM sig" for b in range(D.BANDS))}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b AND sb.g = sa.g
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT (10 * inter) // (na.n + nb.n - inter) AS bucket
+  FROM inter JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+)
+SELECT CAST(bucket AS BIGINT) AS jaccard_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+""",
+    tags=("dedup", "governance"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for the MinHash pipeline: ALL LSH
+    candidate pairs bucketed by exact-Jaccard decile (integer bucket =
+    (10*inter) div union — no float boundary), so an operator can read off
+    how many pairs each threshold would accept before committing a 100 TB
+    run. Reuses the banded candidate generator; one extra integer groupBy
+    over the pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = tracked_persist(D.word_shingles(docs))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("id").alias("id_a"), "g")
+    sb = sh.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            F.expr("(10 * inter) div (na + nb - inter)").alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
