@@ -95,6 +95,14 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "dedup_method_agreement",
     "multimodal_vad_segments",
     "text_language_confusion",
+    # round 2 (last batch): RFM, equi-depth histogram, LOCF, novelty,
+    # curation funnel, calibration curve
+    "events_rfm_segments",
+    "agg_histogram_equidepth",
+    "window_locf_impute",
+    "text_ngram_novelty",
+    "pipeline_curate_report",
+    "dedup_minhash_calibration",
 ]
 RUNS = 3
 
