@@ -2238,3 +2238,93 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("jaccard_decile")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "corpus_interleave_order",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS pos
+  FROM h
+)
+SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+       CAST(row_number() OVER (ORDER BY pos, source, doc_id) AS BIGINT)
+           AS global_order
+FROM pos
+""",
+    tags=("sampling", "ordering"),
+)
+def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data ORDER: per-source positions assigned by
+    content-hash order (a reproducible shuffle), then sources interleaved
+    round-robin into one global curriculum position. The data-loader
+    primitive a multi-source 100 TB run needs: the order is identical
+    across engines, re-runs, partitionings, and cluster sizes — no
+    Spark-internal hash or RNG in the contract. Two window passes (one
+    keyed by source, one global rank over the (pos, source) pair)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    w_src = W.partitionBy("source").orderBy("hk", "doc_id")
+    pos = h.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("pos")
+    )
+    w_glob = W.orderBy("pos", "source", "doc_id")
+    return pos.select(
+        "doc_id", "source", F.col("pos").cast("long").alias("pos"),
+        F.row_number().over(w_glob).cast("long").alias("global_order"),
+    )
+
+
+@register(
+    "events_concurrent_sessions_peak",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         min(ts) AS s_start,
+         max(ts) + INTERVAL 30 MINUTE AS s_end
+  FROM events GROUP BY user_id
+),
+pts AS (
+  SELECT s_start AS t, 1 AS delta FROM s
+  UNION ALL
+  SELECT s_end AS t, -1 AS delta FROM s
+),
+sweep AS (
+  SELECT t, CAST(sum(sum(delta)) OVER (ORDER BY t) AS BIGINT) AS concurrent
+  FROM pts GROUP BY t
+)
+SELECT max(concurrent) AS peak_concurrent,
+       CAST(count(*) AS BIGINT) AS n_change_points
+FROM sweep
+""",
+    tags=("events", "analytics"),
+)
+def events_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the +1/-1 boundary sweep (the interval-overlap
+    counting idiom): each user's activity span emits a start(+1)/end(-1)
+    point, points aggregate per timestamp (map-side combine), and a running
+    sum over the ordered change points yields concurrency; the answer is
+    its max. ONE skinny shuffle of 2 rows per user + a global running-sum
+    window over change points (users-sized, not events-sized)."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+    )
+    pts = s.select(F.col("s_start").alias("t"), F.lit(1).alias("delta")).unionAll(
+        s.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    per_t = pts.groupBy("t").agg(F.sum("delta").alias("d"))
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sweep = per_t.select(F.sum("d").over(w).alias("concurrent"))
+    return sweep.agg(
+        F.max("concurrent").alias("peak_concurrent"),
+        F.count(F.lit(1)).alias("n_change_points"),
+    )
