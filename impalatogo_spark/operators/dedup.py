@@ -1058,3 +1058,89 @@ LEFT JOIN hits ON hits.doc_id = b.doc_id
 LEFT JOIN exact ON exact.doc_id = b.doc_id
 ORDER BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate removal (CCNet/RefinedWeb-style): drop EVERY
+# occurrence of any segment whose corpus-wide document frequency reaches the
+# threshold (headers, licenses, nav chrome). Differs from paragraph_dedup
+# (which keeps the first occurrence): boilerplate is noise in all copies.
+# ---------------------------------------------------------------------------
+
+def boilerplate_removal(df: DataFrame, text_col: str = "text",
+                        seg_words: int = 10, df_cap: int = 3) -> DataFrame:
+    """Remove all copies of segments appearing in >= df_cap distinct docs.
+
+    Scale shape: same two map-side-combining shuffles as paragraph_dedup —
+    segs.groupBy(seg) counts DISTINCT docs via a (seg, doc) pre-aggregation
+    (so a hot segment combines per input partition; skew cannot funnel),
+    then the boilerplate set joins back as a broadcast (by construction it
+    is the small high-DF tail of the segment distribution). Reassembly is
+    one groupBy(doc_id). No window, no self-join.
+    """
+    from impalatogo_spark.operators import split_words
+
+    w = F.col("__w")
+    segs = (
+        split_words(df.select("doc_id", F.col(text_col)), text_col=text_col)
+        .select(
+            "doc_id",
+            "__w",
+            F.explode(
+                F.sequence(F.lit(0),
+                           (F.ceil(F.size(w) / float(seg_words)) - 1).cast("int"))
+            ).alias("seg_idx"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.concat_ws(
+                " ", F.slice(w, F.col("seg_idx") * seg_words + 1, seg_words)
+            ).alias("seg"),
+        )
+    )
+    # distinct-doc frequency with a (seg, doc) pre-combine, then the cap
+    boiler = (
+        segs.select("seg", "doc_id").distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("seg_df"))
+        .filter(F.col("seg_df") >= df_cap)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))), lambda x: x.seg
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.length(F.array_join(ordered, " ")).alias("clean_len"),
+            F.md5(F.array_join(ordered, " ")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_removal_oracle(seg_words: int = 10, df_cap: int = 3) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(w[(i*{seg_words}+1):((i+1)*{seg_words})], ' ') AS seg
+  FROM words,
+       UNNEST(range(CAST(ceil(len(w) / {seg_words}.0) AS BIGINT))) AS t(i)),
+boiler AS (
+  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS seg_df
+                   FROM segs GROUP BY seg)
+  WHERE seg_df >= {df_cap}),
+kept AS (
+  SELECT s.* FROM segs s ANTI JOIN boiler b USING (seg)),
+clean AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS txt
+  FROM kept GROUP BY doc_id)
+SELECT doc_id, n_kept, length(txt) AS clean_len, md5(txt) AS clean_md5
+FROM clean ORDER BY doc_id
+"""

@@ -977,3 +977,218 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
         F.round(F.sum("n_chars") * 1.0 / F.sum("n_tokens"), 6)
         .alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transform (Bavarian et al. 2022, "Efficient
+# Training of Language Models to Fill in the Middle"): split each document
+# into (prefix, middle, suffix) at deterministic points and re-emit in PSM
+# order so a causal LM learns infilling. Reference has no analogue; this is
+# a training-data-pipeline op over the documents table.
+# ---------------------------------------------------------------------------
+
+FIM_SEP = "<|fim|>"
+
+
+def fim_transform(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PSM fill-in-the-middle transform with hash-deterministic cut points.
+
+    Cut points derive from pure integer arithmetic on doc_id (Knuth
+    multiplicative constants mod large primes) so both engines agree
+    bit-for-bit — no float, no RNG. For an n-word document, 0 <= a <= b <= n:
+    prefix = words[1..a], middle = words[a+1..b], suffix = words[b+1..n];
+    emitted as md5(prefix || SEP || suffix || SEP || middle) plus exact
+    integer cut/length columns.
+
+    Scale shape: zero shuffles — one scan, all codegen (split is
+    materialized once behind the split_words Generate barrier; slices and
+    md5 are per-row column expressions). The presentation orderBy is the
+    only exchange. At 100 TB this is a pure map pass, the ideal shape.
+    """
+    from impalatogo_spark.operators import split_words
+
+    w = F.col("__w")
+    base = split_words(df.select("doc_id", text_col), text_col=text_col).select(
+        "doc_id",
+        "__w",
+        F.size(w).cast("long").alias("n_words"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)).alias("h1"),
+        ((F.col("doc_id") * F.lit(40503) + F.lit(2531011)) % F.lit(999983)).alias(
+            "h2"
+        ),
+    )
+    a = F.col("h1") % (F.col("n_words") + 1)
+    cut = base.select(
+        "doc_id",
+        "__w",
+        "n_words",
+        a.alias("cut_a"),
+        (a + (F.col("h2") % (F.col("n_words") - a + 1))).alias("cut_b"),
+    )
+    p = F.concat_ws(" ", F.slice(w, 1, F.col("cut_a").cast("int")))
+    mid = F.concat_ws(
+        " ",
+        F.slice(
+            w,
+            (F.col("cut_a") + 1).cast("int"),
+            (F.col("cut_b") - F.col("cut_a")).cast("int"),
+        ),
+    )
+    s = F.concat_ws(
+        " ",
+        F.slice(
+            w,
+            (F.col("cut_b") + 1).cast("int"),
+            (F.col("n_words") - F.col("cut_b")).cast("int"),
+        ),
+    )
+    return (
+        cut.select(
+            "doc_id",
+            "n_words",
+            "cut_a",
+            "cut_b",
+            F.length(p).alias("p_len"),
+            F.length(mid).alias("m_len"),
+            F.length(s).alias("s_len"),
+            F.md5(F.concat(p, F.lit(FIM_SEP), s, F.lit(FIM_SEP), mid)).alias(
+                "psm_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fim_transform_oracle() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+cuts AS (
+  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+         (doc_id * 2654435761) % 1000003 AS h1,
+         (doc_id * 40503 + 2531011) % 999983 AS h2
+  FROM w),
+pts AS (
+  SELECT doc_id, w, n, h1 % (n + 1) AS a,
+         (h1 % (n + 1)) + (h2 % (n - (h1 % (n + 1)) + 1)) AS b
+  FROM cuts),
+parts AS (
+  SELECT doc_id, n, a, b,
+         -- DuckDB yields NULL (not []) for an empty-range slice; Spark's
+         -- slice gives [] -> '' after concat_ws, so coalesce to match
+         coalesce(array_to_string(w[1:a], ' '), '') AS p,
+         coalesce(array_to_string(w[(a+1):b], ' '), '') AS m,
+         coalesce(array_to_string(w[(b+1):n], ' '), '') AS s
+  FROM pts)
+SELECT doc_id, n AS n_words, a AS cut_a, b AS cut_b,
+       length(p) AS p_len, length(m) AS m_len, length(s) AS s_len,
+       md5(p || '{FIM_SEP}' || s || '{FIM_SEP}' || m) AS psm_md5
+FROM parts ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 document retrieval (Robertson/Sparck-Jones; the classic bag-of-words
+# ranking function). Reference has no retrieval op; this is the corpus-side
+# scoring pass a training pipeline runs for query-targeted data selection.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("scan", "join", "window")
+
+
+def bm25_topk(df: DataFrame, text_col: str = "text",
+              terms: tuple[str, ...] = BM25_TERMS, k: int = 20) -> DataFrame:
+    """BM25 top-k retrieval for a fixed term set (k1=1.2, b=0.75).
+
+    Determinism: the per-(doc, term) BM25 contribution is rounded to integer
+    ten-thousandths (the money-cents pattern) BEFORE the per-doc sum, so
+    ranking and the final score are integer-exact across engines; only the
+    single ln() call relies on correctly-rounded libm (same as tfidf).
+
+    Scale shape: doc lengths and term frequencies are map-side-combined
+    groupBys on the same exploded words frame (one scan); df and the
+    (N, sum_dl) stats are tiny and BROADCAST; the tf-dl join shuffles only
+    matched docs; top-k is TakeOrderedAndProject (no global window) with
+    rank assigned over the k survivors."""
+    from pyspark.sql import Window as W
+
+    from impalatogo_spark.operators import split_words
+
+    wdf = split_words(df.select("doc_id", text_col), text_col=text_col)
+    words = wdf.select("doc_id", F.explode("__w").alias("term"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
+    tf = (
+        words.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        (1 - 0.75)
+                        + 0.75
+                        * F.col("dl")
+                        / (F.col("sum_dl") * 1.0 / F.col("n"))
+                    )
+                )
+                * 10000.0
+            )
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("s4").alias("s4")
+    )
+    top = agg.orderBy(F.desc("s4"), F.asc("doc_id")).limit(k)
+    wspec = W.orderBy(F.desc("s4"), F.asc("doc_id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(wspec))
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(F.col("s4") / 10000.0, 4).alias("score"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+def bm25_topk_oracle(terms: tuple[str, ...] = BM25_TERMS, k: int = 20) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w
+       WHERE term IN ({tlist}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+              * (tf * 2.2)
+              / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / (sum_dl * 1.0 / n)))
+              * 10000.0) AS BIGINT) AS s4
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(s4) AS BIGINT) AS s4
+        FROM scored GROUP BY 1),
+ranked AS (SELECT doc_id, n_terms, round(s4 / 10000.0, 4) AS score,
+                  row_number() OVER (ORDER BY s4 DESC, doc_id) AS rnk
+           FROM agg)
+SELECT doc_id, n_terms, score, rnk FROM ranked WHERE rnk <= {k}
+"""

@@ -2328,3 +2328,45 @@ def events_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFra
         F.max("concurrent").alias("peak_concurrent"),
         F.count(F.lit(1)).alias("n_change_points"),
     )
+
+
+@register(
+    "text_fim_transform",
+    oracle=X.fim_transform_oracle(),
+    tags=("pipeline", "text"),
+)
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (PSM) training transform: hash-deterministic
+    integer cut points split each document into prefix/middle/suffix,
+    re-emitted in prefix-suffix-middle order (pinned by md5) for infilling
+    pretraining. Zero-shuffle pure-codegen map pass
+    (operators/text.py::fim_transform)."""
+    return X.fim_transform(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bm25_topk",
+    oracle=X.bm25_topk_oracle(),
+    tags=("pipeline", "text"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval over the corpus for a fixed query-term set —
+    the query-targeted data-selection scoring pass. Integer ten-thousandths
+    contributions make ranking and scores engine-exact; df/corpus-stats
+    broadcast; top-k is TakeOrderedAndProject
+    (operators/text.py::bm25_topk)."""
+    return X.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_boilerplate_removal",
+    oracle=D.boilerplate_removal_oracle(),
+    tags=("pipeline", "dedup", "text"),
+)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: drop EVERY copy of any 10-word
+    segment that appears in >= 3 distinct documents (license headers, nav
+    chrome), then reassemble. Distinct from dedup_paragraph (keep-first):
+    boilerplate is dropped in all copies. Two map-side-combined shuffles +
+    one broadcast anti-join (operators/dedup.py::boilerplate_removal)."""
+    return D.boilerplate_removal(_t(spark, sf_dir, "documents"))

@@ -254,3 +254,30 @@ def test_bloom_prefilter_broadcasts_bits_and_never_joins_corpus_text(spark, sf_d
     plan = plans.formatted_plan(dedup_bloom_prefilter(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fim_transform_is_joinless_single_scan(spark, sf_dir):
+    """FIM is a pure map pass: no join anywhere, scan pruned to
+    (doc_id, text), and the only exchange is the presentation sort."""
+    from impalatogo_spark.queries.pipeline import text_fim_transform
+
+    df = text_fim_transform(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan
+    cols = plans.scan_read_schema(df)
+    assert "doc_id" in cols and "text" in cols
+    assert "lang" not in cols and "source" not in cols
+    # one range exchange for the orderBy, nothing else
+    assert plans.count_shuffles(df) <= 1
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    """BM25's df/corpus-stat sides are tiny and must broadcast; the top-k
+    must compile to TakeOrderedAndProject (no global single-partition
+    window over the full matched set)."""
+    from impalatogo_spark.queries.pipeline import text_bm25_topk
+
+    df = text_bm25_topk(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
