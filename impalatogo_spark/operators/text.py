@@ -963,19 +963,38 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
 
     wa = split_words(df.select("doc_id", text_col), keep=("doc_id",), out="wa")
     words = wa.select("doc_id", F.explode("wa").alias("w")).filter(F.col("w") != "")
+    # tokenization is a function of the word TYPE, not the token: run the
+    # (interpreted-HOF) merge-fold chain once per distinct word and
+    # broadcast the tiny (word -> n_tokens) table back over the per-doc
+    # counts — the encode-side twin of training on word frequencies.
+    # Fold work drops from O(corpus tokens) to O(|vocab|).
     syms = F.split(F.col("w"), "")
     for _, lhs, rhs, _cnt in sorted(merges):
         syms = _bpe_apply_merge(syms, lhs, rhs)
-    per_word = words.select(
-        "doc_id",
-        F.length("w").alias("n_chars"),
-        F.size(syms).alias("n_tokens"),
+    types = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("__unused")).select("w")
+        .select(
+            "w",
+            F.length("w").alias("n_chars_w"),
+            F.size(syms).alias("n_tokens_w"),
+        )
     )
-    return per_word.groupBy("doc_id").agg(
-        F.sum("n_chars").alias("n_chars"),
-        F.sum("n_tokens").alias("n_bpe_tokens"),
-        F.round(F.sum("n_chars") * 1.0 / F.sum("n_tokens"), 6)
-        .alias("chars_per_token"),
+    per_doc_word = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_doc_word.join(F.broadcast(types), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("n_chars_w")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_tokens_w")).alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_chars_w"))
+                * 1.0
+                / F.sum(F.col("cnt") * F.col("n_tokens_w")),
+                6,
+            ).alias("chars_per_token"),
+        )
     )
 
 
