@@ -54,6 +54,11 @@ class Engine:
         self.authz = _authz.AuthzCatalog()
         self.authz_user: str = spark.sql("SELECT current_user()").first()[0]
         self.enforce_authz = False
+        # external data-source catalog (sql-parser.y create_data_src_stmt;
+        # CLASS holds a Python DataSource class path instead of a Java jar
+        # class — the Spark-native equivalent of the reference's
+        # ExternalDataSource jar registry)
+        self.data_sources: dict[str, dict[str, str]] = {}
 
     # -- SQL entry -----------------------------------------------------------
 
@@ -65,6 +70,9 @@ class Engine:
             # Impala-only statement (sql-parser.y SHOW FILES) — no Spark SQL
             # equivalent to translate to; served from catalog metadata.
             return self.show_files(m.group(1))
+        handled = self._impala_ddl(text)
+        if handled is not None:
+            return handled
         from impalatogo_spark import authz as _authz
 
         handled = _authz.dispatch(self.authz, self.spark, self.authz_user, text)
@@ -85,6 +93,164 @@ class Engine:
             _authz.enforce(self.authz, self.authz_user, "SELECT",
                            _authz.catalog_tables(df))
         return df
+
+    # -- Impala-only DDL (no Spark SQL equivalent) ----------------------------
+
+    _DDL_RE = {
+        # CREATE [EXTERNAL] TABLE t LIKE PARQUET 'file' (sql-parser.y:831
+        # create_tbl_like_file_stmt / CreateTableLikeFileStmt)
+        "like_file": re.compile(
+            r"\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.`]+)\s+LIKE\s+PARQUET\s+'([^']+)'"
+            r"(?:\s+STORED\s+AS\s+(\w+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$",
+            re.IGNORECASE),
+        # DROP [INCREMENTAL] STATS t [PARTITION(...)] (sql-parser.y:1258)
+        "drop_stats": re.compile(
+            r"\s*DROP\s+(?:INCREMENTAL\s+)?STATS\s+([\w.`]+)"
+            r"(?:\s+PARTITION\s*\([^)]*\))?\s*;?\s*$", re.IGNORECASE),
+        # CREATE DATA SOURCE name LOCATION '...' CLASS '...' API_VERSION '...'
+        "create_ds": re.compile(
+            r"\s*CREATE\s+DATA\s+SOURCE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+            r"LOCATION\s+'([^']+)'\s+CLASS\s+'([^']+)'\s+"
+            r"API_VERSION\s+'([^']+)'\s*;?\s*$", re.IGNORECASE),
+        "drop_ds": re.compile(
+            r"\s*DROP\s+DATA\s+SOURCE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+            re.IGNORECASE),
+        "show_ds": re.compile(
+            r"\s*SHOW\s+DATA\s+SOURCES?(?:\s+(?:LIKE\s+)?'([^']+)')?\s*;?\s*$",
+            re.IGNORECASE),
+        # CREATE TABLE t [(cols)] PRODUCED BY DATA SOURCE name[('init')]
+        # (sql-parser.y:897 CreateTableDataSrcStmt)
+        "produced_by": re.compile(
+            r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s*"
+            r"(?:\(([^)]*)\)\s*)?PRODUCED\s+BY\s+DATA\s+SOURCE\s+(\w+)"
+            r"(?:\s*\(\s*'([^']*)'\s*\))?\s*;?\s*$", re.IGNORECASE),
+    }
+
+    def _impala_ddl(self, text: str) -> DataFrame | None:
+        """Dispatch Impala-only DDL statements; None -> not one of them."""
+        def ok() -> DataFrame:
+            return self.spark.createDataFrame([("OK",)], "summary string")
+
+        if m := self._DDL_RE["like_file"].match(text):
+            self.create_table_like_file(
+                m.group(2), m.group(3), file_format=(m.group(4) or "PARQUET"),
+                location=m.group(5), if_not_exists=bool(m.group(1)))
+            return ok()
+        if m := self._DDL_RE["drop_stats"].match(text):
+            self.drop_stats(m.group(1))
+            return ok()
+        if m := self._DDL_RE["create_ds"].match(text):
+            self.create_data_source(m.group(2), m.group(3), m.group(4),
+                                    m.group(5), if_not_exists=bool(m.group(1)))
+            return ok()
+        if m := self._DDL_RE["drop_ds"].match(text):
+            self.drop_data_source(m.group(2), if_exists=bool(m.group(1)))
+            return ok()
+        if m := self._DDL_RE["show_ds"].match(text):
+            return self.show_data_sources(m.group(1))
+        if m := self._DDL_RE["produced_by"].match(text):
+            self.create_table_from_data_source(
+                m.group(1), m.group(3), init_string=m.group(4),
+                column_defs=m.group(2))
+            return ok()
+        return None
+
+    def create_table_like_file(self, table: str, schema_file: str,
+                               file_format: str = "PARQUET",
+                               location: str | None = None,
+                               if_not_exists: bool = False) -> None:
+        """CREATE TABLE ... LIKE PARQUET '<file>': infer the column list from
+        a parquet file's footer schema (CreateTableLikeFileStmt.java — the
+        reference reads the footer with its own parquet parser; Spark's
+        reader does the same footer walk)."""
+        schema = self.spark.read.parquet(schema_file).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                         for f in schema.fields)
+        ine = "IF NOT EXISTS " if if_not_exists else ""
+        fmt = {"TEXTFILE": "csv", "PARQUET": "parquet", "ORC": "orc",
+               "JSONFILE": "json"}.get(file_format.upper(), file_format.lower())
+        loc = f" LOCATION '{location}'" if location else ""
+        self.spark.sql(f"CREATE TABLE {ine}{table} ({cols}) USING {fmt}{loc}")
+
+    def drop_stats(self, table: str) -> None:
+        """DROP STATS: clear the table's optimizer statistics
+        (DropStatsStmt.java; the reference nulls the table/column stats in
+        the metastore). Spark keeps stats in the external catalog —
+        alterTableStats(None) is the exact inverse of ANALYZE."""
+        jss = self.spark._jsparkSession  # noqa: SLF001
+        parts = table.replace("`", "").split(".")
+        if len(parts) == 2:
+            db, tbl = parts
+        else:
+            db = jss.sessionState().catalog().getCurrentDatabase()
+            tbl = parts[0]
+        jss.sharedState().externalCatalog().alterTableStats(
+            db, tbl, self.spark._jvm.scala.Option.apply(None))  # noqa: SLF001
+        self.spark.catalog.refreshTable(table)
+
+    def create_data_source(self, name: str, location: str, class_name: str,
+                           api_version: str,
+                           if_not_exists: bool = False) -> None:
+        """CREATE DATA SOURCE (CreateDataSrcStmt.java): register a source in
+        the engine catalog. CLASS names a Python DataSource class path (the
+        Spark-native analogue of the reference's ExternalDataSource jar
+        class); it is imported and registered with the session now, so a
+        bad class fails at CREATE time like the reference's jar check."""
+        key = name.lower()
+        if key in self.data_sources:
+            if if_not_exists:
+                return
+            raise ValueError(f"Data source already exists: {name}")
+        import importlib
+
+        module, _, cls_name = class_name.rpartition(".")
+        cls = getattr(importlib.import_module(module), cls_name)
+        self.spark.dataSource.register(cls)
+        self.data_sources[key] = {
+            "name": name, "location": location, "class name": class_name,
+            "api version": api_version, "format": cls.name(),
+        }
+
+    def drop_data_source(self, name: str, if_exists: bool = False) -> None:
+        if name.lower() not in self.data_sources and not if_exists:
+            raise ValueError(f"Data source does not exist: {name}")
+        self.data_sources.pop(name.lower(), None)
+
+    def show_data_sources(self, pattern: str | None = None) -> DataFrame:
+        """SHOW DATA SOURCES [LIKE 'pat'] — Impala patterns use * and |."""
+        rows = sorted(self.data_sources.values(), key=lambda d: d["name"])
+        if pattern is not None:
+            rx = re.compile("|".join(
+                "^" + re.escape(alt).replace(r"\*", ".*") + "$"
+                for alt in pattern.split("|")), re.IGNORECASE)
+            rows = [r for r in rows if rx.match(r["name"])]
+        return self.spark.createDataFrame(
+            [(r["name"], r["location"], r["class name"], r["api version"])
+             for r in rows],
+            "name string, location string, `class name` string, "
+            "`api version` string")
+
+    def create_table_from_data_source(self, table: str, source: str,
+                                      init_string: str | None = None,
+                                      column_defs: str | None = None) -> None:
+        """CREATE TABLE ... PRODUCED BY DATA SOURCE (CreateTableDataSrcStmt):
+        the init string is passed to the source as reader options — 'k=v,...'
+        pairs map onto DataSource options (the reference hands the opaque
+        string to prepare(); options are the Python DataSource equivalent)."""
+        ds = self.data_sources.get(source.lower())
+        if ds is None:
+            raise ValueError(f"Data source does not exist: {source}")
+        reader = self.spark.read.format(ds["format"])
+        if init_string:
+            for pair in init_string.split(","):
+                k, _, v = pair.partition("=")
+                if k.strip():
+                    reader = reader.option(k.strip(), v.strip())
+            reader = reader.option("init_string", init_string)
+        if column_defs and column_defs.strip():
+            reader = reader.schema(column_defs)
+        reader.load().createOrReplaceTempView(table)
 
     # -- session options -----------------------------------------------------
 

@@ -343,3 +343,44 @@ def test_incremental_stats_and_partition_listing(eng, spark):
     cols = {r[0] for r in eng.show_column_stats("i2s_test.part_stats_t").collect()}
     assert "x" in cols and "p" in cols
     spark.sql("DROP TABLE i2s_test.part_stats_t")
+
+
+def test_create_table_like_parquet(eng, spark, sf_dir):
+    """CREATE TABLE ... LIKE PARQUET '<file>' infers columns from the parquet
+    footer (sql-parser.y:831 create_tbl_like_file_stmt /
+    CreateTableLikeFileStmt.java footer walk)."""
+    spark.sql("DROP TABLE IF EXISTS i2s_test.like_nation")
+    eng.sql(
+        "CREATE TABLE i2s_test.like_nation LIKE PARQUET "
+        f"'{sf_dir}/nation.parquet' STORED AS PARQUET"
+    )
+    got = spark.table("i2s_test.like_nation").schema
+    want = spark.read.parquet(f"{sf_dir}/nation.parquet").schema
+    assert [(f.name, f.dataType) for f in got.fields] == [
+        (f.name, f.dataType) for f in want.fields
+    ]
+    assert spark.table("i2s_test.like_nation").count() == 0
+    # IF NOT EXISTS is honored
+    eng.sql(
+        "CREATE TABLE IF NOT EXISTS i2s_test.like_nation LIKE PARQUET "
+        f"'{sf_dir}/nation.parquet'"
+    )
+    spark.sql("DROP TABLE i2s_test.like_nation")
+
+
+def test_drop_stats(eng, spark):
+    """DROP STATS clears ANALYZE results from the catalog (DropStatsStmt —
+    the reference nulls table/column stats in the metastore)."""
+    spark.sql("DROP TABLE IF EXISTS i2s_test.stats_t")
+    spark.sql("CREATE TABLE i2s_test.stats_t (x INT) USING parquet")
+    spark.sql("INSERT INTO i2s_test.stats_t VALUES (1), (2), (3)")
+    spark.sql("ANALYZE TABLE i2s_test.stats_t COMPUTE STATISTICS")
+
+    def stats_line() -> str:
+        rows = spark.sql("DESCRIBE TABLE EXTENDED i2s_test.stats_t").collect()
+        return next((r.data_type for r in rows if r.col_name == "Statistics"), "")
+
+    assert "3 rows" in stats_line()
+    eng.sql("DROP STATS i2s_test.stats_t")
+    assert "rows" not in stats_line()
+    spark.sql("DROP TABLE i2s_test.stats_t")

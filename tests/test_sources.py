@@ -59,3 +59,42 @@ def test_residual_filter_still_applied(spark):
         .filter((F.col("doc_id") < 100) & F.col("text").like("%spark%"))
     )
     assert all("spark" in r.text and r.doc_id < 100 for r in df.collect())
+
+
+def test_data_source_ddl_lifecycle(spark):
+    """CREATE/SHOW/DROP DATA SOURCE + CREATE TABLE ... PRODUCED BY DATA
+    SOURCE (sql-parser.y:897, CreateDataSrcStmt/CreateTableDataSrcStmt):
+    CLASS carries a Python DataSource class path — the Spark-native
+    analogue of the reference's ExternalDataSource jar class."""
+    from impalatogo_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.sql(
+        "CREATE DATA SOURCE synth LOCATION '/tmp/none' CLASS "
+        "'impalatogo_spark.sources.external.SyntheticDocsDataSource' "
+        "API_VERSION 'V1'"
+    )
+    # duplicate without IF NOT EXISTS raises; with it, no-op
+    with pytest.raises(ValueError):
+        eng.create_data_source("synth", "/x", "y.z", "V1")
+    eng.sql(
+        "CREATE DATA SOURCE IF NOT EXISTS synth LOCATION '/x' CLASS "
+        "'impalatogo_spark.sources.external.SyntheticDocsDataSource' "
+        "API_VERSION 'V1'"
+    )
+
+    shown = eng.sql("SHOW DATA SOURCES").collect()
+    assert [r.name for r in shown] == ["synth"]
+    assert shown[0]["api version"] == "V1"
+    assert eng.sql("SHOW DATA SOURCES LIKE 'sy*'").count() == 1
+    assert eng.sql("SHOW DATA SOURCES LIKE 'nope|zz*'").count() == 0
+
+    eng.sql("CREATE TABLE sdocs PRODUCED BY DATA SOURCE synth('n_docs=25')")
+    assert spark.table("sdocs").count() == 25
+    assert spark.table("sdocs").columns == ["doc_id", "text", "n_chars"]
+
+    eng.sql("DROP DATA SOURCE synth")
+    with pytest.raises(ValueError):
+        eng.sql("DROP DATA SOURCE synth")
+    eng.sql("DROP DATA SOURCE IF EXISTS synth")
+    spark.catalog.dropTempView("sdocs")
