@@ -1,0 +1,301 @@
+"""HBase-equivalent key-value table over range-partitioned parquet regions.
+
+The reference scans and writes HBase tables through two operators:
+
+  * HBaseScanNode — row-key range scan (`SetScanRanges` start/stop keys picked
+    from row-key conjuncts), per-(family:qualifier) column projection, value
+    filters offered to the region server
+    (be/src/exec/hbase-scan-node.cc:102-212).
+  * HBaseTableSink — one versioned Put per row
+    (be/src/exec/hbase-table-sink.cc).
+
+A live HBase server is an external-system dependency this container cannot
+provide, so this module reproduces the TABLE SEMANTICS the two operators rely
+on with a Spark-native layout — the same design HBase itself uses:
+
+  * a table is a set of REGIONS, each owning a contiguous row-key range,
+    holding its rows sorted by key (here: one parquet file per region,
+    `repartitionByRange` + `sortWithinPartitions` — the HFile invariant);
+  * writes are LSM-style versioned puts: each `put_batch` appends per-region
+    delta files stamped with a monotonically increasing batch version; reads
+    resolve the NEWEST version per key (`max_by` over the version stamp,
+    HBase's latest-timestamp-wins) and drop tombstones (versioned deletes);
+  * scans prune by row-key range against region metadata BEFORE touching any
+    file (the SetScanRanges equivalent) and then push the residual key range
+    into the parquet scan (row-group stats prune within the region, the way
+    HBase seeks inside an HFile via its block index);
+  * `compact` folds deltas back into one file per region (minor compaction).
+
+Everything else (column projection, value-predicate pushdown) rides on the
+native parquet reader, which is strictly stronger than the reference's
+region-server filter offers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "_kv_meta.json"
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as fh:
+        return json.load(fh)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _META))
+
+
+def _region_dir(path: str, i: int) -> str:
+    return os.path.join(path, f"region-{i:05d}")
+
+
+def create_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key: str,
+    n_regions: int = 4,
+) -> dict:
+    """Create a KV table from `df`: range-partition on the row key into
+    `n_regions` regions (HBase pre-split), one sorted parquet file each.
+
+    Region boundaries are recorded in table metadata so scans can prune
+    whole regions from the key range alone, before listing a single row —
+    the HBaseScanNode SetScanRanges contract."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    parted = (
+        df.repartitionByRange(n_regions, F.col(key))
+        .sortWithinPartitions(key)
+        .withColumn("__kv_version", F.lit(0).cast("long"))
+        .withColumn("__kv_tombstone", F.lit(False))
+    )
+    # one pass: write each range partition to its region dir. partitionId is
+    # range-ordered under repartitionByRange, so it IS the region ordinal.
+    staged = os.path.join(path, "_stage")
+    parted.withColumn("__kv_region", F.spark_partition_id()).write.partitionBy(
+        "__kv_region"
+    ).parquet(staged)
+    bounds: list[dict] = []
+    n_written = 0
+    entries = sorted(
+        (int(e.split("=", 1)[1]), e)
+        for e in os.listdir(staged)
+        if e.startswith("__kv_region=")
+    )
+    for rid, entry in entries:
+        src = os.path.join(staged, entry)
+        dst = _region_dir(path, n_written)
+        os.makedirs(dst)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(src, f),
+                            os.path.join(dst, f"base-{f}"))
+        stats = (
+            spark.read.parquet(dst)
+            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+            .first()
+        )
+        bounds.append({"region": n_written, "start_key": stats.lo,
+                       "stop_key": stats.hi, "_rid": rid})
+        n_written += 1
+    shutil.rmtree(staged)
+    meta = {
+        "key": key,
+        "regions": [
+            {k: v for k, v in b.items() if k != "_rid"} for b in bounds
+        ],
+        "next_version": 1,
+        "schema": df.schema.jsonValue(),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def _prune_regions(meta: dict, start_key=None, stop_key=None) -> list[dict]:
+    """Region pruning from the key range — start inclusive, stop exclusive
+    (the HBase scan-range convention hbase-scan-node.cc:108-112)."""
+    out = []
+    for r in meta["regions"]:
+        if start_key is not None and r["stop_key"] is not None \
+                and r["stop_key"] < start_key:
+            continue
+        if stop_key is not None and r["start_key"] is not None \
+                and r["start_key"] >= stop_key:
+            continue
+        out.append(r)
+    return out
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    start_key=None,
+    stop_key=None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Row-key range scan: prune regions from metadata, read only surviving
+    region files, resolve newest version per key, drop tombstones. The
+    residual key-range filter is applied ON TOP of the parquet scan so it
+    reaches PushedFilters (row-group pruning inside each region)."""
+    meta = _read_meta(path)
+    key = meta["key"]
+    regions = _prune_regions(meta, start_key, stop_key)
+    if not regions:
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], schema=StructType.fromJson(meta["schema"]))
+        return empty.select(*(columns or empty.columns))
+    df = spark.read.parquet(*[_region_dir(path, r["region"])
+                              for r in regions])
+    if start_key is not None:
+        df = df.filter(F.col(key) >= F.lit(start_key))
+    if stop_key is not None:
+        df = df.filter(F.col(key) < F.lit(stop_key))
+    data_cols = [c for c in df.columns
+                 if c not in ("__kv_version", "__kv_tombstone")]
+    if columns:
+        # project BEFORE the version resolve so unrequested qualifiers never
+        # enter the max_by struct — the pruning reaches the parquet ReadSchema
+        data_cols = [c for c in data_cols if c == key or c in columns]
+    latest = (
+        df.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in data_cols if c != key],
+                         "__kv_tombstone"),
+                F.col("__kv_version"),
+            ).alias("__row")
+        )
+        .filter(~F.col("__row.__kv_tombstone"))
+        .select(key, *[F.col(f"__row.{c}").alias(c)
+                       for c in data_cols if c != key])
+    )
+    return latest.select(*(columns or data_cols))
+
+
+def get(spark: SparkSession, path: str, key_value):
+    """Point lookup (HBase Get): single-region scan with an equality range."""
+    meta = _read_meta(path)
+    key = meta["key"]
+    rows = (
+        scan(spark, path, start_key=key_value)
+        .filter(F.col(key) == F.lit(key_value))
+        .limit(2)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def put_batch(spark: SparkSession, path: str, updates: DataFrame,
+              delete: bool = False) -> int:
+    """Versioned Put (HBaseTableSink): append per-region delta files stamped
+    with the next version; the newest version of a key wins at scan time.
+    With delete=True the rows are tombstones (versioned Delete)."""
+    meta = _read_meta(path)
+    key = meta["key"]
+    version = meta["next_version"]
+    stamped = updates.withColumn(
+        "__kv_version", F.lit(version).cast("long")
+    ).withColumn("__kv_tombstone", F.lit(bool(delete)))
+    n = 0
+    # route each row to its owning region (last region whose start <= key;
+    # keys past the last stop extend the last region, like HBase's
+    # open-ended terminal region)
+    for i, r in enumerate(meta["regions"]):
+        cond = F.lit(True)
+        if r["start_key"] is not None and i > 0:
+            cond = cond & (F.col(key) >= F.lit(r["start_key"]))
+        nxt = meta["regions"][i + 1] if i + 1 < len(meta["regions"]) else None
+        if nxt is not None and nxt["start_key"] is not None:
+            cond = cond & (F.col(key) < F.lit(nxt["start_key"]))
+        part = stamped.filter(cond)
+        rows = part.count()
+        if rows == 0:
+            continue
+        n += rows
+        fname = f"delta-{version:010d}-{uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(path, "_delta_stage")
+        part.coalesce(1).sortWithinPartitions(key).write.mode(
+            "overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(tmp, f),
+                            os.path.join(_region_dir(path, r["region"]),
+                                         f"{fname}.parquet"))
+        shutil.rmtree(tmp)
+        # widen region bounds if the batch extends them
+        stats = part.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        if r["start_key"] is None or stats.lo < r["start_key"]:
+            r["start_key"] = stats.lo
+        if r["stop_key"] is None or stats.hi > r["stop_key"]:
+            r["stop_key"] = stats.hi
+    meta["next_version"] = version + 1
+    _write_meta(path, meta)
+    return n
+
+
+def compact(spark: SparkSession, path: str) -> dict:
+    """Minor compaction: fold each region's base+delta files into one file
+    holding only the newest surviving version per key (tombstones purged —
+    HBase major-compaction semantics for the delete case)."""
+    meta = _read_meta(path)
+    key = meta["key"]
+    report = {"regions": 0, "files_before": 0, "files_after": 0}
+    for r in meta["regions"]:
+        rdir = _region_dir(path, r["region"])
+        files = [f for f in os.listdir(rdir) if f.endswith(".parquet")]
+        report["files_before"] += len(files)
+        if len(files) <= 1:
+            report["files_after"] += len(files)
+            continue
+        df = spark.read.parquet(rdir)
+        data_cols = [c for c in df.columns
+                     if c not in ("__kv_version", "__kv_tombstone")]
+        folded = (
+            df.groupBy(key)
+            .agg(
+                F.max(F.col("__kv_version")).alias("__kv_version"),
+                F.max_by(
+                    F.struct(*[c for c in data_cols if c != key],
+                             "__kv_tombstone"),
+                    F.col("__kv_version"),
+                ).alias("__row"),
+            )
+            .filter(~F.col("__row.__kv_tombstone"))
+            .select(
+                key,
+                *[F.col(f"__row.{c}").alias(c)
+                  for c in data_cols if c != key],
+                "__kv_version",
+                F.col("__row.__kv_tombstone").alias("__kv_tombstone"),
+            )
+        )
+        tmp = rdir + ".compact"
+        folded.coalesce(1).sortWithinPartitions(key).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.rmtree(rdir)
+        os.makedirs(rdir)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(tmp, f),
+                            os.path.join(rdir, f"base-{f}"))
+        shutil.rmtree(tmp)
+        report["files_after"] += 1
+        report["regions"] += 1
+    _write_meta(path, meta)
+    return report

@@ -1,0 +1,106 @@
+"""HBase-equivalent KV table (sources/kvstore.py): region-pruned row-key
+range scans (hbase-scan-node.cc SetScanRanges), versioned puts/deletes with
+newest-wins reads (hbase-table-sink.cc), and compaction."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from impalatogo_spark.sources import kvstore as kv
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    path = tempfile.mkdtemp(prefix="i2s_kv_")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 100).alias("v"),
+        F.concat(F.lit("row"), F.col("id")).alias("payload"),
+    )
+    kv.create_table(spark, path, df, key="k", n_regions=4)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_full_scan_round_trip(spark, tbl):
+    got = kv.scan(spark, tbl)
+    assert got.count() == 1000
+    assert set(got.columns) == {"k", "v", "payload"}
+    row = got.filter(F.col("k") == 123).first()
+    assert (row.v, row.payload) == (123 * 7 % 100, "row123")
+
+
+def test_range_scan_prunes_regions(spark, tbl):
+    """A row-key range covering one region reads ONLY that region's files
+    (the SetScanRanges region-pruning contract)."""
+    meta = kv._read_meta(tbl)
+    assert len(meta["regions"]) == 4
+    r0_stop = meta["regions"][0]["stop_key"]
+    pruned = kv._prune_regions(meta, start_key=0, stop_key=r0_stop)
+    assert [r["region"] for r in pruned] == [0]
+
+    df = kv.scan(spark, tbl, start_key=100, stop_key=200)
+    rows = df.collect()
+    assert {r.k for r in rows} == set(range(100, 200))
+    # start inclusive / stop exclusive, the HBase convention
+    assert kv.scan(spark, tbl, start_key=100, stop_key=101).count() == 1
+
+
+def test_point_get(spark, tbl):
+    row = kv.get(spark, tbl, 777)
+    assert row is not None and row.payload == "row777"
+    assert kv.get(spark, tbl, 10_000) is None
+
+
+def test_versioned_put_and_delete(spark, tbl):
+    """Newest version per key wins; tombstones hide rows (HBase
+    latest-timestamp-wins Put / versioned Delete)."""
+    updates = spark.createDataFrame(
+        [(5, 999, "updated5"), (1005, 1, "new1005")],
+        "k long, v long, payload string",
+    )
+    assert kv.put_batch(spark, tbl, updates) == 2
+    got = kv.scan(spark, tbl)
+    assert got.count() == 1001
+    assert got.filter(F.col("k") == 5).first().payload == "updated5"
+    assert got.filter(F.col("k") == 1005).first().payload == "new1005"
+
+    dels = spark.createDataFrame([(7, 0, "x")], "k long, v long, payload string")
+    kv.put_batch(spark, tbl, dels, delete=True)
+    assert kv.scan(spark, tbl).filter(F.col("k") == 7).count() == 0
+    # a later put resurrects the key (version ordering, not set logic)
+    kv.put_batch(spark, tbl, dels)
+    assert kv.scan(spark, tbl).filter(F.col("k") == 7).count() == 1
+
+
+def test_compact_preserves_scan(spark, tbl):
+    before = {(r.k, r.v, r.payload) for r in kv.scan(spark, tbl).collect()}
+    report = kv.compact(spark, tbl)
+    assert report["files_before"] > report["files_after"]
+    after_files = [
+        f
+        for rdir in os.listdir(tbl)
+        if rdir.startswith("region-")
+        for f in os.listdir(os.path.join(tbl, rdir))
+        if f.endswith(".parquet")
+    ]
+    assert len(after_files) == 4  # one file per region
+    after = {(r.k, r.v, r.payload) for r in kv.scan(spark, tbl).collect()}
+    assert before == after
+
+
+def test_projection_reaches_parquet_scan(spark, tbl):
+    """Column projection prunes the parquet ReadSchema and the key range
+    reaches PushedFilters — the scan does less work per region file, the
+    reference's qualifier-projection + filter-offer behavior."""
+    df = kv.scan(spark, tbl, start_key=10, stop_key=20, columns=["k", "v"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "payload" not in plan.split("PushedFilters")[0].split("ReadSchema")[-1]
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,10)" in plan
