@@ -1,0 +1,166 @@
+"""Corpus snapshots: append-only manifests with time travel and diff scans.
+
+A continuously-ingesting 100 TB training corpus needs three reads the plain
+directory layout cannot give:
+
+  * read AS OF a snapshot (reproduce the exact corpus a model was trained
+    on, months later);
+  * read only what CHANGED between two snapshots (incremental dedup /
+    feature extraction — O(batch), never O(corpus));
+  * expire old snapshots without breaking the current one.
+
+This is the Iceberg/Delta manifest pattern reduced to its load-bearing
+core: data files are immutable parquet, a snapshot is a JSON manifest
+listing exactly the files visible at that version (parent files + the new
+batch), and readers plan FROM THE MANIFEST — never from directory listing.
+At scale that swap matters twice over: object-store LIST calls disappear
+from the read path, and a manifest read is O(files-in-snapshot) metadata,
+not O(all-files-ever-written).
+
+Complements operators/maintenance.py (upsert/compaction rewrite files;
+here files are immutable and versions are the unit of change) and
+streaming/ingest.py (whose per-batch keeps can be committed as one
+snapshot per micro-batch)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAP_DIR = "snapshots"
+_DATA_DIR = "data"
+
+
+def _snap_path(path: str, version: int) -> str:
+    return os.path.join(path, _SNAP_DIR, f"snap-{version:010d}.json")
+
+
+def _head_path(path: str) -> str:
+    return os.path.join(path, _SNAP_DIR, "HEAD")
+
+
+def head_version(path: str) -> int | None:
+    """Current snapshot version, or None for an empty table."""
+    try:
+        with open(_head_path(path)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _read_snapshot(path: str, version: int) -> dict:
+    with open(_snap_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def snapshot_write(spark: SparkSession, path: str, df: DataFrame,
+                   note: str = "") -> int:
+    """Commit `df` as a new snapshot: write immutable data files, then a
+    manifest = parent's files + the new ones. Returns the new version.
+
+    The data write is a normal distributed parquet write (parallelism =
+    df's partitioning); only the manifest append is driver-side, and it is
+    O(files), not O(rows)."""
+    os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+    parent = head_version(path)
+    files = list(_read_snapshot(path, parent)["files"]) if parent is not None else []
+
+    batch_dir = os.path.join(path, _DATA_DIR, uuid.uuid4().hex[:12])
+    df.write.parquet(batch_dir)
+    new_files = sorted(
+        os.path.join(batch_dir, f)
+        for f in os.listdir(batch_dir)
+        if f.endswith(".parquet")
+    )
+    version = 0 if parent is None else parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "note": note,
+        "files": files + new_files,
+        "added": new_files,
+    }
+    tmp = _snap_path(path, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, _snap_path(path, version))
+    with open(_head_path(path) + ".tmp", "w") as fh:
+        fh.write(str(version))
+    os.replace(_head_path(path) + ".tmp", _head_path(path))
+    return version
+
+
+def snapshot_read(spark: SparkSession, path: str,
+                  version: int | None = None) -> DataFrame:
+    """Read the corpus AS OF `version` (default: head). Plans from the
+    manifest's file list — no directory listing, and files added by later
+    snapshots are invisible even though they share the data directory."""
+    v = head_version(path) if version is None else version
+    if v is None:
+        raise ValueError(f"No snapshots at {path}")
+    manifest = _read_snapshot(path, v)
+    return spark.read.parquet(*manifest["files"])
+
+
+def snapshot_diff(spark: SparkSession, path: str, from_version: int | None,
+                  to_version: int | None = None) -> DataFrame:
+    """Rows added AFTER `from_version` up to `to_version` (default head):
+    the union of the intermediate snapshots' `added` file lists. This is
+    the incremental-processing entry — a dedup or feature pass over the
+    diff touches O(new data), never the accumulated corpus.
+
+    from_version=None means 'everything' (diff from before the first
+    snapshot)."""
+    to_v = head_version(path) if to_version is None else to_version
+    if to_v is None:
+        raise ValueError(f"No snapshots at {path}")
+    added: list[str] = []
+    v: int | None = to_v
+    while v is not None and (from_version is None or v > from_version):
+        manifest = _read_snapshot(path, v)
+        added = manifest["added"] + added
+        v = manifest["parent"]
+    if not added:
+        return snapshot_read(spark, path, to_v).limit(0)
+    return spark.read.parquet(*added)
+
+
+def snapshot_expire(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest `keep_last` snapshots and delete data files
+    no surviving snapshot references (Iceberg expire_snapshots). Time
+    travel to expired versions is gone; the surviving reads are untouched."""
+    head = head_version(path)
+    if head is None:
+        return {"expired": 0, "deleted_files": 0}
+    keep = set(range(max(0, head - keep_last + 1), head + 1))
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_snapshot(path, v)["files"])
+    expired = 0
+    deleted = 0
+    for f in os.listdir(os.path.join(path, _SNAP_DIR)):
+        if not f.startswith("snap-"):
+            continue
+        v = int(f.split("-")[1].split(".")[0])
+        if v in keep:
+            continue
+        for df_path in _read_snapshot(path, v)["files"]:
+            if df_path not in live and os.path.exists(df_path):
+                os.remove(df_path)
+                deleted += 1
+        os.remove(_snap_path(path, v))
+        expired += 1
+    # prune emptied batch directories
+    data_root = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if os.path.isdir(full) and not any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                shutil.rmtree(full)
+    return {"expired": expired, "deleted_files": deleted}

@@ -1,0 +1,86 @@
+"""Corpus snapshots (operators/snapshots.py): time travel, incremental
+diff scans, and snapshot expiry — the manifest-planned read path an
+append-only training corpus needs."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from impalatogo_spark.operators import snapshots as snap
+
+
+@pytest.fixture()
+def path():
+    p = tempfile.mkdtemp(prefix="i2s_snap_")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _batch(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"), F.lit(tag).alias("batch")
+    )
+
+
+def test_time_travel_reads_exact_versions(spark, path):
+    v0 = snap.snapshot_write(spark, path, _batch(spark, 0, 100, "a"))
+    v1 = snap.snapshot_write(spark, path, _batch(spark, 100, 150, "b"))
+    v2 = snap.snapshot_write(spark, path, _batch(spark, 150, 160, "c"))
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert snap.head_version(path) == 2
+
+    assert snap.snapshot_read(spark, path, 0).count() == 100
+    assert snap.snapshot_read(spark, path, 1).count() == 150
+    assert snap.snapshot_read(spark, path).count() == 160
+    # a version's content is frozen: later writes are invisible to it
+    tags = {r.batch for r in snap.snapshot_read(spark, path, 1).collect()}
+    assert tags == {"a", "b"}
+
+
+def test_diff_is_only_the_new_rows(spark, path):
+    snap.snapshot_write(spark, path, _batch(spark, 0, 100, "a"))
+    snap.snapshot_write(spark, path, _batch(spark, 100, 150, "b"))
+    snap.snapshot_write(spark, path, _batch(spark, 150, 160, "c"))
+
+    d01 = snap.snapshot_diff(spark, path, 0, 1)
+    assert {r.doc_id for r in d01.collect()} == set(range(100, 150))
+    d02 = snap.snapshot_diff(spark, path, 0)  # to head
+    assert d02.count() == 60
+    assert snap.snapshot_diff(spark, path, None, 0).count() == 100
+    assert snap.snapshot_diff(spark, path, 2, 2).count() == 0
+
+
+def test_diff_feeds_incremental_processing(spark, path):
+    """The O(batch) incremental shape: dedup the DIFF against itself, never
+    rescanning the accumulated corpus."""
+    snap.snapshot_write(spark, path, _batch(spark, 0, 1000, "a"))
+    dup = _batch(spark, 990, 1010, "b")  # 10 dups vs snapshot 0, 10 new
+    snap.snapshot_write(spark, path, dup)
+    new_only = snap.snapshot_diff(spark, path, 0).join(
+        snap.snapshot_read(spark, path, 0), "doc_id", "left_anti"
+    )
+    assert new_only.count() == 10
+
+
+def test_expire_keeps_head_readable(spark, path):
+    snap.snapshot_write(spark, path, _batch(spark, 0, 100, "a"))
+    snap.snapshot_write(spark, path, _batch(spark, 100, 150, "b"))
+    snap.snapshot_write(spark, path, _batch(spark, 150, 160, "c"))
+    before_files = len(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+
+    report = snap.snapshot_expire(path, keep_last=2)
+    assert report["expired"] == 1
+    # snapshot 0's files are still referenced by snapshots 1 and 2 -> kept
+    assert report["deleted_files"] == 0
+    assert snap.snapshot_read(spark, path, 1).count() == 150
+    assert snap.snapshot_read(spark, path).count() == 160
+    with pytest.raises(FileNotFoundError):
+        snap.snapshot_read(spark, path, 0)
+    assert len(glob.glob(os.path.join(path, "data", "*", "*.parquet"))) \
+        == before_files
