@@ -2370,3 +2370,62 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate is dropped in all copies. Two map-side-combined shuffles +
     one broadcast anti-join (operators/dedup.py::boilerplate_removal)."""
     return D.boilerplate_removal(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_topic_balance",
+    oracle=S.kmeans_oracle(k=4, iters=3, final_select="""
+, jt AS (
+  SELECT a.cluster, d.source, d.n_chars
+  FROM a3 a JOIN documents d ON d.doc_id = a.vec_id
+),
+cs AS (
+  SELECT cluster, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS ch
+  FROM jt GROUP BY cluster, source
+),
+dom AS (
+  SELECT cluster, source, n,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, source DESC) AS rn
+  FROM cs
+)
+SELECT cs.cluster,
+       CAST(sum(cs.n) AS BIGINT) AS n_docs,
+       CAST(sum(cs.ch) AS BIGINT) AS total_chars,
+       max(CASE WHEN dom.rn = 1 THEN dom.source END) AS top_source,
+       CAST(max(CASE WHEN dom.rn = 1 THEN dom.n END) AS BIGINT) AS top_source_docs
+FROM cs JOIN dom ON dom.cluster = cs.cluster AND dom.source = cs.source
+GROUP BY cs.cluster
+"""),
+    tags=("pipeline", "clustering", "governance"),
+)
+def corpus_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balance readout: per-semantic-cluster document count, char
+    mass, and dominant source — the composition check before reweighting a
+    mixture (are clusters dominated by one source?). Cluster membership is
+    the integer-exact k-means (bit-reproducible), so the whole rollup is
+    oracle-exact. Scale shape: the k-means assignment scan + ONE skinny
+    (cluster, source) aggregate; the dominant-source pick is a window over
+    k*|sources| rows, not documents."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    asg = S.kmeans_quantized(emb, k=4, iters=3).select("vec_id", "cluster")
+    cs = (
+        asg.join(docs, asg.vec_id == docs.doc_id)
+        .groupBy("cluster", "source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").alias("ch"))
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("n").desc(),
+                                         F.col("source").desc())
+    return (
+        cs.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("ch").alias("total_chars"),
+            F.max(F.when(F.col("rn") == 1, F.col("source"))).alias("top_source"),
+            F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("top_source_docs"),
+        )
+    )

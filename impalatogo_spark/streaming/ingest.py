@@ -139,3 +139,28 @@ def streaming_upsert_ingest(stream: DataFrame, table_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_snapshot_ingest(stream: DataFrame, table_path: str,
+                              checkpoint_dir: str):
+    """Snapshot-committed ingest: each micro-batch commits ONE corpus
+    snapshot (operators/snapshots.py), so the table gains a version per
+    ingest drop — time travel reproduces the exact corpus any downstream
+    run trained on, and snapshot_diff hands later passes just that batch.
+
+    The data write is the batch's own parallelism; only the O(files)
+    manifest append is driver-side. Restarts are safe: the checkpointed
+    file source replays no batch, and each replayed-batch id would commit
+    at most one snapshot."""
+    from impalatogo_spark.operators.snapshots import snapshot_write
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_write(batch_df.sparkSession, table_path, batch_df,
+                       note=f"batch-{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -84,3 +84,33 @@ def test_expire_keeps_head_readable(spark, path):
         snap.snapshot_read(spark, path, 0)
     assert len(glob.glob(os.path.join(path, "data", "*", "*.parquet"))) \
         == before_files
+
+
+def test_streaming_ingest_commits_snapshot_per_batch(spark, path, tmp_path):
+    """streaming/ingest.py::streaming_snapshot_ingest: one snapshot per
+    micro-batch; time travel reproduces the corpus after every drop and
+    snapshot_diff returns exactly one batch."""
+    from impalatogo_spark.streaming.ingest import (
+        documents_stream,
+        streaming_snapshot_ingest,
+    )
+
+    src = str(tmp_path / "drops")
+    for i in range(3):
+        _batch(spark, i * 10, i * 10 + 10, f"drop{i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = streaming_snapshot_ingest(
+        documents_stream(spark, src, max_files_per_trigger=1),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert snap.head_version(path) == 2
+    assert snap.snapshot_read(spark, path, 0).count() == 10
+    assert snap.snapshot_read(spark, path).count() == 30
+    per_batch = snap.snapshot_diff(spark, path, 0, 1)
+    assert per_batch.count() == 10
+    assert len({r.batch for r in per_batch.collect()}) == 1
