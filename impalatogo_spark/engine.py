@@ -26,16 +26,47 @@ from impalatogo_spark.dialect import translate
 from impalatogo_spark.session import ensure_session_confs
 
 
-# Impala query option -> handler. Mirrors be/src/service/query-options.cc.
+# Impala query option -> handler. The COMPLETE switch from
+# be/src/service/query-options.cc (all 31 TImpalaQueryOptions cases):
+# string value = the Spark conf carrying the same lever; None = advisory
+# (accepted + stored; the per-case comment says why no conf exists);
+# options with dedicated engine behavior are dispatched in set()/sql().
 _SPARK_CONF_OPTIONS = {
+    # -- mapped to Spark confs -------------------------------------------
     "NUM_NODES": "spark.sql.shuffle.partitions",
     "COMPRESSION_CODEC": "spark.sql.parquet.compression.codec",
-    "PARQUET_FILE_SIZE": "spark.sql.files.maxPartitionBytes",
-    "MEM_LIMIT": None,  # advisory only (Spark memory is static per-executor)
-    "BATCH_SIZE": None,  # internal to Tungsten
+    "MAX_SCAN_RANGE_LENGTH": "spark.sql.files.maxPartitionBytes",  # split size
     "DISABLE_CODEGEN": "spark.sql.codegen.wholeStage",  # inverted bool
-    "APPX_COUNT_DISTINCT": None,  # handled as a rewrite in sql()
-    "REQUEST_POOL": None,  # handled in set(): Spark scheduler pool
+    "ABORT_ON_ERROR": "spark.sql.files.ignoreCorruptFiles",  # inverted bool
+    "DISABLE_OUTERMOST_TOPN":  # 1 -> always sort+limit, never TopK
+        "spark.sql.execution.topKSortFallbackThreshold",
+    # -- dedicated engine behavior (set()/sql()/explain()) ----------------
+    "APPX_COUNT_DISTINCT": None,  # count(distinct)->ndv rewrite in sql()
+    "REQUEST_POOL": None,  # set(): Spark scheduler pool (thread-local)
+    "DEFAULT_ORDER_BY_LIMIT": None,  # sql(): LIMIT appended to bare ORDER BY
+    "EXPLAIN_LEVEL": None,  # explain() default level
+    # -- advisory (no Spark-side lever; accepted and stored) --------------
+    "MEM_LIMIT": None,  # Spark executor memory is static per process
+    "BATCH_SIZE": None,  # internal to Tungsten's columnar batches
+    "ABORT_ON_DEFAULT_LIMIT_EXCEEDED": None,  # legacy pair of DEFAULT_ORDER_BY_LIMIT
+    "ALLOW_UNSUPPORTED_FORMATS": None,  # all shipped formats have real readers
+    "DEBUG_ACTION": None,  # backend fault-injection hook; no daemon here
+    "DISABLE_CACHED_READS": None,  # sources/dfscache.py is opt-in per scan
+    "DISABLE_UNSAFE_SPILLS": None,  # Spark spills are always safe (UnsafeRow)
+    "EXEC_SINGLE_NODE_ROWS_THRESHOLD": None,  # AQE coalescing owns this choice
+    "HBASE_CACHE_BLOCKS": None,  # kvstore reads are parquet-cached by the OS
+    "HBASE_CACHING": None,  # scanner batch sizing, internal to kvstore scans
+    "MAX_BLOCK_MGR_MEMORY": None,  # Spark unified memory manager owns this
+    "MAX_ERRORS": None,  # per-row error cap; Spark fails the task instead
+    "MAX_IO_BUFFERS": None,  # io buffering internal to the parquet reader
+    "NUM_SCANNER_THREADS": None,  # scan parallelism = input splits/cores
+    "PARQUET_FILE_SIZE": None,  # writer target size; Spark splits by records
+    "QUERY_TIMEOUT_S": None,  # idle-session reaper; no daemon here
+    "RESERVATION_REQUEST_TIMEOUT": None,  # Llama/YARN resource manager only
+    "RM_INITIAL_MEM": None,  # Llama/YARN resource manager only
+    "SEQ_COMPRESSION_MODE": None,  # sources/seqfile.py takes codec per write
+    "SYNC_DDL": None,  # single catalog: DDL is always synchronous
+    "V_CPU_CORES": None,  # Llama/YARN resource manager only
 }
 
 
@@ -59,6 +90,8 @@ class Engine:
         # class — the Spark-native equivalent of the reference's
         # ExternalDataSource jar registry)
         self.data_sources: dict[str, dict[str, str]] = {}
+        # pre-SET Spark conf values, restored on UNSET / value 0 (set())
+        self._conf_saved: dict[str, str | None] = {}
 
     # -- SQL entry -----------------------------------------------------------
 
@@ -88,6 +121,16 @@ class Engine:
                 translated,
                 flags=re.IGNORECASE,
             )
+        dobl = self.options.get("DEFAULT_ORDER_BY_LIMIT")
+        if dobl is not None and int(dobl) >= 0:
+            # legacy Impala safety: a top-level ORDER BY without LIMIT gets
+            # the default limit appended (query-options.cc
+            # DEFAULT_ORDER_BY_LIMIT; pre-2.0 Impala required this)
+            tail = translated.rstrip().rstrip(";")
+            if re.search(r"ORDER\s+BY[^()]*$", tail, flags=re.IGNORECASE) \
+                    and not re.search(r"LIMIT\s+\d+\s*$", tail,
+                                      flags=re.IGNORECASE):
+                translated = f"{tail} LIMIT {int(dobl)}"
         df = self.spark.sql(translated)
         if self.enforce_authz:
             _authz.enforce(self.authz, self.authz_user, "SELECT",
@@ -267,19 +310,58 @@ class Engine:
             )
             return
         conf = _SPARK_CONF_OPTIONS.get(key)
-        if conf == "spark.sql.codegen.wholeStage":
-            self.spark.conf.set(conf, "false" if str(value) in ("1", "true") else "true")
+        if conf and conf not in self._conf_saved:
+            # remember the session's pre-SET value so unset()/0 restores it
+            # (Impala's 0/unset = 'back to default' convention)
+            try:
+                self._conf_saved[conf] = self.spark.conf.get(conf)
+            except Exception:
+                self._conf_saved[conf] = None
+        truthy = str(value).lower() in ("1", "true")
+        if key in ("DISABLE_CODEGEN", "ABORT_ON_ERROR"):
+            # both Impala flags are the NEGATION of their Spark conf
+            # (wholeStage codegen on; ignoreCorruptFiles = keep going)
+            self.spark.conf.set(conf, "false" if truthy else "true")
+        elif key == "DISABLE_OUTERMOST_TOPN":
+            # 1 -> any LIMIT k over ORDER BY falls back to full sort+limit
+            # (never TakeOrderedAndProject); 0 restores the saved default
+            if truthy:
+                self.spark.conf.set(conf, "0")
+            else:
+                self._restore_conf(conf)
         elif conf:
-            self.spark.conf.set(conf, str(value))
+            if key in ("NUM_NODES", "MAX_SCAN_RANGE_LENGTH") \
+                    and str(value) in ("0", "-1"):
+                # 0 = use the cluster default (query-options.cc NUM_NODES=0)
+                self._restore_conf(conf)
+            else:
+                self.spark.conf.set(conf, str(value))
+
+    def _restore_conf(self, conf: str) -> None:
+        saved = self._conf_saved.get(conf)
+        if saved is not None:
+            self.spark.conf.set(conf, saved)
+        else:
+            try:
+                self.spark.conf.unset(conf)
+            except Exception:
+                pass
 
     def unset(self, key: str) -> None:
-        self.options.pop(key.upper(), None)
+        key = key.upper()
+        self.options.pop(key, None)
+        conf = _SPARK_CONF_OPTIONS.get(key)
+        if conf and conf in self._conf_saved:
+            self._restore_conf(conf)
 
     # -- EXPLAIN -------------------------------------------------------------
 
-    def explain(self, text: str, level: int = 1) -> str:
+    def explain(self, text: str, level: int | None = None) -> str:
         """EXPLAIN levels 0-3 (reference explain-level*.test):
-        0=plan summary, 1=formatted physical, 2=extended, 3=codegen+cost."""
+        0=plan summary, 1=formatted physical, 2=extended, 3=codegen+cost.
+        Default level comes from SET EXPLAIN_LEVEL (query-options.cc)."""
+        if level is None:
+            level = int(self.options.get("EXPLAIN_LEVEL", 1))
         df = self.sql(text)
         mode = {0: "simple", 1: "formatted", 2: "extended", 3: "cost"}[level]
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

@@ -275,3 +275,97 @@ def test_decimal_precision_scale(spark):
     assert (row.p, row.s) == (9, 2)
     assert row.p38 == 38  # typeof is a TYPE probe: NULL value still types
     assert row.pnd is None and row.snd is None
+
+
+def test_full_query_option_table(spark):
+    """Every TImpalaQueryOptions case from query-options.cc is accepted by
+    SET (mapped or advisory) — the complete 31-option switch."""
+    from impalatogo_spark.engine import _SPARK_CONF_OPTIONS
+
+    eng = Engine(spark)
+    reference_options = [
+        "ABORT_ON_DEFAULT_LIMIT_EXCEEDED", "ABORT_ON_ERROR",
+        "ALLOW_UNSUPPORTED_FORMATS", "APPX_COUNT_DISTINCT", "BATCH_SIZE",
+        "COMPRESSION_CODEC", "DEBUG_ACTION", "DEFAULT_ORDER_BY_LIMIT",
+        "DISABLE_CACHED_READS", "DISABLE_CODEGEN", "DISABLE_OUTERMOST_TOPN",
+        "DISABLE_UNSAFE_SPILLS", "EXEC_SINGLE_NODE_ROWS_THRESHOLD",
+        "EXPLAIN_LEVEL", "HBASE_CACHE_BLOCKS", "HBASE_CACHING",
+        "MAX_BLOCK_MGR_MEMORY", "MAX_ERRORS", "MAX_IO_BUFFERS",
+        "MAX_SCAN_RANGE_LENGTH", "MEM_LIMIT", "NUM_NODES",
+        "NUM_SCANNER_THREADS", "PARQUET_FILE_SIZE", "QUERY_TIMEOUT_S",
+        "REQUEST_POOL", "RESERVATION_REQUEST_TIMEOUT", "RM_INITIAL_MEM",
+        "SEQ_COMPRESSION_MODE", "SYNC_DDL", "V_CPU_CORES",
+    ]
+    assert set(reference_options) == set(_SPARK_CONF_OPTIONS)
+    before = {
+        c: spark.conf.get(c)
+        for c in ("spark.sql.shuffle.partitions",
+                  "spark.sql.files.maxPartitionBytes",
+                  "spark.sql.codegen.wholeStage")
+    }
+    for opt in reference_options:
+        if opt in ("REQUEST_POOL", "COMPRESSION_CODEC", "DEBUG_ACTION"):
+            eng.set(opt, "snappy" if opt == "COMPRESSION_CODEC" else "")
+        else:
+            eng.set(opt, 0)
+        assert opt in eng.options
+        eng.unset(opt)
+    # UNSET restored every touched Spark conf (0 = default per Impala)
+    for c, v in before.items():
+        assert spark.conf.get(c) == v, c
+
+
+def test_disable_outermost_topn_changes_plan(spark, sf_dir):
+    """DISABLE_OUTERMOST_TOPN=1 -> ORDER BY + LIMIT plans as full sort +
+    limit instead of TakeOrderedAndProject (query-options.cc; the
+    reference uses it when the limit is huge)."""
+    eng = Engine(spark)
+    register_tables(spark, sf_dir)
+    q = "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5"
+
+    def plan() -> str:
+        df = eng.sql(q)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "TakeOrderedAndProject" in plan()
+    eng.set("DISABLE_OUTERMOST_TOPN", 1)
+    try:
+        assert "TakeOrderedAndProject" not in plan()
+    finally:
+        eng.set("DISABLE_OUTERMOST_TOPN", 0)
+    assert "TakeOrderedAndProject" in plan()
+
+
+def test_default_order_by_limit(spark, sf_dir):
+    """DEFAULT_ORDER_BY_LIMIT appends a LIMIT to a top-level ORDER BY that
+    lacks one (legacy Impala safety); bare and already-limited queries are
+    untouched."""
+    eng = Engine(spark)
+    register_tables(spark, sf_dir)
+    eng.set("DEFAULT_ORDER_BY_LIMIT", 7)
+    try:
+        assert eng.sql(
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey").count() == 7
+        assert eng.sql(
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3"
+        ).count() == 3
+        assert eng.sql("SELECT count(*) AS c FROM orders").count() == 1
+    finally:
+        eng.unset("DEFAULT_ORDER_BY_LIMIT")
+
+
+def test_abort_on_error_and_explain_level_options(spark, sf_dir):
+    eng = Engine(spark)
+    register_tables(spark, sf_dir)
+    eng.set("ABORT_ON_ERROR", 0)  # keep going -> skip corrupt files
+    assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "true"
+    eng.set("ABORT_ON_ERROR", 1)
+    assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "false"
+    eng.set("EXPLAIN_LEVEL", 0)
+    try:
+        text = eng.explain("SELECT count(*) FROM lineitem")
+    except Exception:
+        pytest.skip("explainString JVM helper unavailable")
+    finally:
+        eng.unset("EXPLAIN_LEVEL")
+    assert len(text) > 0
