@@ -41,3 +41,45 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     replicated_right = right.select("*", salts)
     out = salted_left.join(replicated_right, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def cluster_profile(total_cores: int, executor_mem_gb: int,
+                    data_tb: float | None = None,
+                    target_partition_mb: int = 128) -> dict[str, str]:
+    """The SURVEY §9.8 'what changes first at 1000x' rules as executable
+    configuration, so the 100 TB posture is code, not prose.
+
+    Derivations (each is the standard published Spark sizing rule):
+      * shuffle.partitions = 3x total cores, floored so a full-data shuffle
+        stays under ~2x target_partition_mb per partition when data_tb is
+        given (AQE coalesces the small case at runtime; the static number
+        only needs to bound the LARGE case);
+      * maxPartitionBytes = target_partition_mb (scan-side task sizing: a
+        100 TB scan at 128 MB = ~800k tasks — bounded driver metadata,
+        full pipeline parallelism);
+      * autoBroadcastJoinThreshold = min(256 MB, executor_mem / 16) — the
+        build side must fit next to the partial aggregates it shares the
+        executor with;
+      * AQE + skew-join splitting on (the runtime complement to the static
+        numbers above).
+    """
+    parts = 3 * total_cores
+    if data_tb is not None:
+        # partitions needed so a full shuffle of data_tb lands under
+        # 2 x target_partition_mb each
+        need = int(data_tb * 1024 * 1024 / (2 * target_partition_mb))
+        parts = max(parts, need)
+    bcast_mb = min(256, max(8, executor_mem_gb * 1024 // 16))
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(bcast_mb * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+
+
+def apply_cluster_profile(spark: SparkSession, profile: dict[str, str]) -> None:
+    for k, v in profile.items():
+        spark.conf.set(k, v)

@@ -188,3 +188,34 @@ def test_runtime_bloom_filter_reaches_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cluster_profile_sizing_rules(spark):
+    """cluster_profile encodes the §9.8 sizing rules: partitions scale with
+    cores AND with data volume, broadcast threshold with executor memory,
+    AQE always armed."""
+    from impalatogo_spark.operators.scale import (
+        apply_cluster_profile,
+        cluster_profile,
+    )
+
+    # local shape: 32 cores, 16 GB executors, no data bound
+    p = cluster_profile(total_cores=32, executor_mem_gb=16)
+    assert p["spark.sql.shuffle.partitions"] == str(3 * 32)
+    assert p["spark.sql.files.maxPartitionBytes"] == str(128 * 1024 * 1024)
+
+    # 1000-executor / 100 TB shape: the data bound dominates 3x cores
+    big = cluster_profile(total_cores=8000, executor_mem_gb=32, data_tb=100)
+    assert int(big["spark.sql.shuffle.partitions"]) >= 100 * 1024 * 1024 // 256
+    assert big["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    # broadcast build side bounded by executor memory, capped at 256 MB
+    assert int(big["spark.sql.autoBroadcastJoinThreshold"]) == 256 * 1024 * 1024
+    small_mem = cluster_profile(total_cores=64, executor_mem_gb=2)
+    assert int(small_mem["spark.sql.autoBroadcastJoinThreshold"]) == \
+        128 * 1024 * 1024
+
+    # applying and restoring round-trips on a live session
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    apply_cluster_profile(spark, p)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(96)
+    spark.conf.set("spark.sql.shuffle.partitions", before)
