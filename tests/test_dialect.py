@@ -369,3 +369,23 @@ def test_abort_on_error_and_explain_level_options(spark, sf_dir):
     finally:
         eng.unset("EXPLAIN_LEVEL")
     assert len(text) > 0
+
+
+def test_abort_on_error_skips_corrupt_files(spark, tmp_path):
+    """ABORT_ON_ERROR=0 (keep going) really skips a corrupt data file;
+    =1 (the Impala default) fails the query — the reference's per-scanner
+    abort_on_error branch (hdfs-scan-node.cc error handling)."""
+    d = str(tmp_path / "t")
+    spark.range(0, 10).toDF("x").coalesce(1).write.parquet(d)
+    with open(f"{d}/part-corrupt.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file")
+
+    eng = Engine(spark)
+    eng.set("ABORT_ON_ERROR", 0)
+    try:
+        assert spark.read.parquet(d).count() == 10
+    finally:
+        eng.set("ABORT_ON_ERROR", 1)
+    with pytest.raises(Exception):
+        spark.read.parquet(d).count()
+    eng.unset("ABORT_ON_ERROR")

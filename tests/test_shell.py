@@ -187,3 +187,15 @@ def test_shell_authorization_statements():
     assert proc.returncode == 0
     assert "analyst" in proc.stdout
     assert "SELECT" in proc.stdout
+
+
+def test_connect_command():
+    proc = subprocess.run(
+        [sys.executable, "tools/i2s_shell.py", "-q", "connect"],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0
+    assert "Connected to local Spark" in proc.stdout

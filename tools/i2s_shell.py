@@ -123,6 +123,12 @@ class Shell:
             cmd = stmt[1:] if stmt.startswith("!") else stmt.split(None, 1)[1]
             res = subprocess.run(cmd, shell=True, capture_output=True, text=True)
             return res.stdout + res.stderr
+        if low == "connect" or low.startswith("connect "):
+            # impala-shell `connect [host:port]` — there is no remote daemon
+            # here; the local Spark session IS the endpoint. Accepted for
+            # script parity and reports what it's connected to.
+            return (f"Connected to local Spark {self.spark.version} "
+                    f"(master {self.spark.sparkContext.master})")
         if low.startswith("use "):
             self.spark.sql(stmt)
             return f"Database changed to {stmt.split()[1]}"
@@ -134,7 +140,8 @@ class Shell:
             self.engine.set(k.strip(), v.strip())
             return f"{k.strip()}={v.strip()}"
         if low.startswith("explain "):
-            return self.engine.explain(stmt[8:], level=1)
+            # level comes from SET EXPLAIN_LEVEL (engine default 1)
+            return self.engine.explain(stmt[8:])
         t0 = time.perf_counter()
         df = self.engine.sql(stmt)
         rows = df.collect()
