@@ -164,3 +164,44 @@ def snapshot_expire(path: str, keep_last: int = 1) -> dict:
             ):
                 shutil.rmtree(full)
     return {"expired": expired, "deleted_files": deleted}
+
+
+def snapshot_drift(spark: SparkSession, path: str, group_cols: list[str],
+                   from_version: int, to_version: int | None = None,
+                   mass_col: str | None = None) -> DataFrame:
+    """Corpus-composition drift between two snapshots: per `group_cols`
+    combination (e.g. [lang, source]), doc counts (and optional `mass_col`
+    sums, e.g. chars or tokens) at each version plus their delta — the
+    governance readout run before training on a newer corpus version
+    ("did the mixture shift?").
+
+    Both sides are manifest-planned scans feeding ONE aggregate each —
+    at 100 TB the old side can instead aggregate [old + diff] incrementally,
+    but the straightforward two-aggregate form is already a single pass
+    over each snapshot with map-side combine."""
+    from pyspark.sql import functions as F
+
+    def _agg(df: DataFrame, suffix: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"docs{suffix}")]
+        if mass_col is not None:
+            aggs.append(F.sum(mass_col).alias(f"mass{suffix}"))
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    old = _agg(snapshot_read(spark, path, from_version), "_old")
+    new = _agg(snapshot_read(spark, path, to_version), "_new")
+    out = old.join(new, group_cols, "full_outer")
+    zero = F.lit(0).cast("long")
+    out = out.select(
+        *group_cols,
+        F.coalesce("docs_old", zero).alias("docs_old"),
+        F.coalesce("docs_new", zero).alias("docs_new"),
+        (F.coalesce("docs_new", zero) - F.coalesce("docs_old", zero)
+         ).alias("docs_delta"),
+        *([
+            F.coalesce("mass_old", zero).alias("mass_old"),
+            F.coalesce("mass_new", zero).alias("mass_new"),
+            (F.coalesce("mass_new", zero) - F.coalesce("mass_old", zero)
+             ).alias("mass_delta"),
+        ] if mass_col is not None else []),
+    )
+    return out

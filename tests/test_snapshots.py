@@ -114,3 +114,29 @@ def test_streaming_ingest_commits_snapshot_per_batch(spark, path, tmp_path):
     per_batch = snap.snapshot_diff(spark, path, 0, 1)
     assert per_batch.count() == 10
     assert len({r.batch for r in per_batch.collect()}) == 1
+
+
+def test_snapshot_drift_report(spark, path):
+    """snapshot_drift: per-group doc/mass counts at two versions + deltas
+    (the mixture-shift readout between corpus versions)."""
+    base = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") % 7 + 10).alias("n_chars"),
+    )
+    snap.snapshot_write(spark, path, base)
+    snap.snapshot_write(
+        spark,
+        path,
+        spark.range(100, 140).select(
+            F.col("id").alias("doc_id"), F.lit("fr").alias("lang"),
+            F.lit(5).cast("long").alias("n_chars"),
+        ),
+    )
+    drift = snap.snapshot_drift(spark, path, ["lang"], 0, 1,
+                                mass_col="n_chars").collect()
+    by_lang = {r.lang: r for r in drift}
+    assert by_lang["en"].docs_delta == 0 and by_lang["de"].docs_delta == 0
+    assert by_lang["fr"].docs_old == 0
+    assert by_lang["fr"].docs_new == 40 and by_lang["fr"].mass_delta == 200
+    assert by_lang["en"].docs_old == 50
