@@ -95,15 +95,24 @@ def snapshot_write(spark: SparkSession, path: str, df: DataFrame,
 
 
 def snapshot_read(spark: SparkSession, path: str,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  merge_schema: bool = False) -> DataFrame:
     """Read the corpus AS OF `version` (default: head). Plans from the
     manifest's file list — no directory listing, and files added by later
-    snapshots are invisible even though they share the data directory."""
+    snapshots are invisible even though they share the data directory.
+
+    merge_schema=True unions the batch schemas (parquet mergeSchema) so a
+    corpus whose later batches ADDED columns still reads as one relation —
+    older rows carry NULL in the new columns (additive schema evolution;
+    renames/retypes are a rewrite, not a read option)."""
     v = head_version(path) if version is None else version
     if v is None:
         raise ValueError(f"No snapshots at {path}")
     manifest = _read_snapshot(path, v)
-    return spark.read.parquet(*manifest["files"])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*manifest["files"])
 
 
 def snapshot_diff(spark: SparkSession, path: str, from_version: int | None,

@@ -140,3 +140,19 @@ def test_snapshot_drift_report(spark, path):
     assert by_lang["fr"].docs_old == 0
     assert by_lang["fr"].docs_new == 40 and by_lang["fr"].mass_delta == 200
     assert by_lang["en"].docs_old == 50
+
+
+def test_schema_evolution_merge_read(spark, path):
+    """A later batch ADDS a column; merge_schema=True reads the union
+    schema with NULLs for pre-existing rows (additive evolution)."""
+    snap.snapshot_write(spark, path, _batch(spark, 0, 20, "a"))
+    snap.snapshot_write(
+        spark,
+        path,
+        _batch(spark, 20, 30, "b").withColumn("quality", F.lit(7).cast("long")),
+    )
+    df = snap.snapshot_read(spark, path, merge_schema=True)
+    assert "quality" in df.columns and df.count() == 30
+    assert df.filter(F.col("quality").isNull()).count() == 20
+    # time travel to v0 never sees the new column
+    assert "quality" not in snap.snapshot_read(spark, path, 0).columns
