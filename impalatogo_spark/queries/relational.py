@@ -2123,3 +2123,71 @@ def window_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_purchase_value"),
         F.count(pval).over(w).alias("purchases_so_far"),
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.total_cents
+FROM customer c,
+     LATERAL (SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+              FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY total_cents DESC, o_orderkey LIMIT 3) o
+WHERE c.c_custkey % 10 = 1
+""",
+    tags=("join", "lateral", "topk"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — per-customer top-3 orders by
+    price, the top-k-per-key shape expressed as LATERAL (identical ANSI
+    text on both engines; Catalyst decorrelates it into a ranked window,
+    not a per-row re-execution). Integer-cents ordering with an o_orderkey
+    tie-break keeps the LIMIT deterministic."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.total_cents
+        FROM customer c,
+             LATERAL (SELECT o_orderkey,
+                             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+                      FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY total_cents DESC, o_orderkey LIMIT 3) o
+        WHERE c.c_custkey % 10 = 1
+        """,
+    )
+
+
+@register(
+    "window_named_clause",
+    oracle="""
+SELECT o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS run_cents
+FROM orders
+WHERE o_custkey % 50 = 7
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window",),
+)
+def window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause: one window definition shared by several
+    analytic functions (ANSI WINDOW syntax both engines parse identically;
+    Spark plans ONE Window operator for the shared spec)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS run_cents
+        FROM orders
+        WHERE o_custkey % 50 = 7
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        """,
+    )
