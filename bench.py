@@ -103,6 +103,10 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "text_ngram_novelty",
     "pipeline_curate_report",
     "dedup_minhash_calibration",
+    # round 2 (closing): topic balance, LATERAL top-k, named WINDOW clause
+    "corpus_topic_balance",
+    "join_lateral_topk",
+    "window_named_clause",
 ]
 RUNS = 3
 

@@ -26,6 +26,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -107,6 +108,39 @@ class SyntheticDocsReader(DataSourceReader):
             yield (doc_id, text, len(text))
 
 
+class SyntheticDocsStreamReader(DataSourceStreamReader):
+    """Streaming read of the SAME source (DataSource V2 streaming API): the
+    offset is the next unread doc_id, each micro-batch advances it by
+    docs_per_batch until n_docs is exhausted. One source class serving
+    batch AND stream mirrors the reference's scan-node abstraction over
+    sources (data-source-scan-node.cc serves both exec modes from one
+    prepare/open/getNext contract); exactly-once comes from Spark's offset
+    log — offsets here are pure positions, replayable at any time."""
+
+    def __init__(self, schema: StructType, options):
+        self.n_docs = int(options.get("n_docs", 100))
+        self.per_batch = int(options.get("docs_per_batch", 10))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"doc_id": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.per_batch, self.n_docs)
+        return {"doc_id": self._pos}
+
+    def partitions(self, start: dict, end: dict) -> list[_Shard]:
+        return [_Shard(start["doc_id"], end["doc_id"])]
+
+    def read(self, partition: _Shard):
+        for doc_id in range(partition.start, partition.end):
+            text = _doc_text(doc_id)
+            yield (doc_id, text, len(text))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positional; nothing external to acknowledge
+
+
 class SyntheticDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -117,3 +151,6 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticDocsReader:
         return SyntheticDocsReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(schema, self.options)

@@ -98,3 +98,36 @@ def test_data_source_ddl_lifecycle(spark):
         eng.sql("DROP DATA SOURCE synth")
     eng.sql("DROP DATA SOURCE IF EXISTS synth")
     spark.catalog.dropTempView("sdocs")
+
+
+def test_streaming_read_from_python_datasource(spark, tmp_path):
+    """The same Python DataSource serves readStream (DataSource V2 streaming
+    API): positional offsets advance docs_per_batch per micro-batch; the
+    full bounded corpus arrives exactly once, content identical to the
+    batch read."""
+    import time
+
+    df = (
+        spark.readStream.format("synthetic_docs")
+        .option("n_docs", 30)
+        .option("docs_per_batch", 10)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("synth_stream").count() >= 30:
+                break
+            time.sleep(1)
+        got = spark.table("synth_stream").collect()
+    finally:
+        q.stop()
+    assert len(got) == 30  # exactly once, no duplicates past the bound
+    batch = spark.read.format("synthetic_docs").option("n_docs", 30).load().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
