@@ -299,3 +299,114 @@ def compact(spark: SparkSession, path: str) -> dict:
         report["regions"] += 1
     _write_meta(path, meta)
     return report
+
+
+# -- streaming sink (DataSource V2 stream writer) ---------------------------
+
+from dataclasses import dataclass, field  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _KVCommit(WriterCommitMessage):
+    # (staged_tmp_path, region, lo_key, hi_key) per file
+    files: list = field(default_factory=list)
+
+
+class KVStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming Put sink into a KV table (the streaming half of the
+    HBaseTableSink equivalence). Exactly-once by visibility: executors
+    write per-region PENDING files (never read — scan() only lists
+    *.parquet); the driver's commit() renames them into versioned delta
+    files and bumps the version in one manifest write. abort() deletes the
+    pending files. A replayed batch re-puts the same keys under a newer
+    version, which the newest-wins read collapses — the upsert-idempotence
+    HBase gets from timestamped Puts."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.key = options.get("key", "k")
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        if not rows:
+            return _KVCommit([])
+        meta = _read_meta(self.path)
+        version = meta["next_version"]
+        pdf = pd.DataFrame(rows)
+        pdf["__kv_version"] = pd.array([version] * len(pdf), dtype="int64")
+        pdf["__kv_tombstone"] = False
+        staged = []
+        regions = meta["regions"]
+        for i, r in enumerate(regions):
+            m = pdf
+            if i > 0 and r["start_key"] is not None:
+                m = m[m[self.key] >= r["start_key"]]
+            nxt = regions[i + 1]["start_key"] if i + 1 < len(regions) else None
+            if nxt is not None:
+                m = m[m[self.key] < nxt]
+            if len(m) == 0:
+                continue
+            fname = os.path.join(
+                _region_dir(self.path, r["region"]),
+                f"pending-{_uuid.uuid4().hex}.tmp",
+            )
+            pq.write_table(
+                pa.Table.from_pandas(m.sort_values(self.key),
+                                     preserve_index=False),
+                fname,
+            )
+            staged.append((fname, r["region"],
+                           int(m[self.key].min()), int(m[self.key].max())))
+        return _KVCommit(staged)
+
+    def commit(self, messages, batchId: int) -> None:
+        meta = _read_meta(self.path)
+        version = meta["next_version"]
+        by_region = {r["region"]: r for r in meta["regions"]}
+        for msg in messages:
+            for fname, region, lo, hi in (msg.files if msg else []):
+                final = os.path.join(
+                    os.path.dirname(fname),
+                    f"delta-{version:010d}-{os.path.basename(fname)[8:-4]}"
+                    ".parquet",
+                )
+                os.replace(fname, final)
+                r = by_region[region]
+                if r["start_key"] is None or lo < r["start_key"]:
+                    r["start_key"] = lo
+                if r["stop_key"] is None or hi > r["stop_key"]:
+                    r["stop_key"] = hi
+        meta["next_version"] = version + 1
+        _write_meta(self.path, meta)
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            for fname, *_ in (msg.files if msg else []):
+                try:
+                    os.remove(fname)
+                except FileNotFoundError:
+                    pass
+
+
+class KVStoreSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kvstore_sink"
+
+    def schema(self) -> str:  # the sink takes the stream's schema
+        return "k long"
+
+    def streamWriter(self, schema, overwrite):
+        return KVStoreStreamWriter(self.options)

@@ -104,3 +104,48 @@ def test_projection_reaches_parquet_scan(spark, tbl):
     )
     assert "payload" not in plan.split("PushedFilters")[0].split("ReadSchema")[-1]
     assert "PushedFilters" in plan and "GreaterThanOrEqual(k,10)" in plan
+
+
+def test_streaming_sink_versioned_puts(spark, tmp_path):
+    """writeStream into the KV table via the DataSource V2 stream writer:
+    per-batch versioned puts become visible atomically at commit, newest
+    version wins, and region metadata widens to cover new keys."""
+    from impalatogo_spark.sources.kvstore import KVStoreSinkDataSource
+
+    spark.dataSource.register(KVStoreSinkDataSource)
+    path = str(tmp_path / "kvt")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v"),
+        F.concat(F.lit("base"), F.col("id")).alias("payload"),
+    )
+    kv.create_table(spark, path, base, key="k", n_regions=3)
+
+    src = str(tmp_path / "updates")
+    for lo, hi, tag in ((50, 60, "u1"), (95, 130, "u2")):
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v"),
+            F.concat(F.lit(tag), F.col("id")).alias("payload"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("kvstore_sink")
+        .option("path", path)
+        .option("key", "k")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = kv.scan(spark, path)
+    assert got.count() == 130  # 100 base + 30 new keys (100..129)
+    assert got.filter(F.col("k") == 55).first().payload == "u155"
+    assert got.filter(F.col("k") == 120).first().payload == "u2120"
+    assert got.filter(F.col("k") == 10).first().payload == "base10"
+    # region metadata widened to the new key range -> range scans find them
+    assert kv.scan(spark, path, start_key=125).count() == 5
