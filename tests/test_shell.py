@@ -199,3 +199,32 @@ def test_connect_command():
     )
     assert proc.returncode == 0
     assert "Connected to local Spark" in proc.stdout
+
+
+def test_run_workload_harness(tmp_path):
+    """tools/run_workload.py (bin/run-workload.py parity): workload:sf
+    selection, query_names filter, exec_options, concurrent clients,
+    results JSON."""
+    import json
+
+    out = tmp_path / "res.json"
+    proc = subprocess.run(
+        [
+            sys.executable, "tools/run_workload.py",
+            "-w", "tpch:0.001",
+            "--query_names", "tpch_q1,tpch_q6",
+            "--num_clients", "2",
+            "-i", "2",
+            "--exec_options", "NUM_NODES=8",
+            "--results_json_file", str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "workload tpch sf=0.001 (2 queries" in proc.stdout
+    res = json.loads(out.read_text())
+    assert {r["query"] for r in res} == {"tpch_q1", "tpch_q6"}
+    assert all(r["median_sec"] > 0 and r["error"] is None for r in res)
