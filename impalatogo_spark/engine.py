@@ -125,9 +125,13 @@ class Engine:
         if dobl is not None and int(dobl) >= 0:
             # legacy Impala safety: a top-level ORDER BY without LIMIT gets
             # the default limit appended (query-options.cc
-            # DEFAULT_ORDER_BY_LIMIT; pre-2.0 Impala required this)
+            # DEFAULT_ORDER_BY_LIMIT; pre-2.0 Impala required this).
+            # PLAIN SELECT statements only — a CTAS/INSERT..SELECT tail
+            # must never be truncated by a session default.
             tail = translated.rstrip().rstrip(";")
-            if re.search(r"ORDER\s+BY[^()]*$", tail, flags=re.IGNORECASE) \
+            if re.match(r"\s*(SELECT|WITH)\b", tail, flags=re.IGNORECASE) \
+                    and re.search(r"ORDER\s+BY[^()]*$", tail,
+                                  flags=re.IGNORECASE) \
                     and not re.search(r"LIMIT\s+\d+\s*$", tail,
                                       flags=re.IGNORECASE):
                 translated = f"{tail} LIMIT {int(dobl)}"
@@ -300,6 +304,8 @@ class Engine:
     def set(self, key: str, value) -> None:
         """SET key=value (Impala query options mapped onto Spark confs)."""
         key = key.upper()
+        if key == "DEFAULT_ORDER_BY_LIMIT":
+            int(value)  # reject non-numeric at SET time, like the reference
         self.options[key] = str(value)
         if key == "REQUEST_POOL":
             # Impala admission-control pool -> Spark FAIR scheduler pool
@@ -356,12 +362,23 @@ class Engine:
 
     # -- EXPLAIN -------------------------------------------------------------
 
-    def explain(self, text: str, level: int | None = None) -> str:
+    # EXPLAIN_LEVEL accepts numbers OR names (query-options.cc ParseUtil:
+    # minimal/standard/extended/verbose); out-of-range values clamp
+    _EXPLAIN_LEVELS = {"minimal": 0, "standard": 1, "extended": 2,
+                       "verbose": 3}
+
+    def explain(self, text: str, level: int | str | None = None) -> str:
         """EXPLAIN levels 0-3 (reference explain-level*.test):
         0=plan summary, 1=formatted physical, 2=extended, 3=codegen+cost.
         Default level comes from SET EXPLAIN_LEVEL (query-options.cc)."""
         if level is None:
-            level = int(self.options.get("EXPLAIN_LEVEL", 1))
+            level = self.options.get("EXPLAIN_LEVEL", 1)
+        if isinstance(level, str):
+            try:
+                level = int(level)
+            except ValueError:
+                level = self._EXPLAIN_LEVELS.get(level.strip().lower(), 1)
+        level = min(3, max(0, level))
         df = self.sql(text)
         mode = {0: "simple", 1: "formatted", 2: "extended", 3: "cost"}[level]
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

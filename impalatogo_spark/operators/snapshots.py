@@ -57,6 +57,22 @@ def _read_snapshot(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def find_note(path: str, note: str) -> int | None:
+    """Version of the newest surviving snapshot committed with `note`, or
+    None. Used for idempotent commits: a writer that stamps each commit
+    with a unique note (e.g. a micro-batch id) can detect a replay."""
+    snap_dir = os.path.join(path, _SNAP_DIR)
+    if not os.path.isdir(snap_dir):
+        return None
+    best = None
+    for f in os.listdir(snap_dir):
+        if f.startswith("snap-") and f.endswith(".json"):
+            v = int(f.split("-")[1].split(".")[0])
+            if _read_snapshot(path, v)["note"] == note:
+                best = v if best is None else max(best, v)
+    return best
+
+
 def snapshot_write(spark: SparkSession, path: str, df: DataFrame,
                    note: str = "") -> int:
     """Commit `df` as a new snapshot: write immutable data files, then a
@@ -127,10 +143,20 @@ def snapshot_diff(spark: SparkSession, path: str, from_version: int | None,
     to_v = head_version(path) if to_version is None else to_version
     if to_v is None:
         raise ValueError(f"No snapshots at {path}")
+    if from_version is None:
+        # 'everything before the first snapshot' — the target's full file
+        # list, no parent walk (expired ancestors are irrelevant)
+        return snapshot_read(spark, path, to_v)
     added: list[str] = []
     v: int | None = to_v
-    while v is not None and (from_version is None or v > from_version):
-        manifest = _read_snapshot(path, v)
+    while v is not None and v > from_version:
+        try:
+            manifest = _read_snapshot(path, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {v} was expired; diff below version {v + 1} "
+                f"is unavailable at {path}"
+            ) from None
         added = manifest["added"] + added
         v = manifest["parent"]
     if not added:

@@ -26,7 +26,6 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -35,6 +34,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -108,34 +108,39 @@ class SyntheticDocsReader(DataSourceReader):
             yield (doc_id, text, len(text))
 
 
-class SyntheticDocsStreamReader(DataSourceStreamReader):
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     """Streaming read of the SAME source (DataSource V2 streaming API): the
     offset is the next unread doc_id, each micro-batch advances it by
     docs_per_batch until n_docs is exhausted. One source class serving
     batch AND stream mirrors the reference's scan-node abstraction over
     sources (data-source-scan-node.cc serves both exec modes from one
-    prepare/open/getNext contract); exactly-once comes from Spark's offset
-    log — offsets here are pure positions, replayable at any time."""
+    prepare/open/getNext contract).
+
+    SimpleDataSourceStreamReader (not the partitioned reader) so the reader
+    holds NO position state of its own: read(start) derives everything from
+    the offset Spark hands it out of the checkpointed offset log, and
+    readBetweenOffsets replays any committed range deterministically —
+    restart cannot regress or re-emit (a stateful latestOffset counter
+    would restart at 0 and replay delivered docs)."""
 
     def __init__(self, schema: StructType, options):
         self.n_docs = int(options.get("n_docs", 100))
         self.per_batch = int(options.get("docs_per_batch", 10))
-        self._pos = 0
 
     def initialOffset(self) -> dict:
         return {"doc_id": 0}
 
-    def latestOffset(self) -> dict:
-        self._pos = min(self._pos + self.per_batch, self.n_docs)
-        return {"doc_id": self._pos}
+    def _rows(self, start: int, end: int):
+        return [(doc_id, _doc_text(doc_id), len(_doc_text(doc_id)))
+                for doc_id in range(start, end)]
 
-    def partitions(self, start: dict, end: dict) -> list[_Shard]:
-        return [_Shard(start["doc_id"], end["doc_id"])]
+    def read(self, start: dict):
+        s = start["doc_id"]
+        e = min(s + self.per_batch, self.n_docs)
+        return iter(self._rows(s, e)), {"doc_id": e}
 
-    def read(self, partition: _Shard):
-        for doc_id in range(partition.start, partition.end):
-            text = _doc_text(doc_id)
-            yield (doc_id, text, len(text))
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["doc_id"], end["doc_id"]))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are positional; nothing external to acknowledge
@@ -152,5 +157,5 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema: StructType) -> SyntheticDocsReader:
         return SyntheticDocsReader(schema, self.options)
 
-    def streamReader(self, schema: StructType) -> SyntheticDocsStreamReader:
+    def simpleStreamReader(self, schema: StructType) -> SyntheticDocsStreamReader:
         return SyntheticDocsStreamReader(schema, self.options)

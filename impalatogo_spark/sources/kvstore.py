@@ -160,8 +160,11 @@ def scan(
         empty = spark.createDataFrame(
             [], schema=StructType.fromJson(meta["schema"]))
         return empty.select(*(columns or empty.columns))
-    df = spark.read.parquet(*[_region_dir(path, r["region"])
-                              for r in regions])
+    # pathGlobFilter: only COMMITTED files — the streaming sink stages
+    # pending-*.tmp files in region dirs that must stay invisible until
+    # its commit() renames them (exactly-once by visibility)
+    df = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        *[_region_dir(path, r["region"]) for r in regions])
     if start_key is not None:
         df = df.filter(F.col(key) >= F.lit(start_key))
     if stop_key is not None:
@@ -209,41 +212,48 @@ def put_batch(spark: SparkSession, path: str, updates: DataFrame,
     meta = _read_meta(path)
     key = meta["key"]
     version = meta["next_version"]
+    # persist once: each region's filter+write+bounds otherwise re-evaluates
+    # the full updates lineage (~3 jobs x n_regions over the same input)
     stamped = updates.withColumn(
         "__kv_version", F.lit(version).cast("long")
-    ).withColumn("__kv_tombstone", F.lit(bool(delete)))
+    ).withColumn("__kv_tombstone", F.lit(bool(delete))).persist()
     n = 0
-    # route each row to its owning region (last region whose start <= key;
-    # keys past the last stop extend the last region, like HBase's
-    # open-ended terminal region)
-    for i, r in enumerate(meta["regions"]):
-        cond = F.lit(True)
-        if r["start_key"] is not None and i > 0:
-            cond = cond & (F.col(key) >= F.lit(r["start_key"]))
-        nxt = meta["regions"][i + 1] if i + 1 < len(meta["regions"]) else None
-        if nxt is not None and nxt["start_key"] is not None:
-            cond = cond & (F.col(key) < F.lit(nxt["start_key"]))
-        part = stamped.filter(cond)
-        rows = part.count()
-        if rows == 0:
-            continue
-        n += rows
-        fname = f"delta-{version:010d}-{uuid.uuid4().hex[:8]}"
-        tmp = os.path.join(path, "_delta_stage")
-        part.coalesce(1).sortWithinPartitions(key).write.mode(
-            "overwrite").parquet(tmp)
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                shutil.move(os.path.join(tmp, f),
-                            os.path.join(_region_dir(path, r["region"]),
-                                         f"{fname}.parquet"))
-        shutil.rmtree(tmp)
-        # widen region bounds if the batch extends them
-        stats = part.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-        if r["start_key"] is None or stats.lo < r["start_key"]:
-            r["start_key"] = stats.lo
-        if r["stop_key"] is None or stats.hi > r["stop_key"]:
-            r["stop_key"] = stats.hi
+    try:
+        # route each row to its owning region (last region whose start <=
+        # key; keys past the last stop extend the last region, like HBase's
+        # open-ended terminal region)
+        for i, r in enumerate(meta["regions"]):
+            cond = F.lit(True)
+            if r["start_key"] is not None and i > 0:
+                cond = cond & (F.col(key) >= F.lit(r["start_key"]))
+            nxt = meta["regions"][i + 1] if i + 1 < len(meta["regions"]) else None
+            if nxt is not None and nxt["start_key"] is not None:
+                cond = cond & (F.col(key) < F.lit(nxt["start_key"]))
+            part = stamped.filter(cond)
+            stats = part.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(key).alias("lo"), F.max(key).alias("hi"),
+            ).first()
+            if stats.rows == 0:
+                continue
+            n += stats.rows
+            fname = f"delta-{version:010d}-{uuid.uuid4().hex[:8]}"
+            tmp = os.path.join(path, "_delta_stage")
+            part.coalesce(1).sortWithinPartitions(key).write.mode(
+                "overwrite").parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(tmp, f),
+                                os.path.join(_region_dir(path, r["region"]),
+                                             f"{fname}.parquet"))
+            shutil.rmtree(tmp)
+            # widen region bounds if the batch extends them
+            if r["start_key"] is None or stats.lo < r["start_key"]:
+                r["start_key"] = stats.lo
+            if r["stop_key"] is None or stats.hi > r["stop_key"]:
+                r["stop_key"] = stats.hi
+    finally:
+        stamped.unpersist()
     meta["next_version"] = version + 1
     _write_meta(path, meta)
     return n
@@ -263,7 +273,9 @@ def compact(spark: SparkSession, path: str) -> dict:
         if len(files) <= 1:
             report["files_after"] += len(files)
             continue
-        df = spark.read.parquet(rdir)
+        # committed files only — a concurrently staged pending-*.tmp must
+        # neither be folded in nor deleted (see KVStoreStreamWriter)
+        df = spark.read.option("pathGlobFilter", "*.parquet").parquet(rdir)
         data_cols = [c for c in df.columns
                      if c not in ("__kv_version", "__kv_tombstone")]
         folded = (
@@ -288,8 +300,8 @@ def compact(spark: SparkSession, path: str) -> dict:
         tmp = rdir + ".compact"
         folded.coalesce(1).sortWithinPartitions(key).write.mode(
             "overwrite").parquet(tmp)
-        shutil.rmtree(rdir)
-        os.makedirs(rdir)
+        for f in files:  # delete exactly what was folded; pending files stay
+            os.remove(os.path.join(rdir, f))
         for f in os.listdir(tmp):
             if f.endswith(".parquet"):
                 shutil.move(os.path.join(tmp, f),
@@ -367,8 +379,12 @@ class KVStoreStreamWriter(DataSourceStreamWriter):
                                      preserve_index=False),
                 fname,
             )
-            staged.append((fname, r["region"],
-                           int(m[self.key].min()), int(m[self.key].max())))
+            lo, hi = m[self.key].min(), m[self.key].max()
+            # keys are any orderable type (string row keys are the normal
+            # HBase case); unwrap numpy scalars for JSON-safe metadata
+            lo = lo.item() if hasattr(lo, "item") else lo
+            hi = hi.item() if hasattr(hi, "item") else hi
+            staged.append((fname, r["region"], lo, hi))
         return _KVCommit(staged)
 
     def commit(self, messages, batchId: int) -> None:

@@ -155,8 +155,15 @@ def streaming_snapshot_ingest(stream: DataFrame, table_path: str,
     from impalatogo_spark.operators.snapshots import snapshot_write
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        snapshot_write(batch_df.sparkSession, table_path, batch_df,
-                       note=f"batch-{batch_id}")
+        from impalatogo_spark.operators.snapshots import find_note
+
+        note = f"batch-{batch_id}"
+        # foreachBatch is at-least-once: a crash between snapshot_write and
+        # Spark's offset-log commit replays this batch_id — the note check
+        # makes the commit idempotent (at most one snapshot per batch id)
+        if find_note(table_path, note) is not None:
+            return
+        snapshot_write(batch_df.sparkSession, table_path, batch_df, note=note)
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -389,3 +389,33 @@ def test_abort_on_error_skips_corrupt_files(spark, tmp_path):
     with pytest.raises(Exception):
         spark.read.parquet(d).count()
     eng.unset("ABORT_ON_ERROR")
+
+
+def test_default_order_by_limit_never_truncates_ctas(spark, sf_dir):
+    """The DEFAULT_ORDER_BY_LIMIT rewrite applies to plain SELECTs only —
+    a CTAS tail ORDER BY must not silently truncate the written table.
+    Non-numeric values are rejected at SET time."""
+    eng = Engine(spark)
+    register_tables(spark, sf_dir)
+    eng.set("DEFAULT_ORDER_BY_LIMIT", 3)
+    try:
+        spark.sql("DROP TABLE IF EXISTS dobl_ctas")
+        eng.sql("CREATE TABLE dobl_ctas USING parquet AS "
+                "SELECT r_regionkey FROM region ORDER BY r_regionkey")
+        assert spark.table("dobl_ctas").count() == 5  # NOT limited to 3
+        spark.sql("DROP TABLE dobl_ctas")
+    finally:
+        eng.unset("DEFAULT_ORDER_BY_LIMIT")
+    with pytest.raises(ValueError):
+        eng.set("DEFAULT_ORDER_BY_LIMIT", "abc")
+
+
+def test_explain_level_names_and_clamp(spark, sf_dir):
+    eng = Engine(spark)
+    register_tables(spark, sf_dir)
+    eng.set("EXPLAIN_LEVEL", "verbose")
+    try:
+        assert len(eng.explain("SELECT count(*) FROM region")) > 0
+        assert len(eng.explain("SELECT count(*) FROM region", 7)) > 0
+    finally:
+        eng.unset("EXPLAIN_LEVEL")

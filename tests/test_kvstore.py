@@ -149,3 +149,64 @@ def test_streaming_sink_versioned_puts(spark, tmp_path):
     assert got.filter(F.col("k") == 10).first().payload == "base10"
     # region metadata widened to the new key range -> range scans find them
     assert kv.scan(spark, path, start_key=125).count() == 5
+
+
+def test_pending_files_invisible_until_commit(spark, tmp_path):
+    """A staged pending-*.tmp file (crashed pre-commit write) must be
+    invisible to scan() and survive compact() untouched — the sink's
+    exactly-once-by-visibility contract."""
+    path = str(tmp_path / "kvp")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    kv.create_table(spark, path, base, key="k", n_regions=2)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rdir = os.path.join(path, "region-00000")
+    pending = os.path.join(rdir, "pending-deadbeef.tmp")
+    pq.write_table(
+        pa.table({"k": [999], "v": [999], "__kv_version": [9],
+                  "__kv_tombstone": [False]}),
+        pending,
+    )
+    assert kv.scan(spark, path).count() == 40  # orphan not visible
+    kv.put_batch(spark, path, spark.range(40, 45).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    kv.compact(spark, path)
+    assert os.path.exists(pending)  # compaction never folds/deletes it
+    got = kv.scan(spark, path)
+    assert got.count() == 45 and got.filter(F.col("k") == 999).count() == 0
+
+
+def test_streaming_sink_string_keys(spark, tmp_path):
+    """String row keys (the normal HBase case) through the streaming
+    sink."""
+    from impalatogo_spark.sources.kvstore import KVStoreSinkDataSource
+
+    spark.dataSource.register(KVStoreSinkDataSource)
+    path = str(tmp_path / "kvs")
+    base = spark.range(0, 20).select(
+        F.format_string("row%03d", F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    kv.create_table(spark, path, base, key="k", n_regions=2)
+
+    src = str(tmp_path / "upd")
+    spark.createDataFrame([("row005", 500), ("row099", 990)],
+                          "k string, v long").coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema("k string, v long")
+        .parquet(src)
+        .writeStream.format("kvstore_sink")
+        .option("path", path)
+        .option("key", "k")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = kv.scan(spark, path)
+    assert got.count() == 21
+    assert got.filter(F.col("k") == "row005").first().v == 500
+    assert got.filter(F.col("k") == "row099").first().v == 990

@@ -214,8 +214,21 @@ def test_cluster_profile_sizing_rules(spark):
     assert int(small_mem["spark.sql.autoBroadcastJoinThreshold"]) == \
         128 * 1024 * 1024
 
-    # applying and restoring round-trips on a live session
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    apply_cluster_profile(spark, p)
-    assert spark.conf.get("spark.sql.shuffle.partitions") == str(96)
-    spark.conf.set("spark.sql.shuffle.partitions", before)
+    # applying and restoring round-trips on a live session; restore EVERY
+    # touched conf (a leaked 256 MB broadcast threshold would flip
+    # plan-shape assertions in tests that share this session)
+    before = {}
+    for c in p:
+        try:
+            before[c] = spark.conf.get(c)
+        except Exception:
+            before[c] = None
+    try:
+        apply_cluster_profile(spark, p)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(96)
+    finally:
+        for c, v in before.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)

@@ -156,3 +156,14 @@ def test_schema_evolution_merge_read(spark, path):
     assert df.filter(F.col("quality").isNull()).count() == 20
     # time travel to v0 never sees the new column
     assert "quality" not in snap.snapshot_read(spark, path, 0).columns
+
+
+def test_diff_after_expire_fails_cleanly_and_full_read_works(spark, path):
+    snap.snapshot_write(spark, path, _batch(spark, 0, 10, "a"))
+    snap.snapshot_write(spark, path, _batch(spark, 10, 20, "b"))
+    snap.snapshot_write(spark, path, _batch(spark, 20, 30, "c"))
+    snap.snapshot_expire(path, keep_last=1)
+    # 'everything' mode never walks expired parents
+    assert snap.snapshot_diff(spark, path, None).count() == 30
+    with pytest.raises(ValueError, match="expired"):
+        snap.snapshot_diff(spark, path, 0)

@@ -131,3 +131,38 @@ def test_streaming_read_from_python_datasource(spark, tmp_path):
     assert len(got) == 30  # exactly once, no duplicates past the bound
     batch = spark.read.format("synthetic_docs").option("n_docs", 30).load().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_streaming_datasource_restart_no_reemit(spark, tmp_path):
+    """Restart from the checkpoint resumes at the committed offset — no
+    regression, no re-emitted docs (the SimpleDataSourceStreamReader is
+    stateless: position lives only in Spark's offset log)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(n_docs: int):
+        df = (
+            spark.readStream.format("synthetic_docs")
+            .option("n_docs", n_docs)
+            .option("docs_per_batch", 10)
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # availableNow + the simple reader drains one prefetched increment per
+    # run, so EVERY run() below is a fresh restart from the offset log
+    for _ in range(3):
+        run(30)
+    assert spark.read.parquet(out).count() == 30
+    for _ in range(2):
+        run(50)  # restarts must deliver ONLY docs 30..49, once
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 50
+    assert sorted(r.doc_id for r in got) == list(range(50))  # no duplicates

@@ -114,8 +114,12 @@ def main() -> None:
                     if not args.continue_on_query_error:
                         raise
                     break
-                samples.append(time.perf_counter() - t0)
-                release_persisted()
+                else:
+                    samples.append(time.perf_counter() - t0)
+                finally:
+                    # even a failed query may have registered persists —
+                    # a leak here skews every later timing (CLAUDE.md rule)
+                    release_persisted()
             med = round(statistics.median(samples), 4) if samples else None
             results.append({"workload": workload, "sf": sf, "query": name,
                             "median_sec": med, "error": error})
