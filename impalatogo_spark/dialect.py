@@ -256,6 +256,20 @@ def translate(sql: str) -> str:
     # straight_join: Impala disables join reordering. Spark: CBO reorder
     # is off per-plan when hints exist; strip the keyword.
     chunk = re.sub(r"\bSELECT\s+STRAIGHT_JOIN\b", "SELECT", chunk, flags=re.IGNORECASE)
+    # remaining bracket plan hints (opt_plan_hints LBRACKET ident_list
+    # RBRACKET): INSERT-level [shuffle|noshuffle|clustered] (the pre-write
+    # exchange — Spark AQE owns that choice) and scan-level
+    # [schedule_*] replica placement (no HDFS replicas here) are
+    # advisory: strip them. JOIN [broadcast|shuffle] was lifted above.
+    # Safe: this grammar has no array subscripts, and only known hint
+    # names are matched.
+    chunk = re.sub(
+        r"\[\s*(?:shuffle|noshuffle|clustered|straight_join|schedule_\w+)"
+        r"(?:\s*,\s*\w+)*\s*\]",
+        " ",
+        chunk,
+        flags=re.IGNORECASE,
+    )
     # Impala accepts && as AND (sql-scanner lexer; used in the AMPLab
     # hive-benchmark workload: "pageRank > 10 && pageRank < 25").
     # Spark SQL does not. Literals are masked, so this cannot hit strings.

@@ -419,3 +419,22 @@ def test_explain_level_names_and_clamp(spark, sf_dir):
         assert len(eng.explain("SELECT count(*) FROM region", 7)) > 0
     finally:
         eng.unset("EXPLAIN_LEVEL")
+
+
+def test_insert_and_scan_bracket_hints_stripped(spark, sf_dir):
+    """opt_plan_hints bracket forms outside JOIN position: INSERT-level
+    [shuffle|noshuffle|clustered] and scan-level [schedule_*] are advisory
+    here (AQE owns the pre-write exchange; no HDFS replicas) — stripped,
+    and the statement still runs."""
+    assert "[" not in translate("INSERT INTO t [noshuffle] SELECT 1")
+    assert "[" not in translate(
+        "INSERT OVERWRITE t PARTITION (p) [shuffle, clustered] SELECT 1, 2")
+    out = translate("SELECT c1 FROM t [schedule_random_replica]")
+    assert "[" not in out
+    # join hints still lift, untouched by the strip pass
+    out = translate("SELECT * FROM a JOIN [broadcast] b ON a.x = b.x")
+    assert "/*+ BROADCAST(b) */" in out
+    eng = Engine(spark)
+    register_tables(spark, sf_dir)
+    n = eng.sql("SELECT count(*) AS n FROM region [schedule_random_replica]").first().n
+    assert n == 5
