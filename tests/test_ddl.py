@@ -384,3 +384,17 @@ def test_drop_stats(eng, spark):
     eng.sql("DROP STATS i2s_test.stats_t")
     assert "rows" not in stats_line()
     spark.sql("DROP TABLE i2s_test.stats_t")
+
+
+def test_with_cte_insert(eng, spark):
+    """WITH ... INSERT (sql-parser.y:611-624 insert_stmt with w:with):
+    a CTE feeding INSERT through the SQL entry."""
+    spark.sql("DROP TABLE IF EXISTS i2s_test.cte_ins")
+    spark.sql("CREATE TABLE i2s_test.cte_ins (k INT, n BIGINT) USING parquet")
+    eng.sql(
+        "WITH big AS (SELECT n_regionkey AS k, count(*) AS n FROM nation "
+        "GROUP BY n_regionkey) "
+        "INSERT INTO i2s_test.cte_ins SELECT k, n FROM big"
+    )
+    assert spark.table("i2s_test.cte_ins").count() == 5
+    spark.sql("DROP TABLE i2s_test.cte_ins")
