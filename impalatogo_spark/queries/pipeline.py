@@ -2429,3 +2429,41 @@ def corpus_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("top_source_docs"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+WITH cc AS ({D.clusters_oracle(D.minhash_lsh_oracle(threshold=0.5))}),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""",
+    tags=("dedup", "graph", "governance"),
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many clusters of each size
+    exist and how many documents they hold — the readout that says whether
+    duplication is a long tail of pairs or a few giant boilerplate blobs
+    (drives whether keep-one-per-cluster or a size cap is the right
+    policy). Two map-side-combined aggregates on top of connected
+    components; covers docs that appear in at least one verified pair
+    (singletons are the corpus remainder, derivable by count difference —
+    identical convention on both engine and oracle sides)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = tracked_persist(D.word_shingles(docs))
+    pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
+    cc = D.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
