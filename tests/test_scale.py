@@ -232,3 +232,44 @@ def test_cluster_profile_sizing_rules(spark):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
+    """MIN/MAX/COUNT with no filter answer from parquet FOOTERS when
+    aggregate pushdown is on (DSv2 scan shows PushedAggregation) — at
+    100 TB this is the difference between reading footers and reading the
+    table. Values must equal the normal scan's."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",  # v2 parquet scan
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("lo"),
+            F.max("l_orderkey").alias("hi"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan and "MIN(l_orderkey)" in plan
+        pushed = df.first()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    normal = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+    ).first()
+    assert tuple(pushed) == tuple(normal)
