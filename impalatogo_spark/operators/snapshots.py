@@ -43,13 +43,35 @@ def _head_path(path: str) -> str:
     return os.path.join(path, _SNAP_DIR, "HEAD")
 
 
+def _manifest_versions(path: str) -> list[int]:
+    snap_dir = os.path.join(path, _SNAP_DIR)
+    if not os.path.isdir(snap_dir):
+        return []
+    return sorted(
+        int(f.split("-")[1].split(".")[0])
+        for f in os.listdir(snap_dir)
+        if f.startswith("snap-") and f.endswith(".json")
+    )
+
+
 def head_version(path: str) -> int | None:
-    """Current snapshot version, or None for an empty table."""
+    """Current snapshot version, or None for an empty table.
+
+    Crash recovery: the manifest rename (atomic, complete) commits a
+    snapshot; the HEAD file is a cache of the max manifest version. If a
+    writer died between the two renames, the newest MANIFEST wins — so a
+    fully-written snapshot is never orphaned and the next commit can't
+    overwrite its version."""
+    versions = _manifest_versions(path)
+    newest = versions[-1] if versions else None
     try:
         with open(_head_path(path)) as fh:
-            return int(fh.read().strip())
+            head = int(fh.read().strip())
     except FileNotFoundError:
-        return None
+        head = None
+    if newest is None:
+        return head
+    return newest if head is None else max(head, newest)
 
 
 def _read_snapshot(path: str, version: int) -> dict:
@@ -168,18 +190,20 @@ def snapshot_expire(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest `keep_last` snapshots and delete data files
     no surviving snapshot references (Iceberg expire_snapshots). Time
     travel to expired versions is gone; the surviving reads are untouched."""
-    head = head_version(path)
-    if head is None:
+    versions = _manifest_versions(path)
+    if not versions:
         return {"expired": 0, "deleted_files": 0}
-    keep = set(range(max(0, head - keep_last + 1), head + 1))
+    # keep the newest keep_last EXISTING manifests (a prior expire with a
+    # smaller keep_last may have removed older versions already)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     live: set[str] = set()
     for v in keep:
         live.update(_read_snapshot(path, v)["files"])
     expired = 0
     deleted = 0
     for f in os.listdir(os.path.join(path, _SNAP_DIR)):
-        if not f.startswith("snap-"):
-            continue
+        if not (f.startswith("snap-") and f.endswith(".json")):
+            continue  # skips crashed writers' .tmp leftovers
         v = int(f.split("-")[1].split(".")[0])
         if v in keep:
             continue

@@ -113,6 +113,11 @@ def create_table(
                        "stop_key": stats.hi, "_rid": rid})
         n_written += 1
     shutil.rmtree(staged)
+    if not bounds:
+        # empty initial table: ONE open-range region so later puts have an
+        # owner (HBase's single initial region before any split)
+        os.makedirs(_region_dir(path, 0), exist_ok=True)
+        bounds = [{"region": 0, "start_key": None, "stop_key": None}]
     meta = {
         "key": key,
         "regions": [
@@ -123,6 +128,17 @@ def create_table(
     }
     _write_meta(path, meta)
     return meta
+
+
+def _check_columns(meta: dict, columns) -> None:
+    """A delta with missing/extra columns would silently corrupt reads
+    (base+delta union is read without mergeSchema) — reject at put time."""
+    want = {f["name"] for f in meta["schema"]["fields"]}
+    got = {c for c in columns if not c.startswith("__kv_")}
+    if got != want:
+        raise ValueError(
+            f"put columns {sorted(got)} do not match table schema "
+            f"{sorted(want)}")
 
 
 def _prune_regions(meta: dict, start_key=None, stop_key=None) -> list[dict]:
@@ -154,6 +170,11 @@ def scan(
     meta = _read_meta(path)
     key = meta["key"]
     regions = _prune_regions(meta, start_key, stop_key)
+    regions = [
+        r for r in regions
+        if any(f.endswith(".parquet")
+               for f in os.listdir(_region_dir(path, r["region"])))
+    ]
     if not regions:
         from pyspark.sql.types import StructType
 
@@ -192,13 +213,33 @@ def scan(
 
 
 def get(spark: SparkSession, path: str, key_value):
-    """Point lookup (HBase Get): single-region scan with an equality range."""
+    """Point lookup (HBase Get): read ONLY the owning region — the one
+    whose [start, stop] covers the key (start_key alone would keep every
+    region above the owner too)."""
     meta = _read_meta(path)
     key = meta["key"]
+    owners = [
+        r for r in meta["regions"]
+        if (r["start_key"] is None or r["start_key"] <= key_value)
+        and (r["stop_key"] is None or key_value <= r["stop_key"])
+    ]
+    owners = [
+        r for r in owners
+        if any(f.endswith(".parquet")
+               for f in os.listdir(_region_dir(path, r["region"])))
+    ]
+    if not owners:
+        return None
+    df = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        *[_region_dir(path, r["region"]) for r in owners])
+    data_cols = [c for c in df.columns
+                 if c not in ("__kv_version", "__kv_tombstone")]
     rows = (
-        scan(spark, path, start_key=key_value)
-        .filter(F.col(key) == F.lit(key_value))
-        .limit(2)
+        df.filter(F.col(key) == F.lit(key_value))
+        .orderBy(F.col("__kv_version").desc())
+        .limit(1)
+        .filter(~F.col("__kv_tombstone"))
+        .select(*data_cols)
         .collect()
     )
     return rows[0] if rows else None
@@ -212,6 +253,7 @@ def put_batch(spark: SparkSession, path: str, updates: DataFrame,
     meta = _read_meta(path)
     key = meta["key"]
     version = meta["next_version"]
+    _check_columns(meta, updates.columns)
     # persist once: each region's filter+write+bounds otherwise re-evaluates
     # the full updates lineage (~3 jobs x n_regions over the same input)
     stamped = updates.withColumn(
@@ -328,6 +370,10 @@ from pyspark.sql.datasource import (  # noqa: E402
 class _KVCommit(WriterCommitMessage):
     # (staged_tmp_path, region, lo_key, hi_key) per file
     files: list = field(default_factory=list)
+    # version the rows were stamped with at write() time; commit() must
+    # name the delta files with THIS version (a concurrent put_batch may
+    # have advanced next_version in between)
+    version: int = 0
 
 
 class KVStoreStreamWriter(DataSourceStreamWriter):
@@ -338,11 +384,16 @@ class KVStoreStreamWriter(DataSourceStreamWriter):
     files and bumps the version in one manifest write. abort() deletes the
     pending files. A replayed batch re-puts the same keys under a newer
     version, which the newest-wins read collapses — the upsert-idempotence
-    HBase gets from timestamped Puts."""
+    HBase gets from timestamped Puts.
+
+    Single-writer per table, like an HBase region's single region server:
+    version stamps are read at write() time, so two writers committing
+    concurrently could share a version and make newest-wins ambiguous for
+    keys they both touch (the file/rename protocol itself stays safe)."""
 
     def __init__(self, options):
         self.path = options["path"]
-        self.key = options.get("key", "k")
+        self.key = options.get("key")  # default: the table's own key
 
     def write(self, iterator):
         import uuid as _uuid
@@ -352,10 +403,13 @@ class KVStoreStreamWriter(DataSourceStreamWriter):
         import pyarrow.parquet as pq
 
         rows = [r.asDict() for r in iterator]
-        if not rows:
-            return _KVCommit([])
         meta = _read_meta(self.path)
+        if self.key is None:
+            self.key = meta["key"]
         version = meta["next_version"]
+        if not rows:
+            return _KVCommit([], version)
+        _check_columns(meta, rows[0].keys())
         pdf = pd.DataFrame(rows)
         pdf["__kv_version"] = pd.array([version] * len(pdf), dtype="int64")
         pdf["__kv_tombstone"] = False
@@ -385,11 +439,15 @@ class KVStoreStreamWriter(DataSourceStreamWriter):
             lo = lo.item() if hasattr(lo, "item") else lo
             hi = hi.item() if hasattr(hi, "item") else hi
             staged.append((fname, r["region"], lo, hi))
-        return _KVCommit(staged)
+        return _KVCommit(staged, version)
 
     def commit(self, messages, batchId: int) -> None:
         meta = _read_meta(self.path)
-        version = meta["next_version"]
+        # rows carry the version stamped at write() time; name the files
+        # with THAT version so file name and row stamps agree even if a
+        # concurrent writer advanced next_version in between
+        version = max((msg.version for msg in messages if msg),
+                      default=meta["next_version"])
         by_region = {r["region"]: r for r in meta["regions"]}
         for msg in messages:
             for fname, region, lo, hi in (msg.files if msg else []):
@@ -404,7 +462,7 @@ class KVStoreStreamWriter(DataSourceStreamWriter):
                     r["start_key"] = lo
                 if r["stop_key"] is None or hi > r["stop_key"]:
                     r["stop_key"] = hi
-        meta["next_version"] = version + 1
+        meta["next_version"] = max(meta["next_version"], version + 1)
         _write_meta(self.path, meta)
 
     def abort(self, messages, batchId: int) -> None:

@@ -210,3 +210,23 @@ def test_streaming_sink_string_keys(spark, tmp_path):
     assert got.count() == 21
     assert got.filter(F.col("k") == "row005").first().v == 500
     assert got.filter(F.col("k") == "row099").first().v == 990
+
+
+def test_empty_table_then_put(spark, tmp_path):
+    """create_table on an EMPTY frame leaves one open-range region; a later
+    put stores rows instead of silently dropping them."""
+    path = str(tmp_path / "kvempty")
+    schema_df = spark.createDataFrame([], "k long, v long")
+    kv.create_table(spark, path, schema_df, key="k", n_regions=4)
+    assert kv.scan(spark, path).count() == 0
+    n = kv.put_batch(spark, path, spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"))
+    assert n == 2
+    assert kv.scan(spark, path).count() == 2
+    assert kv.get(spark, path, 2).v == 20
+
+
+def test_put_schema_mismatch_rejected(spark, tbl):
+    with pytest.raises(ValueError, match="do not match table schema"):
+        kv.put_batch(spark, tbl, spark.createDataFrame(
+            [(1, 2)], "k long, wrong long"))

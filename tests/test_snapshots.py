@@ -167,3 +167,37 @@ def test_diff_after_expire_fails_cleanly_and_full_read_works(spark, path):
     assert snap.snapshot_diff(spark, path, None).count() == 30
     with pytest.raises(ValueError, match="expired"):
         snap.snapshot_diff(spark, path, 0)
+
+
+def test_expire_twice_and_tmp_leftovers(spark, path):
+    """A second expire after a smaller-keep_last expire must not crash on
+    already-deleted manifests, and crashed writers' .tmp files are
+    ignored."""
+    for i in range(4):
+        snap.snapshot_write(spark, path, _batch(spark, i * 10, i * 10 + 10, "x"))
+    snap.snapshot_expire(path, keep_last=1)
+    open(os.path.join(path, "snapshots", "snap-0000000002.json.tmp"),
+         "w").write("{}")
+    report = snap.snapshot_expire(path, keep_last=2)  # must not crash
+    assert report["expired"] == 0  # only one manifest survives already
+    assert snap.snapshot_read(spark, path).count() == 40
+
+
+def test_orphan_manifest_recovery(spark, path):
+    """A manifest committed without its HEAD update (crash window) is
+    adopted as head — the next write builds on it instead of overwriting
+    its version (no silent data loss)."""
+    import json as _json
+
+    snap.snapshot_write(spark, path, _batch(spark, 0, 10, "a"), note="batch-0")
+    v1 = snap.snapshot_write(spark, path, _batch(spark, 10, 20, "b"),
+                             note="batch-1")
+    # simulate the crash: regress HEAD to v0 while snap-1 exists
+    with open(os.path.join(path, "snapshots", "HEAD"), "w") as fh:
+        fh.write("0")
+    assert snap.head_version(path) == v1  # newest manifest wins
+    assert snap.find_note(path, "batch-1") == v1  # replay would be skipped
+    v2 = snap.snapshot_write(spark, path, _batch(spark, 20, 30, "c"),
+                             note="batch-2")
+    assert v2 == v1 + 1
+    assert snap.snapshot_read(spark, path).count() == 30  # nothing lost

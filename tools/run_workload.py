@@ -9,6 +9,7 @@ Workloads map to the same names the reference harness takes:
   hive-benchmark / amplab   the AMPLab big-data benchmark shapes
   targeted-perf  the micro-benchmark shapes
   pipeline       the training-data pipeline operators (beyond-reference)
+  relational     window/join/agg/function/subquery/set-op batteries
   all            every registered query
 
 Usage examples (flag names follow the reference):
@@ -42,7 +43,12 @@ _PREFIXES = {
     "amplab": ("amplab_",),
     "targeted-perf": ("perf_",),
     "pipeline": ("dedup_", "ann_", "text_", "corpus_", "pipeline_",
-                 "multimodal_", "embedding_"),
+                 "multimodal_", "embedding_", "events_", "sample_",
+                 "topk_", "streaming_"),
+    "relational": ("agg_", "func_", "join_", "window_", "subquery_",
+                   "union_", "set_", "with_", "having_", "limit_",
+                   "order_", "select_", "values_", "lateral_",
+                   "inline_"),
 }
 
 
@@ -126,7 +132,8 @@ def main() -> None:
             print(f"  {name:<40} {med if med is not None else 'ERROR':>8}"
                   f"{'s' if med is not None else ''}")
         total = sum(r["median_sec"] for r in results
-                    if r["workload"] == workload and r["median_sec"])
+                    if r["workload"] == workload and r["sf"] == sf
+                    and r["median_sec"])
         print(f"=== {workload} total (median per query): {total:.2f}s")
     if args.results_json_file:
         with open(args.results_json_file, "w") as fh:
