@@ -2467,3 +2467,317 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+# ===========================================================================
+# Round 2 (cont.): tokenizer economics, anomaly gates, importance resampling,
+# graph centrality
+# ===========================================================================
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+WITH per AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}')) AS BIGINT)
+             AS n_subwords
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_subwords) AS BIGINT) AS sum_subwords,
+       CASE WHEN sum(n_words) = 0 THEN 0
+            ELSE CAST((1000 * sum(n_subwords)
+                       - (1000 * sum(n_subwords)) % sum(n_words))
+                      / sum(n_words) AS BIGINT) END AS fertility_milli,
+       CASE WHEN sum(n_subwords) = 0 THEN 0
+            ELSE CAST((1000 * sum(n_chars)
+                       - (1000 * sum(n_chars)) % sum(n_subwords))
+                      / sum(n_subwords) AS BIGINT) END AS chars_per_subword_milli
+FROM per GROUP BY lang ORDER BY lang
+""",
+    tags=("text", "tokenizer"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-economics readout per language: subwords-per-word fertility
+    and chars-per-subword compression, the stats that decide vocabulary /
+    sampling budgets per language before training (high-fertility languages
+    burn sequence length). Uses the repo's BPE-ish regex tokenizer; ratios
+    are floor-scaled integer milli-units so the DuckDB oracle is bit-exact
+    (no float division on either side).
+
+    Scale shape: one scan, tokenization in codegen, a 5-group map-side
+    combined aggregate — shuffle volume is O(langs), not O(tokens)."""
+    lower = F.lower(F.col("text"))
+    per = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(
+            lower, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+        )).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z]{1,4}"), F.lit(0)))
+        .cast("long").alias("n_subwords"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_subwords").alias("sum_subwords"),
+    )
+    return agg.select(
+        "lang", "n_docs", "sum_chars", "sum_words", "sum_subwords",
+        F.when(F.col("sum_words") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr("(1000 * sum_subwords) div sum_words")
+        ).alias("fertility_milli"),
+        F.when(F.col("sum_subwords") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr("(1000 * sum_chars) div sum_subwords")
+        ).alias("chars_per_subword_milli"),
+    ).orderBy("lang")
+
+
+@register(
+    "events_anomaly_exact",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s,
+         CAST(sum(cents * cents) AS HUGEINT) AS s2
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.event_id, c.cents AS value_cents,
+       CAST(st.n AS BIGINT) AS n_type
+FROM c JOIN st ON c.event_type = st.event_type
+WHERE (st.n * c.cents - st.s) * (st.n * c.cents - st.s)
+      > 9 * (st.n * st.s2 - st.s * st.s)
+ORDER BY c.event_type, c.event_id
+""",
+    tags=("events", "quality"),
+)
+def events_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier detection per event_type in EXACT integer arithmetic:
+    the float test (v - mean)^2 > 9*var multiplied through by n^2 becomes
+    (n*v - s)^2 > 9*(n*s2 - s^2) over integer cents — no float mean/stddev
+    to wobble between engines, so the flagged set is bit-deterministic.
+    Intermediates go through DECIMAL(38,0) (HUGEINT on the oracle side):
+    n*s2 alone overflows BIGINT at ~1e5 rows of 3-digit values, and at
+    100 TB the widening is the correctness requirement, not a nicety.
+
+    Scale shape: per-type stats are a tiny map-side-combined aggregate that
+    broadcasts back onto the event scan; the fact table never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    st = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("cents").cast(d38).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast(d38).alias("s2"),
+    )
+    j = c.join(F.broadcast(st), "event_type")
+    dev = F.col("n") * F.col("cents").cast(d38) - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        j.filter(dev * dev > F.lit(9).cast(d38) * var_n2)
+        .select(
+            "event_type", "event_id",
+            F.col("cents").alias("value_cents"),
+            F.col("n").cast("long").alias("n_type"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+def _hex4_poly_sql(expr: str) -> str:
+    """DuckDB integer value of the first 4 hex chars of md5(expr) — the
+    strpos polynomial standing in for Spark's conv() (see CLAUDE.md)."""
+    return " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+@register(
+    "corpus_importance_weights",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS wa FROM documents
+),
+bg AS (
+  SELECT w.doc_id, w.lang,
+         ({_hex4_poly_sql("wa[gs.i + 1] || ' ' || wa[gs.i + 2]")}) % 64 AS h
+  FROM w, LATERAL (SELECT unnest(range(0, greatest(len(wa) - 1, 0))) AS i) gs
+),
+raw AS (SELECT h, CAST(count(*) AS BIGINT) AS r FROM bg GROUP BY h),
+tgt AS (SELECT h, CAST(count(*) AS BIGINT) AS t FROM bg WHERE lang = 'en'
+        GROUP BY h),
+wt AS (
+  SELECT raw.h,
+         CAST((1000 * (COALESCE(tgt.t, 0) + 1)
+               - (1000 * (COALESCE(tgt.t, 0) + 1)) % (raw.r + 1))
+              / (raw.r + 1) AS BIGINT) AS wgt
+  FROM raw LEFT JOIN tgt ON raw.h = tgt.h
+),
+doc AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(wt.wgt) AS BIGINT) AS score_int
+  FROM bg JOIN wt ON bg.h = wt.h GROUP BY bg.doc_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS d,
+               CAST(sum(score_int) AS BIGINT) AS s FROM doc)
+SELECT doc.doc_id, doc.n_bigrams, doc.score_int,
+       doc.score_int * tot.d >= tot.s AS keep
+FROM doc, tot ORDER BY doc_id
+""",
+    tags=("text", "sampling"),
+)
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al. 2023, public): hashed
+    word-bigram features (64 buckets), per-feature importance weight =
+    add-one-smoothed target/raw frequency ratio, per-document score = sum
+    of its features' weights, keep = above-corpus-mean score. The target
+    distribution here is the lang='en' slice; a real deployment swaps in
+    any target corpus and the plan is unchanged. Everything is floor-scaled
+    integer arithmetic (milli-ratios, cross-multiplied mean test) so the
+    DuckDB oracle reproduces the keep set bit-for-bit.
+
+    Scale shape: one corpus scan builds the hashed features behind the
+    split_words Generate barrier; both frequency tables are 64-row
+    map-side-combined aggregates that BROADCAST back onto the feature
+    stream; the per-doc sum is the only O(corpus) shuffle and it carries
+    (doc_id, partial-sum). The 1-row corpus total is a broadcast cross
+    join, not a driver collect."""
+    from impalatogo_spark.operators import split_words
+
+    docs = _t(spark, sf_dir, "documents")
+    words = split_words(docs.select("doc_id", "lang", "text"), out="wa")
+    bg = words.filter(F.size("wa") >= 2).select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(wa) - 2),"
+                " i -> concat(wa[i], ' ', wa[i + 1]))"
+            )
+        ).alias("bgram"),
+    ).select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5("bgram"), 1, 4), 16, 10).cast("long") % 64)
+        .alias("h"),
+    )
+    bg = tracked_persist(bg)
+    raw = bg.groupBy("h").agg(F.count(F.lit(1)).alias("r"))
+    tgt = bg.filter(F.col("lang") == "en").groupBy("h").agg(
+        F.count(F.lit(1)).alias("t"))
+    wt = raw.join(tgt, "h", "left").select(
+        "h",
+        F.expr("(1000 * (COALESCE(t, 0) + 1)) div (r + 1)").alias("wgt"),
+    )
+    doc = bg.join(F.broadcast(wt), "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("wgt").alias("score_int"),
+    )
+    tot = doc.agg(F.count(F.lit(1)).alias("d"), F.sum("score_int").alias("s"))
+    return (
+        doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "n_bigrams", "score_int",
+            (F.col("score_int") * F.col("d") >= F.col("s")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    parts = ["""
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+e AS (
+  SELECT prev_type AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+o AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+n AS (SELECT DISTINCT event_type AS node FROM events),
+p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n)"""]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+i{k} AS (
+  SELECT e.dst AS node,
+         CAST(sum(CAST((p.pr * e.w - (p.pr * e.w) % o.out_w) / o.out_w
+                       AS BIGINT)) AS BIGINT) AS insum
+  FROM e JOIN o ON e.src = o.src JOIN p{k - 1} p ON p.node = e.src
+  GROUP BY e.dst
+),
+p{k} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(i.insum, 0)
+                        - (85 * COALESCE(i.insum, 0)) % 100) / 100
+              AS BIGINT) AS pr
+  FROM n LEFT JOIN i{k} i ON n.node = i.node
+)""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT node, pr AS pagerank_micro FROM p{iters} ORDER BY node")
+
+
+@register(
+    "events_pagerank",
+    oracle=_pagerank_oracle(iters=3),
+    tags=("events", "graph"),
+)
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph in EXACT integer
+    arithmetic (micro-units, damping 0.85 as the rational 85/100, floor
+    division via the subtract-positive-mod identity both engines share) —
+    the iterative graph-centrality twin of connected components. Dangling
+    mass is dropped identically on both sides (documented divergence from
+    textbook PageRank; ranking order is unaffected for this use).
+
+    Scale shape: edges pre-joined once with their source out-degree and
+    persisted; each of the 3 unrolled rounds is one hash join (edges x
+    skinny rank table, both partitionable by src at cluster scale) plus a
+    map-side-combined sum by dst. No driver-side collect — the iteration
+    count is fixed, so the whole thing is a single declarative plan the
+    oracle unrolls as chained CTEs."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_win = W.partitionBy("user_id").orderBy(us, "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w_win).alias("prev_type"))
+    e = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"),
+                 F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    o = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    eo = tracked_persist(e.join(o, "src"))
+    nodes = tracked_persist(
+        ev.select(F.col("event_type").alias("node")).distinct())
+    pr = nodes.select("node", F.lit(1_000_000).cast("long").alias("pr"))
+    for _ in range(3):
+        contrib = eo.join(pr, eo["src"] == pr["node"]).select(
+            F.col("dst").alias("node_in"),
+            F.expr("(pr * w) div out_w").alias("c"),
+        )
+        insum = contrib.groupBy("node_in").agg(F.sum("c").alias("insum"))
+        pr = nodes.join(insum, nodes["node"] == insum["node_in"], "left").select(
+            "node",
+            F.expr("150000 + (85 * coalesce(insum, 0L)) div 100").alias("pr"),
+        )
+    return pr.select("node", F.col("pr").alias("pagerank_micro")).orderBy("node")

@@ -281,3 +281,39 @@ def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_anomaly_broadcasts_type_stats(spark, sf_dir):
+    """3-sigma gate: the per-type stats aggregate is tiny and must join
+    map-side — the event fact scan never shuffles for the flagging pass."""
+    from impalatogo_spark.queries.pipeline import events_anomaly_exact
+
+    assert plans.uses_broadcast_join(events_anomaly_exact(spark, sf_dir))
+
+
+def test_importance_weights_broadcasts_weight_table(spark, sf_dir):
+    """DSIR resampling: the 64-bucket weight table and the 1-row corpus
+    total both broadcast; the only O(corpus) shuffle carries per-doc
+    partial sums."""
+    from impalatogo_spark.queries.pipeline import corpus_importance_weights
+    from impalatogo_spark.session import release_persisted
+
+    try:
+        assert plans.uses_broadcast_join(corpus_importance_weights(spark, sf_dir))
+    finally:
+        release_persisted()
+
+
+def test_pagerank_no_cartesian_no_collect(spark, sf_dir):
+    """The unrolled 3-round PageRank is a single declarative plan: hash
+    joins only (no nested-loop fallback), all rounds in one job."""
+    from impalatogo_spark.queries.pipeline import events_pagerank
+    from impalatogo_spark.session import release_persisted
+
+    try:
+        df = events_pagerank(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p
+        assert df.count() > 0
+    finally:
+        release_persisted()
