@@ -2781,3 +2781,21 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("150000 + (85 * coalesce(insum, 0L)) div 100").alias("pr"),
         )
     return pr.select("node", F.col("pr").alias("pagerank_micro")).orderBy("node")
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=S.pq_codes_oracle(m=4, n_dims=64, k=4, iters=2),
+    tags=("similarity", "compression"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: 64-dim embeddings compressed to 4
+    subspace codes (independent integer k-means codebooks) + exact integer
+    reconstruction error — the memory-footprint step before a PQ/IVF-ADC
+    ANN index. Oracle-exact (see operators/similarity.py::pq_codes)."""
+    # NOTE: the raw float32 array goes in unchanged — quantization must
+    # multiply in single precision on BOTH engines (DuckDB FLOAT * INT is
+    # FLOAT); upcasting to double here would shift ~0.4% of floor() results
+    # by one ulp relative to the oracle.
+    return S.pq_codes(_t(spark, sf_dir, "embeddings"), m=4, n_dims=64,
+                      k=4, iters=2)

