@@ -107,6 +107,14 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "corpus_topic_balance",
     "join_lateral_topk",
     "window_named_clause",
+    # round 2 (session 2): tokenizer economics, exact anomaly gate, DSIR
+    # importance resampling, integer PageRank, product quantization, CLIP gate
+    "text_tokenizer_fertility",
+    "events_anomaly_exact",
+    "corpus_importance_weights",
+    "events_pagerank",
+    "embedding_pq_codes",
+    "multimodal_clip_gate",
 ]
 RUNS = 3
 

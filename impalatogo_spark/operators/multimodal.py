@@ -285,3 +285,106 @@ cand AS (
 SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
+
+
+CLIP_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("img_feat", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def clip_image_features(df: DataFrame, n_dims: int = 8) -> DataFrame:
+    """Image-tower half of a CLIP-style alignment check: Arrow-batched
+    mapInPandas decodes each binary payload into an integer feature vector
+    (md5-derived deterministic fake — a real encoder plugs into the same
+    batch loop; schema, batching and partitioning are the production
+    shape)."""
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "img_feat": pdf["payload"].map(
+                        lambda b: [int(x) for x in
+                                   hashlib.md5(bytes(b)).digest()[:n_dims]]
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(embed, CLIP_FEAT_SCHEMA)
+
+
+def clip_alignment_gate(docs: DataFrame, text_col: str = "text",
+                        n_dims: int = 8) -> DataFrame:
+    """CLIP-style image-text alignment gate: integer dot product between
+    the mapInPandas image features and a text-tower vector computed
+    JVM-side (md5 bytes of a salted text hash), keep = above-corpus-mean
+    alignment (exact integer cross-multiplication — no float threshold).
+    This is the data-curation shape of LAION-style filtering: score every
+    (image, caption) pair, drop the bottom of the distribution.
+
+    Scale: the Python stage touches only (doc_id, payload) batches; the
+    join back to the text tower is on doc_id (co-partitioned); the corpus
+    mean is a broadcast 1-row aggregate, never a driver collect. The
+    scored frame is persisted: the mean pass and the output pass would
+    otherwise each re-run the Python encode stage (measured 2x)."""
+    from impalatogo_spark.session import tracked_persist
+
+    payload = attach_binary_payload(docs, text_col=text_col)
+    img = clip_image_features(payload, n_dims=n_dims)
+    txt_md5 = F.md5(F.concat(F.lit("t:"), F.col(text_col)))
+    txt_feat = F.array(
+        *[
+            F.conv(F.substring(txt_md5, 2 * i + 1, 2), 16, 10).cast("long")
+            for i in range(n_dims)
+        ]
+    )
+    txt = docs.select("doc_id", txt_feat.alias("txt_feat"))
+    scored = tracked_persist(img.join(txt, "doc_id").select(
+        "doc_id",
+        F.aggregate(
+            F.zip_with("img_feat", "txt_feat", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("align"),
+    ))
+    tot = scored.agg(F.count(F.lit(1)).alias("d"),
+                     F.sum("align").alias("s"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "align",
+            (F.col("align") * F.col("d") >= F.col("s")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def clip_alignment_oracle(n_dims: int = 8) -> str:
+    """DuckDB twin: payload == UTF-8 text bytes, so md5(payload) ==
+    md5(text); hex-pair bytes via the strpos polynomial."""
+
+    def byte_at(md5_expr: str, i: int) -> str:
+        hi = (f"CAST(strpos('0123456789abcdef', substr({md5_expr}, {2 * i + 1}, 1))"
+              f" - 1 AS BIGINT)")
+        lo = (f"CAST(strpos('0123456789abcdef', substr({md5_expr}, {2 * i + 2}, 1))"
+              f" - 1 AS BIGINT)")
+        return f"(16 * {hi} + {lo})"
+
+    txt_md5 = "md5('t:' || text)"
+    dot = " + ".join(
+        f"{byte_at('md5(text)', i)} * {byte_at(txt_md5, i)}"
+        for i in range(n_dims)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST({dot} AS BIGINT) AS align FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS d,
+               CAST(sum(align) AS BIGINT) AS s FROM s)
+SELECT s.doc_id, s.align, s.align * tot.d >= tot.s AS keep
+FROM s, tot ORDER BY s.doc_id
+"""

@@ -2799,3 +2799,17 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by one ulp relative to the oracle.
     return S.pq_codes(_t(spark, sf_dir, "embeddings"), m=4, n_dims=64,
                       k=4, iters=2)
+
+
+@register(
+    "multimodal_clip_gate",
+    oracle=M.clip_alignment_oracle(n_dims=8),
+    tags=("multimodal", "quality", "pandas-udf"),
+)
+def multimodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style image-text alignment filtering (LAION-shape): integer dot
+    product of an Arrow-batched fake image encoder against a codegen text
+    tower, keep = above-corpus-mean alignment. Oracle-exact because the
+    fake decode is md5-deterministic; the Python/Arrow plumbing is the
+    production shape (see operators/multimodal.py::clip_alignment_gate)."""
+    return M.clip_alignment_gate(_t(spark, sf_dir, "documents"))

@@ -281,3 +281,57 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize_for_teardown(res)
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "streaming_topk_trending",
+    oracle="""
+WITH wins AS (
+  SELECT date_trunc('hour', ts) - to_hours(gs.i) AS w_start, event_type
+  FROM events, (SELECT unnest(range(2)) AS i) gs
+),
+cnt AS (
+  SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM wins GROUP BY 1, 2
+),
+rk AS (
+  SELECT w_start, event_type, n,
+         row_number() OVER (PARTITION BY w_start
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM cnt
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 3
+ORDER BY window_start, rnk
+""",
+    tags=("streaming",),
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k: REAL Structured Streaming sliding-window counts
+    (2h window / 1h slide, every event in 2 windows) via availableNow into
+    a memory sink, then a batch row_number() picks the top 3 event types
+    per window — the standard split, since ranking isn't incrementalizable
+    inside a streaming agg. The oracle is the batch twin: each event
+    replicated into its 2 sliding windows with identical hour alignment.
+    Deterministic: (n DESC, event_type) is a total order per window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+        sliding_window_counts,
+    )
+
+    counts = run_available_now(
+        spark, sliding_window_counts(events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )

@@ -222,3 +222,21 @@ def stream_stream_attribution_outer(purchases: DataFrame, clicks: DataFrame,
         "click_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
+
+
+def sliding_window_counts(stream: DataFrame) -> DataFrame:
+    """2-hour windows sliding every hour (each event lands in 2 windows)
+    with a 2-hour watermark — the trending-aggregation input. State is
+    bounded by the watermark horizon; the slide factor multiplies rows
+    entering the agg, not state retained."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
