@@ -115,6 +115,8 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_pagerank",
     "embedding_pq_codes",
     "multimodal_clip_gate",
+    "corpus_split_assign",
+    "embedding_random_projection",
 ]
 RUNS = 3
 

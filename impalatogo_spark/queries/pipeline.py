@@ -2813,3 +2813,64 @@ def multimodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake decode is md5-deterministic; the Python/Arrow plumbing is the
     production shape (see operators/multimodal.py::clip_alignment_gate)."""
     return M.clip_alignment_gate(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_split_assign",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, length(text) AS n_chars,
+         ({_hex4_poly_sql("'s:' || CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM a GROUP BY split ORDER BY split
+""",
+    tags=("sampling", "governance"),
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (90/5/5) by salted content-free
+    hash of doc_id — the assignment is a pure function of the id, so
+    re-running the pipeline (or adding columns) never migrates a document
+    across splits (the leakage-safety property). Emits the per-split
+    composition readout. One scan, 3-group map-side-combined aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
+            1, 4), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id",
+                 F.length("text").cast("long").alias("n_chars"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "embedding_random_projection",
+    oracle=S.random_projection_oracle(out_dims=16, n_dims=64),
+    tags=("similarity", "compression"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64d -> 16d with a deterministic ±1 sign matrix
+    — oracle-exact integer arithmetic end to end (see
+    operators/similarity.py::random_projection)."""
+    return S.random_projection(_t(spark, sf_dir, "embeddings"),
+                               out_dims=16, n_dims=64)

@@ -342,3 +342,37 @@ def test_pq_codes_shape_and_error_decomposition(spark, sf_dir):
           for r in kmeans_quantized(sub0, k=4, iters=2).collect()}
     for r in rows[:100]:
         assert d0[r.vec_id] <= r.err2
+
+
+def test_random_projection_preserves_relative_distances(spark, sf_dir):
+    """JL sanity: for a sample of vector pairs, squared distance in the
+    16-dim projection correlates positively with the 64-dim original
+    (rank correlation over 50 pairs > 0.3 — loose (16-of-64-dim JL keeps
+    only coarse geometry), but a sign-flipped or constant projection
+    fails it)."""
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.operators.similarity import random_projection
+    from impalatogo_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    proj = {r.vec_id: r.proj
+            for r in random_projection(emb, out_dims=16).collect()}
+    orig = {r.vec_id: r.embedding for r in emb.limit(40).collect()}
+    ids = sorted(orig)[:20]
+    import itertools
+    pairs = list(itertools.combinations(ids, 2))[:50]
+
+    def d2(v, w):
+        return sum((a - b) ** 2 for a, b in zip(v, w))
+
+    d_orig = [d2(orig[a], orig[b]) for a, b in pairs]
+    d_proj = [d2(proj[a], proj[b]) for a, b in pairs]
+    # Spearman via rank agreement
+    import statistics
+    ro = {p: r for r, p in enumerate(sorted(range(len(d_orig)), key=lambda i: d_orig[i]))}
+    rp = {p: r for r, p in enumerate(sorted(range(len(d_proj)), key=lambda i: d_proj[i]))}
+    n = len(pairs)
+    num = sum((ro[i] - (n - 1) / 2) * (rp[i] - (n - 1) / 2) for i in range(n))
+    den = statistics.pstdev(ro.values()) * statistics.pstdev(rp.values()) * n
+    assert num / den > 0.3
