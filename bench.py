@@ -117,6 +117,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "multimodal_clip_gate",
     "corpus_split_assign",
     "embedding_random_projection",
+    "events_anomaly_mad",
 ]
 RUNS = 3
 

@@ -2874,3 +2874,69 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py::random_projection)."""
     return S.random_projection(_t(spark, sf_dir, "embeddings"),
                                out_dims=16, n_dims=64)
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
+  FROM c GROUP BY event_type
+),
+d AS (
+  SELECT c.event_id, c.event_type, c.cents,
+         abs(2 * c.cents - med.med2) AS dev2x
+  FROM c JOIN med ON c.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type,
+         CAST(round(2 * quantile_cont(dev2x, 0.5)) AS BIGINT) AS mad4
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.cents AS value_cents,
+       CAST(d.dev2x AS BIGINT) AS dev2x
+FROM d JOIN mad ON d.event_type = mad.event_type
+WHERE 2 * d.dev2x > 3 * mad.mad4
+ORDER BY d.event_type, d.event_id
+""",
+    tags=("events", "quality"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier gate — the heavy-tail-safe twin of
+    events_anomaly_exact: flag |v - median| > 3 * MAD per event_type.
+    Exactness trick: an interpolated median of integers is always a
+    half-integer, so carrying DOUBLED medians (med2 = 2*median,
+    mad4 = 4*MAD) keeps every comparison in exact integer arithmetic —
+    the test is 2*|2c - med2| > 3*mad4, no float boundary anywhere.
+
+    Scale shape: two tiny per-type aggregates (exact percentile state is
+    per-group sort — bounded by the biggest type's row count; swap in
+    approx_percentile at 100 TB if a single type exceeds executor memory,
+    documented trade) broadcast back onto the fact scan; the fact table
+    never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    c = tracked_persist(ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ))
+    med = c.groupBy("event_type").agg(
+        F.round(2 * F.percentile("cents", 0.5)).cast("long").alias("med2"))
+    d = c.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "cents",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2x"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.round(2 * F.percentile("dev2x", 0.5)).cast("long").alias("mad4"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(2 * F.col("dev2x") > 3 * F.col("mad4"))
+        .select("event_type", "event_id",
+                F.col("cents").alias("value_cents"), "dev2x")
+        .orderBy("event_type", "event_id")
+    )
