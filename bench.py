@@ -118,6 +118,14 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "corpus_split_assign",
     "embedding_random_projection",
     "events_anomaly_mad",
+    # round 2 (session 3): multiset set ops, recursive CTE spine, robust
+    # trimmed/winsorized aggregates, date-spine gap fill, HHI concentration
+    "set_intersect_all",
+    "set_except_all",
+    "with_recursive_spine",
+    "agg_trimmed_mean",
+    "window_gap_fill_days",
+    "corpus_source_concentration",
 ]
 RUNS = 3
 

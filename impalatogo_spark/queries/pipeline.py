@@ -2940,3 +2940,60 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cents").alias("value_cents"), "dev2x")
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "corpus_source_concentration",
+    oracle="""
+WITH s AS (SELECT lang, source, count(*) AS ns FROM documents GROUP BY 1, 2),
+g AS (SELECT lang,
+             CAST(sum(ns) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(ns * ns) AS BIGINT) AS sum_sq
+      FROM s GROUP BY 1),
+top AS (SELECT lang, source AS top_source, ns AS top_ns
+        FROM (SELECT lang, source, ns,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY ns DESC, source DESC) AS rn
+              FROM s)
+        WHERE rn = 1)
+SELECT g.lang, n_docs, n_sources,
+       CAST(1000000 * sum_sq // (n_docs * n_docs) AS BIGINT) AS hhi_ppm,
+       top_source,
+       CAST(1000000 * top_ns // n_docs AS BIGINT) AS top_share_ppm
+FROM g JOIN top ON g.lang = top.lang
+ORDER BY g.lang
+""",
+    tags=("pipeline", "governance"),
+)
+def corpus_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source-concentration readout: Herfindahl-Hirschman index
+    (sum of squared source shares, floor-scaled to ppm) plus the dominant
+    source and its share — the governance signal for 'is this language
+    effectively single-source?' before mixture reweighting (pairs with
+    corpus_mixture_weights / corpus_topic_balance). Two map-side-combined
+    aggregates over (lang, source) counts — the shuffle carries one row per
+    distinct pair, never documents; the dominant source is a packed-struct
+    max, no per-group sort. All integer arithmetic (ppm floor divisions)."""
+    s = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    g = s.groupBy("lang").agg(
+        F.sum("ns").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("ns") * F.col("ns")).alias("sum_sq"),
+        F.max(F.struct(F.col("ns"), F.col("source"))).alias("top"),
+    )
+    return (
+        g.select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            F.expr("1000000 * sum_sq div (n_docs * n_docs)").alias("hhi_ppm"),
+            F.col("top.source").alias("top_source"),
+            F.expr("1000000 * top.ns div n_docs").alias("top_share_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -2191,3 +2191,223 @@ def window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ORDER BY o_orderdate, o_orderkey)
         """,
     )
+
+
+# ===========================================================================
+# Round-2 session-3 additions: multiset set ops, recursive CTE, robust
+# aggregates, date-spine gap fill.
+# ===========================================================================
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset: min of per-side multiplicities). Distinct
+    from `set_intersect`: a customer with 3 orders in 1997 and 2 in 1998
+    appears twice. Plans as a single hash aggregate per side + join on the
+    count pair — no sort, shuffle carries only the key column."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+""",
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference: count_a - count_b surviving copies).
+    Complements `set_except` (EXCEPT DISTINCT == DataFrame.subtract)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "with_recursive_spine",
+    oracle="""
+WITH RECURSIVE spine(m) AS (
+  SELECT 1 UNION ALL SELECT m + 1 FROM spine WHERE m < 12
+),
+mo AS (
+  SELECT month(o_orderdate) AS m,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+)
+SELECT s.m AS month,
+       CAST(coalesce(mo.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(mo.cents, 0) AS BIGINT) AS revenue_cents
+FROM spine s LEFT JOIN mo ON s.m = mo.m
+ORDER BY s.m
+""",
+    tags=("sql", "recursive"),
+)
+def with_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL entry (Spark 4 recursive CTE): a
+    12-row month spine generated by recursion, LEFT JOINed to monthly 1997
+    order counts so months with no orders still appear (gap-fill shape).
+    The recursion is driver-bounded (12 iterations over 1-row frames); the
+    data side is one aggregated scan — recursion never touches fact rows,
+    which is the only recursive-CTE shape that survives 100 TB."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT 1 UNION ALL SELECT m + 1 FROM spine WHERE m < 12
+        ),
+        mo AS (
+          SELECT month(o_orderdate) AS m,
+                 count(*) AS n_orders,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+        )
+        SELECT s.m AS month,
+               coalesce(mo.n_orders, 0) AS n_orders,
+               coalesce(mo.cents, CAST(0 AS BIGINT)) AS revenue_cents
+        FROM spine s LEFT JOIN mo ON s.m = mo.m
+        ORDER BY s.m
+        """,
+    )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+WITH t AS (
+  SELECT o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                     o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT status,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(n) // 10 AS BIGINT) AS k,
+       CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN cents END)
+            AS BIGINT) AS trimmed_sum_cents,
+       CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN cents END)
+            + (max(n) // 10)
+              * (min(CASE WHEN rn > n // 10 THEN cents END)
+                 + max(CASE WHEN rn <= n - n // 10 THEN cents END))
+            AS BIGINT) AS winsorized_sum_cents,
+       CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN cents END)
+            * 1000 // (max(n) - 2 * (max(n) // 10))
+            AS BIGINT) AS trimmed_avg_millicents
+FROM t GROUP BY status ORDER BY status
+""",
+    tags=("aggregation", "robust"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimators in exact integer arithmetic: 10% trimmed
+    sum/mean and winsorized sum of order totals (cents) per status. The
+    winsorized sum is derived algebraically (trimmed + k*(lo+hi), where
+    lo/hi are the clamp values at ranks k+1 and n-k) so no second pass over
+    the data is needed; the mean is an integer floor division in milli-cents
+    — zero float boundaries anywhere. One window shuffle + one aggregate."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = W.partitionBy("status").orderBy("cents", "o_orderkey")
+    t = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            cents.alias("cents"),
+            "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("status")))
+    )
+    k = F.expr("n div 10")
+    in_trim = (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)
+    g = t.groupBy("status").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(in_trim, F.col("cents"))).alias("trimmed_sum_cents"),
+        F.min(F.when(F.col("rn") > k, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") <= F.col("n") - k, F.col("cents"))).alias("hi"),
+    )
+    return (
+        g.select(
+            "status",
+            "n",
+            F.expr("n div 10").alias("k"),
+            "trimmed_sum_cents",
+            F.expr("trimmed_sum_cents + (n div 10) * (lo + hi)").alias(
+                "winsorized_sum_cents"
+            ),
+            F.expr(
+                "trimmed_sum_cents * 1000 div (n - 2 * (n div 10))"
+            ).alias("trimmed_avg_millicents"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "window_gap_fill_days",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+)
+SELECT s.user_id,
+       strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+""",
+    tags=("window", "timeseries"),
+)
+def window_gap_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: per-user daily event counts with zero rows for
+    missing days across each user's own [first, last] activity span — the
+    canonical time-series densification before trend/forecast passes (pairs
+    with window_locf_impute). The spine is generated from the aggregated
+    per-user span (sequence + explode), never from raw events, so generated
+    rows are bounded by users x days regardless of event volume; the final
+    join is on the same (user_id, d) key the daily aggregate shuffled on."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    daily = e.groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("n"))
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    return spine.join(daily, ["user_id", "d"], "left").select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
