@@ -126,6 +126,11 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "agg_trimmed_mean",
     "window_gap_fill_days",
     "corpus_source_concentration",
+    "agg_filter_clause",
+    "func_array",
+    "dedup_exact_normalized",
+    "corpus_perplexity_buckets",
+    "events_ab_lift_exact",
 ]
 RUNS = 3
 

@@ -2997,3 +2997,203 @@ def corpus_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS copies
+FROM n GROUP BY fp
+""",
+    tags=("dedup", "text"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup — the tier between byte-exact dedup and
+    MinHash: documents identical after lowercase / punctuation-strip /
+    whitespace-collapse share one fingerprint (catches trivial reformat
+    copies near-dup methods spend LSH budget on). Same scale shape as
+    dedup_exact: the shuffle carries 32-byte md5 fingerprints, never text;
+    normalization is a zero-shuffle regex chain in the scan stage."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle="""
+WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS wa FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         list_transform(generate_series(1, len(wa) - 1),
+                        i -> wa[i] || ' ' || wa[i + 1]) AS bg
+  FROM s WHERE len(wa) >= 2
+),
+e AS (SELECT doc_id, lang, unnest(bg) AS g FROM b),
+cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+score AS (
+  SELECT e.doc_id, e.lang,
+         CAST(sum(cnt.c) * 1000 // count(*) AS BIGINT) AS fam_milli
+  FROM e JOIN cnt USING (g) GROUP BY 1, 2
+),
+bucketed AS (
+  SELECT lang, fam_milli,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY fam_milli DESC, doc_id) AS bucket
+  FROM score
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(fam_milli) AS BIGINT) AS fam_milli_min,
+       CAST(max(fam_milli) AS BIGINT) AS fam_milli_max
+FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("pipeline", "quality"),
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail buckets: per-language terciles of the
+    bigram-LM familiarity score (the deterministic integer twin of KenLM
+    perplexity — text_bigram_lm_score), most-familiar first. Downstream
+    recipes keep 'head', sample 'middle', drop 'tail'. Score is an exact
+    integer milli-ratio so the tercile ordering is engine-identical
+    (doc_id tie-break); per-language ntile is one window shuffle over
+    (lang, score) rows — documents' text never reaches the window."""
+    from impalatogo_spark.operators import split_words
+
+    docs = _t(spark, sf_dir, "documents")
+    wa = split_words(
+        docs.select("doc_id", "lang", "text"), keep=("doc_id", "lang"), out="wa"
+    )
+    bg = (
+        wa.filter(F.size("wa") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("transform(sequence(1, size(wa) - 1),"
+                       " i -> concat(wa[i - 1], ' ', wa[i]))")
+            ).alias("g"),
+        )
+    )
+    cnt = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    score = (
+        bg.join(cnt, "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("sum(c) * 1000 div count(1)").alias("fam_milli"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("fam_milli"), "doc_id")
+    return (
+        score.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("fam_milli").alias("fam_milli_min"),
+            F.max("fam_milli").alias("fam_milli_max"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "events_ab_lift_exact",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purch,
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                       FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+             AS purch_cents
+  FROM events GROUP BY 1, 2
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_purch) AS BIGINT) AS n_purch,
+         CAST(sum(purch_cents) AS BIGINT) AS purch_cents
+  FROM u GROUP BY 1
+)
+SELECT a.n_users AS users_a, b.n_users AS users_b,
+       a.n_purch AS purch_a, b.n_purch AS purch_b,
+       a.purch_cents AS cents_a, b.purch_cents AS cents_b,
+       CAST(a.n_purch * 1000 // a.n_users AS BIGINT) AS rate_a_milli,
+       CAST(b.n_purch * 1000 // b.n_users AS BIGINT) AS rate_b_milli,
+       CAST(1000000 * a.n_purch * b.n_users
+            // (b.n_purch * a.n_users) AS BIGINT) AS lift_ratio_ppm
+FROM (SELECT * FROM arms WHERE arm = 'A') a,
+     (SELECT * FROM arms WHERE arm = 'B') b
+""",
+    tags=("events", "experiment"),
+)
+def events_ab_lift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a deterministic hash split: users are
+    assigned to arms by md5(user_id) last-nibble parity (pure function of
+    the id — the same leakage-safe split rule as corpus_split_assign), and
+    the purchases-per-user lift ratio is computed by integer cross
+    multiplication in ppm — no float rates anywhere. Per-user aggregation
+    is one map-side-combined shuffle; the two arm rows join as a trivial
+    broadcast. The experimentation-analytics shape (exposure -> metric ->
+    lift) the reference's workloads express with handwritten CASE sums."""
+    ev = _t(spark, sf_dir, "events")
+    arm = F.when(
+        (
+            F.expr(
+                "instr('0123456789abcdef',"
+                " substring(md5(CAST(user_id AS STRING)), 32, 1)) - 1"
+            )
+            % 2
+        )
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.select(
+            "user_id",
+            arm.alias("arm"),
+            F.when(is_p, 1).otherwise(0).alias("p"),
+            F.when(is_p, F.round(F.col("value") * 100).cast("long"))
+            .otherwise(0)
+            .alias("cents"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("p").alias("n_purch"), F.sum("cents").alias("purch_cents"))
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_purch").alias("n_purch"),
+        F.sum("purch_cents").alias("purch_cents"),
+    )
+    a = arms.filter(F.col("arm") == "A").alias("a")
+    b = arms.filter(F.col("arm") == "B").alias("b")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n_users").alias("users_a"),
+        F.col("b.n_users").alias("users_b"),
+        F.col("a.n_purch").alias("purch_a"),
+        F.col("b.n_purch").alias("purch_b"),
+        F.col("a.purch_cents").alias("cents_a"),
+        F.col("b.purch_cents").alias("cents_b"),
+        F.expr("a.n_purch * 1000 div a.n_users").alias("rate_a_milli"),
+        F.expr("b.n_purch * 1000 div b.n_users").alias("rate_b_milli"),
+        F.expr(
+            "1000000 * a.n_purch * b.n_users div (b.n_purch * a.n_users)"
+        ).alias("lift_ratio_ppm"),
+    )

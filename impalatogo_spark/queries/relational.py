@@ -2411,3 +2411,78 @@ def window_gap_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     FILTER (WHERE year(o_orderdate) = 1997), 0) AS BIGINT)
+           AS cents_1997
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    tags=("aggregation", "sql"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER (WHERE ...) clause through the SQL entry —
+    per-aggregate predicates without CASE wrapping (both engines plan it as
+    a conditional partial aggregate; one pass, no extra shuffle)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus AS status,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE year(o_orderdate) = 1997),
+                        CAST(0 AS BIGINT)) AS cents_1997
+        FROM orders GROUP BY 1 ORDER BY 1
+        """,
+    )
+
+
+@register(
+    "func_array",
+    oracle="""
+WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS wa FROM part)
+SELECT p_partkey,
+       CAST(len(wa) AS BIGINT) AS n_words,
+       array_to_string(list_sort(wa), ',') AS sorted_words,
+       wa[1] AS first_w,
+       wa[-1] AS last_w,
+       CAST(CASE WHEN list_contains(wa, 'green') THEN 1 ELSE 0 END AS BIGINT)
+           AS has_green,
+       array_to_string(list_reverse(wa), ',') AS rev_words,
+       CAST(len(list_distinct(wa)) AS BIGINT) AS n_uniq,
+       array_to_string(wa[1:2], ',') AS first_two,
+       CAST(coalesce(list_position(wa, 'green'), 0) AS BIGINT) AS pos_green
+FROM t
+""",
+    tags=("functions", "complex-types"),
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/complex-type function battery (size, sort, element access from
+    both ends, membership, reverse, distinct, slice, position) over the
+    split part-name words — the collection-function surface Spark exposes
+    for nested data, differentially checked against DuckDB's list_*
+    equivalents (array_position's 0-on-absent matches coalesced
+    list_position). Pure codegen expressions, zero shuffle."""
+    t = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.split(F.col("p_name"), " ").alias("wa")
+    )
+    return t.select(
+        "p_partkey",
+        F.size("wa").cast("long").alias("n_words"),
+        F.array_join(F.array_sort("wa"), ",").alias("sorted_words"),
+        F.element_at("wa", 1).alias("first_w"),
+        F.element_at("wa", -1).alias("last_w"),
+        F.array_contains("wa", "green").cast("long").alias("has_green"),
+        F.array_join(F.reverse("wa"), ",").alias("rev_words"),
+        F.size(F.array_distinct("wa")).cast("long").alias("n_uniq"),
+        F.array_join(F.slice("wa", 1, 2), ",").alias("first_two"),
+        F.array_position("wa", "green").cast("long").alias("pos_green"),
+    )
