@@ -136,7 +136,18 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 
 def release_persisted() -> int:
-    """Unpersist every tracked frame; returns how many were released."""
+    """Unpersist every tracked frame; returns how many were released.
+
+    Also drops any remaining persistent RDD blocks — localCheckpoint(eager)
+    blocks from iterative operators (connected components, k-means, BPE)
+    are registered in the BlockManager, not the SQL cache manager, so
+    df.unpersist() never reaches them and they otherwise accumulate for a
+    whole harness session until the async ContextCleaner gets around to
+    them (hundreds of stale blocks after a full bench run, with
+    GC-pause-shaped latency spikes when it finally fires). Only call
+    between queries: a returned-but-not-yet-collected frame backed by a
+    checkpoint cannot recompute after its blocks are dropped.
+    """
     n = 0
     while _TRACKED_PERSISTS:
         df = _TRACKED_PERSISTS.pop()
@@ -145,6 +156,15 @@ def release_persisted() -> int:
             n += 1
         except Exception:
             pass  # session already stopped
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            for jrdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                jrdd.unpersist(False)
+    except Exception:
+        pass  # session stopped or JVM map unavailable
     return n
 
 
