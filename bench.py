@@ -131,6 +131,15 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "dedup_exact_normalized",
     "corpus_perplexity_buckets",
     "events_ab_lift_exact",
+    "events_scd2_intervals",
+    "market_basket_pairs",
+    "events_sliding_distinct_users",
+    # round 2 (session 4): skyline, ER blocking, interval-overlap join,
+    # hour-of-day seasonality
+    "part_pareto_frontier",
+    "customers_er_blocking",
+    "join_interval_overlap",
+    "events_hourly_seasonality",
 ]
 RUNS = 3
 

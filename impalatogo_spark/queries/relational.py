@@ -2486,3 +2486,394 @@ def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("wa", 1, 2), ",").alias("first_two"),
         F.array_position("wa", "green").cast("long").alias("pos_green"),
     )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ch AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       coalesce(strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S.%f'), '')
+           AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_current
+FROM ch
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("window", "scd"),
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream: collapse
+    each user's event-type runs into validity intervals [valid_from,
+    valid_to) with an is_current flag — the dimension-table construction
+    pattern warehouses run nightly. Two windows over the same (user_id,
+    ts, event_id) sort order, so Spark plans ONE sort + exchange reused by
+    both (change detection via lag, interval close via lead)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("")
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, support FROM pairs
+ORDER BY support DESC, part_a, part_b LIMIT 20
+""",
+    tags=("join", "analytics"),
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often bought in
+    the same order (pair support counted once per order via the DISTINCT
+    item relation). The self-join is keyed on l_orderkey, so pair work is
+    sum over orders of |basket|^2 — bounded by the max basket size (7 in
+    TPC-H), the same per-group-quadratic bound SemDeDup uses; it never
+    degenerates to a global cross product. Full ORDER BY tie-break under
+    LIMIT."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle="""
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+mx AS (SELECT max(day) AS max_day FROM d),
+rep AS (
+  SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS win_end,
+         user_id
+  FROM d
+)
+SELECT strftime(win_end, '%Y-%m-%d') AS window_end,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM rep, mx WHERE win_end <= mx.max_day
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("window", "timeseries"),
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day — EXACT sliding-window distinct
+    (the rolling-DAU metric): each (day, user) pair is replicated into the
+    7 windows it belongs to, then distinct-counted per window end. The
+    pre-distinct on (day, user) caps replication at 7x distinct pairs (not
+    7x raw events), and the distinct count is Spark's 2-phase partial
+    aggregation — the exact-twin of an approx_count_distinct rollup at
+    100 TB. Window ends past the last observed day are clipped by a
+    broadcast 1-row max."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    mx = d.agg(F.max("day").alias("max_day"))
+    rep = d.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_end"),
+        "user_id",
+    )
+    return (
+        rep.crossJoin(F.broadcast(mx))
+        .filter(F.col("win_end") <= F.col("max_day"))
+        .groupBy(F.date_format("win_end", "yyyy-MM-dd").alias("window_end"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("window_end")
+    )
+
+
+@register(
+    "part_pareto_frontier",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT a.p_partkey, a.size, a.price_cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE (b.price_cents < a.price_cents AND b.size >= a.size)
+     OR (b.price_cents <= a.price_cents AND b.size > a.size)
+)
+""",
+    tags=("analytics", "window"),
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (cheaper price,
+    larger size). Scale plan is the classic two-phase skyline: (1) a
+    bucket-grain prune — per price-bucket max size, running max over
+    strictly-cheaper buckets (tiny, broadcast back) eliminates every row
+    beaten by a strictly-cheaper bucket, so the surviving set is ~frontier-
+    sized, not table-sized; (2) the exact sweep runs two windows on the
+    survivors only (strictly-cheaper-price running max via a RANGE frame,
+    same-price max via a partition), never a single-reducer pass over the
+    full table. Prices compared as integer cents — no float boundaries.
+    Frontier rows are never pruned (they are dominated by nothing), and
+    every dominated survivor is still dominated by a surviving frontier
+    row, so the two phases compose exactly."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    b = p.withColumn("bucket", (F.col("price_cents") / F.lit(10000)).cast("long"))
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    cheaper = (
+        b.groupBy("bucket")
+        .agg(F.max("size").alias("bmax"))
+        .select("bucket", F.max("bmax").over(wb).alias("cheaper_max"))
+    )
+    pruned = b.join(F.broadcast(cheaper), "bucket").where(
+        F.col("cheaper_max").isNull() | (F.col("size") > F.col("cheaper_max"))
+    )
+    m1 = F.max("size").over(
+        W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+    )
+    m2 = F.max("size").over(W.partitionBy("price_cents"))
+    return (
+        pruned.select("p_partkey", "size", "price_cents", m1.alias("m1"), m2.alias("m2"))
+        .where((F.col("m1").isNull() | (F.col("m1") < F.col("size"))) & (F.col("m2") == F.col("size")))
+        .select("p_partkey", "size", "price_cents")
+    )
+
+
+@register(
+    "customers_er_blocking",
+    oracle="""
+SELECT a.c_nationkey, a.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_close_pairs,
+       CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_d1,
+       CAST(min(a.c_custkey) AS BIGINT) AS first_custkey
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE a.c_mktsegment = b.c_mktsegment
+  AND levenshtein(a.c_name, b.c_name) <= 2
+GROUP BY a.c_nationkey, a.c_mktsegment
+""",
+    tags=("join", "analytics"),
+)
+def customers_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation with blocking: within
+    (nation, segment) blocks, count customer pairs whose names are within
+    edit distance 2 (and the <=1 subset). The block key bounds the
+    pairwise work to sum of block-size^2 — the standard blocking move that
+    keeps record linkage off the all-pairs cliff at 100 TB — and
+    levenshtein runs JVM-side in codegen on the joined rows. Production
+    systems add more blocking keys (phonetic, sorted-neighborhood);
+    semantics here are one block pass."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a, bb = c.alias("a"), c.alias("b")
+    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            bb,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(d <= 2)
+        .groupBy(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.col("a.c_mktsegment").alias("c_mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_close_pairs"),
+            F.sum(F.when(d <= 1, 1).otherwise(0)).alias("n_pairs_d1"),
+            F.min(F.col("a.c_custkey")).alias("first_custkey"),
+        )
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id,
+         ts
+  FROM marked
+),
+iv AS (
+  SELECT user_id, session_id,
+         CAST(floor(min(epoch_us(ts)) / 3600000000.0) AS BIGINT) AS hs,
+         CAST(floor(max(epoch_us(ts)) / 3600000000.0) AS BIGINT) AS he
+  FROM sess GROUP BY user_id, session_id
+),
+wins AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hb,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+  ORDER BY n_events DESC, hb LIMIT 20
+)
+SELECT w.hb AS window_hour, w.n_events,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM wins w JOIN iv ON iv.hs <= w.hb AND iv.he >= w.hb
+GROUP BY w.hb, w.n_events
+""",
+    tags=("join", "temporal"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — intervals on BOTH sides (vs. the point-in-
+    interval join of join_range_attribution): per-user activity sessions
+    against the 20 busiest clock hours; count sessions overlapping each.
+    Scale plan: sessions explode to the epoch-hour buckets they span (a
+    session covers hour h iff it overlaps [h, h+1)), and the overlap join
+    becomes a bucket EQUIJOIN against the broadcast hour list — never an
+    inequality-pair scan. Fan-out equals true coverage (bounded by session
+    length / bucket width), the standard interval-bucketing trick
+    published for Spark range joins. Hours travel as integer epoch-hours;
+    no float or timestamp hashes cross the compare boundary."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    hour_of = lambda c: F.floor(F.unix_micros(c) / F.lit(3600000000.0)).cast("long")
+    iv = (
+        marked.withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(hour_of(F.min("ts")).alias("hs"), hour_of(F.max("ts")).alias("he"))
+    )
+    wins = (
+        ev.groupBy(hour_of(F.col("ts")).alias("hb"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "hb")
+        .limit(20)
+    )
+    covered = iv.select(
+        "user_id", "session_id", F.explode(F.sequence("hs", "he")).alias("hb")
+    )
+    return (
+        covered.join(F.broadcast(wins), "hb")
+        .groupBy(F.col("hb").alias("window_hour"), "n_events")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, sum(cnt) AS total FROM h GROUP BY 1)
+SELECT h.event_type, h.hour_of_day, h.cnt,
+       CAST(h.cnt * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(rank() OVER (PARTITION BY h.event_type
+                         ORDER BY h.cnt DESC, h.hour_of_day) AS BIGINT) AS hour_rank
+FROM h JOIN t ON h.event_type = t.event_type
+""",
+    tags=("timeseries", "agg"),
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: each hour's share of
+    the type's traffic (integer ppm — no float division crosses the
+    compare boundary) and its rank within the type. Two-phase aggregation
+    to 24 x n_types rows, then a per-type total joined back; at 100 TB the
+    heavy input collapses in the first map-side combine and everything
+    after is KB-sized."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = h.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "cnt",
+        F.expr("CAST(cnt * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
+        F.rank()
+        .over(W.partitionBy("event_type").orderBy(F.desc("cnt"), "hour_of_day"))
+        .cast("long")
+        .alias("hour_rank"),
+    )
