@@ -140,6 +140,15 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "customers_er_blocking",
     "join_interval_overlap",
     "events_hourly_seasonality",
+    # round 2 (session 4b): nearest as-of, MAP battery, CUSUM changepoint,
+    # weighted hash sampling (events_triangle_count stays off the headline:
+    # the synthetic co-activity graph is near-complete at sf0.1, so the
+    # enumeration is ~5e8 triangles by construction — correctness-gated at
+    # sf0.01 instead)
+    "join_asof_nearest",
+    "func_map",
+    "events_changepoint_cusum",
+    "sample_weighted_hash",
 ]
 RUNS = 3
 

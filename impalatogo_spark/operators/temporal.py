@@ -137,3 +137,76 @@ def range_join_buckets(
         & (F.col(f"__rjb_p.{point_ts}") <= F.col(f"__rjb_iv.{end}"))
     )
     return joined
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """Nearest-direction as-of join: for every left row, attach the right
+    row with the smallest |right_ts - left_ts| within the same `by` keys
+    (ties between an earlier and a later candidate go to the earlier one);
+    NULLs when the key has no right rows at all (left-join semantics).
+
+    Same single-shuffle union+window shape as asof_join — both directions
+    come from ONE window sort: the backward candidate is
+    last(right-struct, ignorenulls) over (unbounded preceding, current)
+    and the forward candidate is first(right-struct, ignorenulls) over
+    (current, unbounded following), then a branch-free comparison picks
+    the closer. No join operator, no second exchange.
+
+    Determinism contract: callers must pass a `right` side unique per
+    (by, right_ts) — pre-reduce duplicates with a deterministic rule
+    (e.g. max of an id column) first; the forward frame would otherwise
+    pick the first duplicate and the backward frame the last.
+    """
+    rcols = list(right_cols) or [c for c in right.columns if c not in by]
+    r_struct = F.struct(*[F.col(c) for c in rcols])
+    r_type = right.select(r_struct.alias("s")).schema["s"].dataType
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(l_struct.alias("s")).schema["s"].dataType
+
+    l_tagged = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    order = W.partitionBy(*by).orderBy("__ts", "__side")
+    wb = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = order.rowsBetween(W.currentRow, W.unboundedFollowing)
+    # __r carries right_ts inside when the caller includes it in right_cols;
+    # the gap compare needs the matched row's timestamp regardless, so tag it.
+    u = u.withColumn("__rts", F.when(F.col("__side") == 0, F.col("__ts")))
+    matched = (
+        u.withColumn("__prev", F.last("__r", ignorenulls=True).over(wb))
+        .withColumn("__prev_ts", F.last("__rts", ignorenulls=True).over(wb))
+        .withColumn("__next", F.first("__r", ignorenulls=True).over(wf))
+        .withColumn("__next_ts", F.first("__rts", ignorenulls=True).over(wf))
+        .filter(F.col("__side") == 1)
+    )
+    prev_gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__prev_ts"))
+    next_gap = F.unix_micros(F.col("__next_ts")) - F.unix_micros(F.col("__ts"))
+    take_prev = F.col("__next").isNull() | (
+        F.col("__prev").isNotNull() & (prev_gap <= next_gap)
+    )
+    pick = F.when(take_prev, F.col("__prev")).otherwise(F.col("__next"))
+    matched = matched.withColumn("__m", pick)
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in rcols
+    ]
+    return matched.select(*out_cols)

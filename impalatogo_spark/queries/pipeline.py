@@ -3197,3 +3197,55 @@ def events_ab_lift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000000 * a.n_purch * b.n_users div (b.n_purch * a.n_users)"
         ).alias("lift_ratio_ppm"),
     )
+
+
+@register(
+    "sample_weighted_hash",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, n_chars,
+         ({_hex4_poly_sql("'w:' || CAST(doc_id AS VARCHAR)")}) AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_chars,
+         CAST((h + 1) * 1000000 // n_chars AS BIGINT) AS priority
+  FROM a WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority
+FROM p ORDER BY priority, doc_id LIMIT 100
+""",
+    tags=("sampling", "governance"),
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-weighted sample: priority = (salted-hash + 1)
+    scaled down by document length, keep the 100 lowest — longer documents
+    draw proportionally lower priorities, so selection probability rises
+    ~linearly with length (the integer cousin of A-Res weighted reservoir
+    sampling; exact A-Res needs u^(1/w) floats, which would cross the
+    compare boundary). Like corpus_split_assign the draw is a pure
+    function of doc_id: re-running the pipeline reselects the identical
+    sample (reproducible-corpus property). Plan: one scan, codegen md5 +
+    integer ops, TakeOrderedAndProject top-100 — no shuffle of the corpus,
+    no RNG state. Full (priority, doc_id) tie-break under LIMIT."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))), 1, 4),
+        16, 10,
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            h.alias("h"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("CAST((h + 1) * 1000000 DIV n_chars AS BIGINT)").alias(
+                "priority"
+            ),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

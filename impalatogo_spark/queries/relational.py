@@ -2877,3 +2877,254 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hour_rank"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+b AS (SELECT p.event_id AS pid, v.event_id AS vid, v.ts AS vts
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+f AS (SELECT p.event_id AS pid, v.event_id AS vid, v.ts AS vts
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       CASE WHEN f.vid IS NULL OR (b.vid IS NOT NULL AND
+                 epoch_us(p.ts) - epoch_us(b.vts) <= epoch_us(f.vts) - epoch_us(p.ts))
+            THEN b.vid ELSE f.vid END AS view_id,
+       CASE WHEN f.vid IS NULL OR (b.vid IS NOT NULL AND
+                 epoch_us(p.ts) - epoch_us(b.vts) <= epoch_us(f.vts) - epoch_us(p.ts))
+            THEN epoch_us(p.ts) - epoch_us(b.vts)
+            ELSE epoch_us(p.ts) - epoch_us(f.vts) END AS gap_us
+FROM p
+LEFT JOIN b ON b.pid = p.event_id
+LEFT JOIN f ON f.pid = p.event_id
+""",
+    tags=("join", "temporal"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase picks the same user's
+    CLOSEST view event in either direction (tie -> the earlier view);
+    gap_us is signed (negative when the view came after). Spark side is
+    operators/temporal.py::asof_join_nearest — both direction candidates
+    read off ONE window sort, so it costs the same single shuffle as the
+    backward join. Oracle: two native DuckDB ASOF joins (>= and <=)
+    branch-merged. Both sides pre-reduce views to max(event_id) per
+    (user_id, ts) so duplicate-timestamp picks can't diverge."""
+    from impalatogo_spark.operators.temporal import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    j = asof_join_nearest(p, v, by=["user_id"], right_cols=["event_id", "ts"])
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("event_id_r").alias("view_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("gap_us"),
+    )
+
+
+@register(
+    "func_map",
+    oracle="""
+SELECT p_partkey,
+       m['brand'][1] AS brand_v,
+       m['missing'][1] AS missing_v,
+       CAST(cardinality(m2) AS BIGINT) AS n_keys,
+       array_to_string(list_sort(map_keys(m2)), ',') AS keys_sorted,
+       array_to_string(map_values(m2), ',') AS vals_in_order
+FROM (
+  SELECT p_partkey,
+         map(['brand', 'type'], [p_brand, p_type]) AS m,
+         map(['brand', 'type', 'size'],
+             [p_brand, p_type, CAST(p_size AS VARCHAR)]) AS m2
+  FROM part
+)
+""",
+    tags=("functions", "complex-types"),
+)
+def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP complex-type battery (the reference reads Parquet MAP columns
+    and projects map lookups, SURVEY.md §2.2): build, lookup (present and
+    missing key -> NULL under ansi=false), concat, cardinality, key/value
+    extraction. Scalar projections only — everything stays in codegen;
+    map values never cross the compare boundary as maps (engines disagree
+    on map hashing), only as extracted scalars."""
+    p = _t(spark, sf_dir, "part")
+    m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    m2 = F.map_concat(
+        m, F.create_map(F.lit("size"), F.col("p_size").cast("string"))
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_v"),
+        F.element_at(m, "missing").alias("missing_v"),
+        F.size(m2).cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_sorted"),
+        F.array_join(F.map_values(m2), ",").alias("vals_in_order"),
+    )
+
+
+@register(
+    "events_triangle_count",
+    oracle="""
+WITH cells AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, user_id FROM events
+),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM cells a JOIN cells b
+    ON a.d = b.d AND a.event_type = b.event_type AND a.user_id < b.user_id
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_vertices,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+                  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+           AS n_triangles
+""",
+    tags=("graph", "analytics"),
+)
+def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the user co-activity graph (edge = two users
+    active in the same (day, event_type) cell). Spark side uses DEGREE
+    orientation — every edge points from its (degree, id)-smaller endpoint,
+    wedges join on the shared source, and the closing edge is probed in the
+    oriented set — the standard bound of sum(min-degree) per edge instead
+    of sum(degree^2), which is what keeps enumeration alive on skewed
+    100 TB graphs (hub vertices stop generating wedges). The oracle counts
+    the same triangles with the id-ordered 3-way self-join: the count is
+    orientation-invariant, so the two different enumeration orders must
+    agree exactly. Edge generation is bounded per (day,type) cell, never
+    an all-pairs across the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        F.to_date("ts").alias("d"), "event_type", "user_id"
+    ).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = ed.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst_key") < F.col("o2.dst_key")),
+    ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
+    tri = wedges.join(
+        o3, (F.col("x") == F.col("o3.src")) & (F.col("y") == F.col("o3.dst"))
+    )
+    nv = ev.agg(F.countDistinct("user_id").cast("long").alias("n_vertices"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return nv.crossJoin(ne).crossJoin(nt)
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH s AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v_u,
+         row_number() OVER w AS i,
+         sum(CAST(round(value * 1000000) AS BIGINT)) OVER
+             (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s_n
+      FROM events
+      GROUP BY 1),
+d AS (
+  SELECT s.event_type, s.ts, s.i, t.n,
+         abs(t.n * s.s_i - s.i * t.s_n) AS d_abs,
+         row_number() OVER (PARTITION BY s.event_type
+                            ORDER BY abs(t.n * s.s_i - s.i * t.s_n) DESC, s.i)
+             AS rk
+  FROM s JOIN t ON s.event_type = t.event_type
+)
+SELECT event_type, n, CAST(i AS BIGINT) AS cp_index,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS cp_ts,
+       CAST(d_abs AS BIGINT) AS d_abs
+FROM d WHERE rk = 1
+""",
+    tags=("timeseries", "analytics"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the index i maximizing
+    |n*S_i - i*S_n| (the integer-scaled deviation of the prefix mean from
+    the global mean — the classic single-changepoint statistic, no float
+    ever computed: values are micro-units, the statistic is a BIGINT
+    cross-multiplication; ties go to the earliest index). One prefix-sum
+    window per type + a broadcast per-type total. The per-type prefix scan
+    is serial within a type by construction of the statistic — at 100 TB
+    partition count = type count, the same shape as any per-series scan;
+    shard the series (per-day partial CUSUMs merged by offset) when one
+    series outgrows an executor. BIGINT headroom: |D| <= n * |S_n| — fine
+    to ~1e12 micro-unit-rows; use DECIMAL(38,0) beyond."""
+    ev = _t(spark, sf_dir, "events")
+    v_u = F.round(F.col("value") * 1000000).cast("long")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        "ts",
+        v_u.alias("v_u"),
+        F.row_number().over(w).alias("i"),
+        F.sum(v_u).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("s_i"),
+    )
+    t = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v_u).alias("s_n")
+    )
+    d_abs = F.abs(F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n"))
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc("d_abs"), "i")
+    )
+    return (
+        s.join(F.broadcast(t), "event_type")
+        .withColumn("d_abs", d_abs)
+        .withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("i").cast("long").alias("cp_index"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("cp_ts"),
+            F.col("d_abs").cast("long").alias("d_abs"),
+        )
+    )
