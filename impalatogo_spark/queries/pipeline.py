@@ -2046,8 +2046,13 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic behavioral-cohort rollup. Monetary sums are integer cents
     (the repo's money rule); recency is whole hours against the corpus max
     timestamp; every ntile ordering carries a user_id tie-break so quartile
-    boundaries are engine-identical. One groupBy shuffle + three window
-    passes over the users-sized relation."""
+    boundaries are engine-identical. The three quartile assignments ride
+    on operators/scale.py::global_row_number (range-partitioned two-level
+    rank) + ntile_from_rank arithmetic — a partition-less `ntile() OVER
+    (ORDER BY ...)` would move the whole users-sized relation through ONE
+    reducer, which is exactly the WindowExec trap this engine documents;
+    here every stage keeps full parallelism and only the 32-row partition
+    count table is serial."""
     ev = _t(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("mx"))
     per_user = (
@@ -2066,14 +2071,25 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency", "monetary_cents",
         )
     )
-    r_w = W.orderBy(F.desc("hours_since_last"), "user_id")
-    f_w = W.orderBy("frequency", "user_id")
-    m_w = W.orderBy("monetary_cents", "user_id")
-    scored = per_user.select(
+    from impalatogo_spark.operators.scale import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    tot = per_user.agg(F.count(F.lit(1)).alias("n_tot"))
+    ranked = global_row_number(
+        per_user, [F.desc("hours_since_last"), "user_id"], out="__r_rn"
+    )
+    ranked = global_row_number(ranked, ["frequency", "user_id"], out="__f_rn")
+    ranked = global_row_number(
+        ranked, ["monetary_cents", "user_id"], out="__m_rn"
+    )
+    n_tot = F.col("n_tot")
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
         "user_id", "hours_since_last", "frequency", "monetary_cents",
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+        ntile_from_rank(F.col("__r_rn"), n_tot, 4).alias("r_score"),
+        ntile_from_rank(F.col("__f_rn"), n_tot, 4).alias("f_score"),
+        ntile_from_rank(F.col("__m_rn"), n_tot, 4).alias("m_score"),
     )
     return scored.withColumn(
         "rfm",
@@ -2266,7 +2282,8 @@ def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive a multi-source 100 TB run needs: the order is identical
     across engines, re-runs, partitionings, and cluster sizes — no
     Spark-internal hash or RNG in the contract. Two window passes (one
-    keyed by source, one global rank over the (pos, source) pair)."""
+    keyed by source, then a two-level range-partitioned rank for the
+    global position — never a single-reducer window)."""
     docs = _t(spark, sf_dir, "documents")
     h = docs.select(
         "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("hk")
@@ -2275,10 +2292,17 @@ def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = h.select(
         "doc_id", "source", F.row_number().over(w_src).alias("pos")
     )
-    w_glob = W.orderBy("pos", "source", "doc_id")
-    return pos.select(
+    from impalatogo_spark.operators.scale import global_row_number
+
+    # two-level scan instead of a partition-less row_number window: the
+    # global curriculum order is exact but never funnels the corpus
+    # through one reducer
+    ordered = global_row_number(
+        pos, ["pos", "source", "doc_id"], out="global_order"
+    )
+    return ordered.select(
         "doc_id", "source", F.col("pos").cast("long").alias("pos"),
-        F.row_number().over(w_glob).cast("long").alias("global_order"),
+        F.col("global_order").cast("long").alias("global_order"),
     )
 
 
@@ -2311,8 +2335,9 @@ def events_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFra
     counting idiom): each user's activity span emits a start(+1)/end(-1)
     point, points aggregate per timestamp (map-side combine), and a running
     sum over the ordered change points yields concurrency; the answer is
-    its max. ONE skinny shuffle of 2 rows per user + a global running-sum
-    window over change points (users-sized, not events-sized)."""
+    its max. ONE skinny shuffle of 2 rows per user + a two-level
+    range-partitioned prefix sum over change points (users-sized, not
+    events-sized, and never funneled through one reducer)."""
     ev = _t(spark, sf_dir, "events")
     s = ev.groupBy("user_id").agg(
         F.min("ts").alias("s_start"),
@@ -2322,8 +2347,11 @@ def events_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFra
         s.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
     )
     per_t = pts.groupBy("t").agg(F.sum("delta").alias("d"))
-    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
-    sweep = per_t.select(F.sum("d").over(w).alias("concurrent"))
+    # two-level prefix sum (operators/scale.py) — the boundary sweep stays
+    # exact without draining every change point through one reducer
+    from impalatogo_spark.operators.scale import global_running_sum
+
+    sweep = global_running_sum(per_t, ["t"], "d", out="concurrent")
     return sweep.agg(
         F.max("concurrent").alias("peak_concurrent"),
         F.count(F.lit(1)).alias("n_change_points"),

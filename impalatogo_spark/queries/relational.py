@@ -2065,21 +2065,57 @@ FROM b GROUP BY 1
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH histogram (8 quantile buckets over extendedprice) — the
     planner-statistics histogram form next to the existing equi-width
-    `agg_histogram`. Prices are integer cents and the ntile ordering is
-    fully tie-broken by (cents, orderkey, linenumber), so bucket
-    boundaries are engine-identical. One global sort (TopN-free window)
-    + map-side-combined rollup."""
+    `agg_histogram`. Distributed exact form: ntile over N rows needs a
+    single-reducer sort, but the histogram's OUTPUT (per-bucket count /
+    lo / hi) only depends on which rank range each distinct VALUE spans —
+    so aggregate to (cents, cnt) with a map-side combine, take one
+    cumulative-count window over the distinct values (cardinality of
+    prices, not rows), derive each bucket's exact ntile rank range
+    [s_k, e_k] arithmetically from the total, and broadcast-join the
+    8-row range table against the value ranks. Equal-cents rows that
+    ntile splits across a boundary surface as the same value being both
+    hi of bucket k and lo of k+1 — identical to the oracle's ntile with
+    full (cents, orderkey, linenumber) tie-break, because tie order only
+    moves ROWS between buckets, never the value boundaries or counts."""
     li = _t(spark, sf_dir, "lineitem")
-    c = li.select(
-        "l_orderkey", "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    vc = (
+        li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = W.orderBy("cents", "l_orderkey", "l_linenumber")
+    wv = (
+        W.partitionBy(F.col("cents") % F.lit(1))
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    vcum = vc.select("cents", "cnt", F.sum("cnt").over(wv).alias("cum"))
+    tot = vc.agg(F.sum("cnt").alias("n_total"))
+    bounds = (
+        spark.range(1, 9)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                (F.col("bucket") - 1) * (F.col("n_total") / 8).cast("long")
+                + F.least(F.col("bucket") - 1, F.col("n_total") % 8)
+                + 1
+            ).alias("s"),
+            (
+                F.col("bucket") * (F.col("n_total") / 8).cast("long")
+                + F.least(F.col("bucket"), F.col("n_total") % 8)
+            ).alias("e"),
+        )
+    )
     return (
-        c.select("cents", F.ntile(8).over(w).alias("bucket"))
+        vcum.join(
+            F.broadcast(bounds),
+            (F.col("cum") >= F.col("s"))
+            & ((F.col("cum") - F.col("cnt")) < F.col("e")),
+        )
         .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            (F.max("e") - F.max("s") + 1).alias("n"),
             F.min("cents").alias("lo_cents"),
             F.max("cents").alias("hi_cents"),
         )
@@ -2682,7 +2718,15 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
     )
     b = p.withColumn("bucket", (F.col("price_cents") / F.lit(10000)).cast("long"))
-    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    # constant-but-non-foldable partition key (bucket % 1 == 0): the
+    # window input is bucket-grain (tiny by construction) and the key
+    # keeps WindowExec from logging the single-partition warning while
+    # executing identically (a bare lit gets pruned by Catalyst)
+    wb = (
+        W.partitionBy(F.col("bucket") % F.lit(1))
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     cheaper = (
         b.groupBy("bucket")
         .agg(F.max("size").alias("bmax"))
@@ -2692,7 +2736,9 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cheaper_max").isNull() | (F.col("size") > F.col("cheaper_max"))
     )
     m1 = F.max("size").over(
-        W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+        W.partitionBy(F.col("price_cents") % F.lit(1))
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
     )
     m2 = F.max("size").over(W.partitionBy("price_cents"))
     return (

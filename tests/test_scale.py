@@ -273,3 +273,91 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
         F.max("l_orderkey").alias("hi"),
     ).first()
     assert tuple(pushed) == tuple(normal)
+
+
+def test_global_row_number_matches_window(spark, sf_dir):
+    """Two-level range-partitioned rank == partition-less row_number window,
+    row for row, on a strict total order."""
+    from pyspark.sql import Window as W
+
+    from impalatogo_spark.operators.scale import global_row_number
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    got = {
+        r["c_custkey"]: r["rn"]
+        for r in global_row_number(
+            c, [F.desc("c_acctbal"), "c_custkey"], out="rn"
+        ).collect()
+    }
+    w = W.orderBy(F.desc("c_acctbal"), "c_custkey")
+    want = {
+        r["c_custkey"]: r["rn"]
+        for r in c.select(
+            "c_custkey", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_matches_window(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from impalatogo_spark.operators.scale import global_running_sum
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    got = {
+        r["o_orderkey"]: r["ps"]
+        for r in global_running_sum(o, ["o_orderkey"], "cents", out="ps").collect()
+    }
+    w = (
+        W.orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        r["o_orderkey"]: r["ps"]
+        for r in o.select("o_orderkey", F.sum("cents").over(w).alias("ps")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n_rows,n_buckets", [(15, 4), (3, 8), (40, 4), (41, 4)])
+def test_ntile_from_rank_matches_ntile(spark, n_rows, n_buckets):
+    """Arithmetic ntile from exact ranks == SQL ntile, including the
+    n_rows < n_buckets and uneven-remainder edges."""
+    from pyspark.sql import Window as W
+
+    from impalatogo_spark.operators.scale import ntile_from_rank
+
+    df = spark.range(1, n_rows + 1).select(F.col("id").alias("k"))
+    w = W.orderBy("k")
+    want = df.select("k", F.ntile(n_buckets).over(w).alias("b")).collect()
+    got = df.crossJoin(
+        F.broadcast(df.agg(F.count(F.lit(1)).alias("n_tot")))
+    ).select(
+        "k", ntile_from_rank(F.col("k"), F.col("n_tot"), n_buckets).alias("b")
+    ).collect()
+    assert {r["k"]: r["b"] for r in got} == {r["k"]: r["b"] for r in want}
+
+
+def test_global_row_number_plan_has_no_partitionless_window(spark, sf_dir):
+    """Every Window node in the rank plan must carry a partition spec.
+    Physical plan format: keyed = `Window [exprs], [partSpec], [orderSpec]`
+    (two `], [` separators); partition-less = `Window [exprs], [orderSpec]`
+    (one). A partition-less window is the all-rows-to-one-reducer trap the
+    helper exists to avoid."""
+    from impalatogo_spark.operators.scale import global_row_number
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    plan = (
+        global_row_number(c, ["c_custkey"], out="rn")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    window_lines = [
+        ln for ln in plan.splitlines() if ln.strip().lstrip("+-: ").startswith("Window ")
+    ]
+    assert window_lines, "expected Window nodes in the plan"
+    for ln in window_lines:
+        assert ln.count("], [") == 2, f"partition-less window: {ln[:120]}"
