@@ -149,6 +149,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "func_map",
     "events_changepoint_cusum",
     "sample_weighted_hash",
+    # round 2 (session 4c): one-scan data profile, bitwise batteries,
+    # DAU/WAU stickiness
+    "table_profile",
+    "func_bitwise",
+    "agg_boolean_bitwise",
+    "events_dau_wau_stickiness",
 ]
 RUNS = 3
 

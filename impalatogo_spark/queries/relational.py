@@ -2769,15 +2769,19 @@ def customers_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, segment) blocks, count customer pairs whose names are within
     edit distance 2 (and the <=1 subset). The block key bounds the
     pairwise work to sum of block-size^2 — the standard blocking move that
-    keeps record linkage off the all-pairs cliff at 100 TB — and
-    levenshtein runs JVM-side in codegen on the joined rows. Production
-    systems add more blocking keys (phonetic, sorted-neighborhood);
-    semantics here are one block pass."""
+    keeps record linkage off the all-pairs cliff at 100 TB — and the
+    verify stage uses Spark's BOUNDED levenshtein (threshold arg): the DP
+    band is O(threshold * len) per pair instead of O(len^2) and bails out
+    early, the textbook trick for edit-distance-at-scale (the oracle's
+    full levenshtein <= k is semantically identical). Production systems
+    add more blocking keys (phonetic, sorted-neighborhood); semantics
+    here are one block pass."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
     a, bb = c.alias("a"), c.alias("b")
-    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    d2 = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2)
+    d1 = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1)
     return (
         a.join(
             bb,
@@ -2785,14 +2789,14 @@ def customers_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .where(d <= 2)
+        .where(d2 >= 0)
         .groupBy(
             F.col("a.c_nationkey").alias("c_nationkey"),
             F.col("a.c_mktsegment").alias("c_mktsegment"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_close_pairs"),
-            F.sum(F.when(d <= 1, 1).otherwise(0)).alias("n_pairs_d1"),
+            F.sum(F.when(d1 >= 0, 1).otherwise(0)).alias("n_pairs_d1"),
             F.min(F.col("a.c_custkey")).alias("first_custkey"),
         )
     )
@@ -3172,5 +3176,217 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").cast("long").alias("cp_index"),
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("cp_ts"),
             F.col("d_abs").cast("long").alias("d_abs"),
+        )
+    )
+
+
+@register(
+    "table_profile",
+    oracle="""
+SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+       CAST(min(event_id) AS VARCHAR) AS min_v,
+       CAST(max(event_id) AS VARCHAR) AS max_v
+FROM events
+UNION ALL
+SELECT 'ts', CAST(count(*) AS BIGINT), CAST(count(*) - count(ts) AS BIGINT),
+       CAST(count(DISTINCT ts) AS BIGINT),
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT), CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT), CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(CAST(round(min(value) * 1000000) AS BIGINT) AS VARCHAR),
+       CAST(CAST(round(max(value) * 1000000) AS BIGINT) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT), CAST(count(*) - count(props) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT),
+       min(props), max(props)
+FROM events
+""",
+    tags=("profiling", "stats"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated per-column data profile (the COMPUTE STATS / SHOW COLUMN
+    STATS readout, computed live): rows, nulls, exact NDV, min/max per
+    column, all from ONE scan — a single wide aggregate (Catalyst plans
+    the multi-column COUNT(DISTINCT) via one Expand, so the table is read
+    once, not once per column) followed by a 6-row stack unpivot. Doubles
+    surface as integer micro-units and timestamps as formatted strings so
+    nothing float-ish crosses the compare boundary. At 100 TB swap the
+    exact NDVs for approx_count_distinct (the agg_ndv_appx sketch path) —
+    the Expand multiplies scan rows by the distinct-column count."""
+    ev = _t(spark, sf_dir, "events")
+    fmt_ts = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    micros = lambda c: F.round(c * 1000000).cast("long").cast("string")
+    a = ev.agg(
+        F.count(F.lit(1)).alias("nr"),
+        *[
+            x
+            for col, mn, mx in [
+                ("event_id", F.min("event_id").cast("string"), F.max("event_id").cast("string")),
+                ("ts", fmt_ts(F.min("ts")), fmt_ts(F.max("ts"))),
+                ("user_id", F.min("user_id").cast("string"), F.max("user_id").cast("string")),
+                ("event_type", F.min("event_type"), F.max("event_type")),
+                ("value", micros(F.min("value")), micros(F.max("value"))),
+                ("props", F.min("props"), F.max("props")),
+            ]
+            for x in (
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"nn_{col}"),
+                F.countDistinct(col).alias(f"nd_{col}"),
+                mn.alias(f"mn_{col}"),
+                mx.alias(f"mx_{col}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}"
+        for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    return a.select(
+        F.expr(f"stack(6, {stack})").alias("col_name", "n_nulls", "ndv", "min_v", "max_v"),
+        F.col("nr").alias("n_rows"),
+    ).select(
+        "col_name",
+        "n_rows",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("ndv").cast("long").alias("ndv"),
+        "min_v",
+        "max_v",
+    )
+
+
+@register(
+    "func_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey & l_partkey AS BIGINT) AS band,
+       CAST(l_orderkey | l_partkey AS BIGINT) AS bor,
+       CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS bxor,
+       CAST(l_partkey << 3 AS BIGINT) AS shl,
+       CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+       CAST(bit_count(CAST(l_partkey AS BIGINT)) AS INT) AS popcnt
+FROM lineitem WHERE l_orderkey <= 640
+""",
+    tags=("functions",),
+)
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery (Impala's bitand/bitor/bitxor/shiftleft/
+    shiftright/countset surface, BuiltinsDb bit functions): &, |, xor,
+    shifts, popcount — pure codegen integer ops, differentially pinned
+    against DuckDB's operators."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 640)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(l_orderkey & l_partkey AS BIGINT)").alias("band"),
+        F.expr("CAST(l_orderkey | l_partkey AS BIGINT)").alias("bor"),
+        F.expr("CAST(l_orderkey ^ l_partkey AS BIGINT)").alias("bxor"),
+        F.shiftleft(F.col("l_partkey"), 3).cast("long").alias("shl"),
+        F.shiftright(F.col("l_orderkey"), 2).cast("long").alias("shr"),
+        F.bit_count(F.col("l_partkey").cast("long")).alias("popcnt"),
+    )
+
+
+@register(
+    "agg_boolean_bitwise",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 1)  AS all_multi,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       CAST(bit_and(l_partkey) AS BIGINT) AS keys_and,
+       CAST(bit_or(l_partkey) AS BIGINT)  AS keys_or,
+       CAST(bit_xor(l_partkey) AS BIGINT) AS keys_xor
+FROM lineitem GROUP BY 1
+""",
+    tags=("agg", "functions"),
+)
+def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (bool_and/bool_or) and bitwise (bit_and/or/xor) aggregate
+    battery — both families are commutative/associative, so Spark plans
+    them 2-phase with map-side partial combine like any sum; bit_xor over
+    keys is the classic O(1)-state set-difference checksum (the trick
+    dedup ledgers use to verify survivor sets without a join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and("l_partkey").cast("long").alias("keys_and"),
+        F.bit_or("l_partkey").cast("long").alias("keys_or"),
+        F.bit_xor("l_partkey").cast("long").alias("keys_xor"),
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+mx AS (SELECT max(day) AS max_day FROM d),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+rep AS (
+  SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS win_end,
+         user_id
+  FROM d
+),
+wau AS (
+  SELECT win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM rep, mx WHERE win_end <= mx.max_day GROUP BY 1
+)
+SELECT strftime(w.win_end, '%Y-%m-%d') AS day,
+       coalesce(a.dau, 0) AS dau, w.wau,
+       CAST(coalesce(a.dau, 0) * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+FROM wau w LEFT JOIN dau a ON a.day = w.win_end
+""",
+    tags=("events", "timeseries"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day (the engagement ratio product teams
+    track): exact trailing-7-day WAU via the bounded (day,user) window
+    replication (see events_sliding_distinct_users), daily DAU from the
+    same pre-distinct pairs, ratio in integer ppm. Replication factor is
+    a hard 7x on distinct pairs, both aggregates 2-phase."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    mx = d.agg(F.max("day").alias("max_day"))
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        d.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+                "win_end"
+            ),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("win_end") <= F.col("max_day"))
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        wau.join(dau, wau.win_end == dau.day, "left")
+        .select(
+            F.date_format("win_end", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "wau",
+            F.expr(
+                "CAST(coalesce(dau, 0) * 1000000 DIV wau AS BIGINT)"
+            ).alias("stickiness_ppm"),
         )
     )
