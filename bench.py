@@ -155,6 +155,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "func_bitwise",
     "agg_boolean_bitwise",
     "events_dau_wau_stickiness",
+    # round 2 (session 4d): Gini/Lorenz concentration, integer lag-1
+    # autocorrelation, nth_value, feature hashing
+    "orders_gini_revenue",
+    "events_autocorr_lag1",
+    "window_nth_value",
+    "text_hashing_trick",
 ]
 RUNS = 3
 

@@ -3277,3 +3277,50 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "text_hashing_trick",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+b AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS tf,
+         ({_hex4_poly_sql("w")}) % 64 AS bucket
+  FROM w GROUP BY w
+)
+SELECT bucket, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       min(w) AS sample_word
+FROM b GROUP BY bucket
+""",
+    tags=("text", "ml"),
+)
+def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009): corpus
+    vocabulary folded into 64 hash buckets — per bucket, total token mass,
+    how many distinct words collided there, and a deterministic sample
+    word. The readout that sizes a hashed bag-of-words featurizer
+    (collision factor = n_distinct_words / 1). Scale shape: the token
+    stream pre-aggregates to (word, tf) with a map-side combine BEFORE
+    hashing, so the bucket shuffle carries vocabulary-sized rows, never
+    the token stream; the hash is the engine's shared md5-prefix integer
+    (exactly mirrored by the oracle's strpos polynomial)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long") % 64
+    )
+    return (
+        vocab.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.min("w").alias("sample_word"),
+        )
+    )

@@ -3390,3 +3390,194 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness_ppm"),
         )
     )
+
+
+@register(
+    "orders_gini_revenue",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM per_cust
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total,
+         CAST(sum(i * cents) AS BIGINT) AS weighted
+  FROM ranked
+),
+bh AS (
+  SELECT CAST(sum(r.cents) AS BIGINT) AS bottom_half
+  FROM ranked r, s WHERE r.i <= s.n // 2
+)
+SELECT n AS n_customers, total AS total_cents,
+       CAST(CAST(2 * weighted - (n + 1) * total AS HUGEINT) * 1000000
+            // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_ppm,
+       CAST(CAST(bottom_half AS HUGEINT) * 1000000 // total AS BIGINT)
+           AS bottom_half_share_ppm
+FROM s, bh
+""",
+    tags=("analytics", "agg"),
+)
+def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration readout: exact Gini coefficient over
+    per-customer revenue plus the bottom-half Lorenz share, in integer ppm
+    — G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending ranks,
+    a pure BIGINT cross-multiplication (the final ppm division runs in
+    decimal(38) because the numerator can pass 2^63). Ranks come from
+    operators/scale.py::global_row_number — the two-level range-
+    partitioned scan — so the concentration metric computes with full
+    parallelism; revenue is integer cents per the repo's money rule."""
+    from impalatogo_spark.operators.scale import global_row_number
+    from impalatogo_spark.session import tracked_persist
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    # the ranked relation feeds two aggregate passes plus a broadcast
+    # subplan — persist once (session-tracked; harnesses release between
+    # queries) so the 3-stage rank pipeline doesn't recompute per consumer
+    ranked = tracked_persist(
+        global_row_number(per_cust, ["cents", "o_custkey"], out="i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+    )
+    half = ranked.crossJoin(F.broadcast(s.select("n"))).where(
+        F.col("i") <= F.expr("n DIV 2")
+    ).agg(F.sum("cents").alias("bottom_half"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    return (
+        s.crossJoin(F.broadcast(half))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("total").alias("total_cents"),
+            F.floor(
+                d38(2 * F.col("weighted") - (F.col("n") + 1) * F.col("total"))
+                * 1000000
+                / d38(F.col("n") * F.col("total"))
+            ).cast("long").alias("gini_ppm"),
+            F.floor(d38(F.col("bottom_half")) * 1000000 / d38(F.col("total")))
+            .cast("long")
+            .alias("bottom_half_share_ppm"),
+        )
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT c AS x, lead(c) OVER (ORDER BY day) AS y FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE y IS NOT NULL
+)
+SELECT m, (m * sxy - sx * sy) AS cov_num,
+       (m * sxx - sx * sx) AS var_x_num,
+       (m * syy - sy * sy) AS var_y_num,
+       CAST(CASE WHEN m * sxy - sx * sy < 0 THEN -1
+                 WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS INT) AS r_sign,
+       CAST(CAST(m * sxy - sx * sy AS HUGEINT)
+            * CAST(m * sxy - sx * sy AS HUGEINT) * 1000000
+            // (CAST(m * sxx - sx * sx AS HUGEINT)
+                * CAST(m * syy - sy * sy AS HUGEINT)) AS BIGINT) AS r2_ppm
+FROM s
+""",
+    tags=("timeseries", "analytics"),
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — burstiness /
+    trend persistence readout. Exact integer statistics: the Pearson
+    cross-multiplication numerators (m*Sxy - Sx*Sy etc.) are BIGINTs and
+    r^2 lands as signed ppm via decimal(38) — no sqrt, no float summation,
+    so the hash can never wobble. The series is days-sized (the heavy
+    input collapses in the first map-side combine); the lead() pairing
+    runs on that tiny series with a constant non-foldable partition key."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy(F.dayofmonth("day") % F.lit(1)).orderBy("day")
+    pairs = daily.select(
+        F.col("c").alias("x"), F.lead("c").over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    return s.select(
+        "m",
+        num.alias("cov_num"),
+        dx.alias("var_x_num"),
+        dy.alias("var_y_num"),
+        F.when(num < 0, -1).when(num > 0, 1).otherwise(0).cast("int").alias("r_sign"),
+        F.floor(d38(num) * d38(num) * 1000000 / (d38(dx) * d38(dy)))
+        .cast("long")
+        .alias("r2_ppm"),
+    )
+
+
+@register(
+    "window_nth_value",
+    oracle="""
+WITH r AS (
+  SELECT c_nationkey, c_name, c_acctbal, c_custkey,
+         nth_value(c_name, 2) OVER w AS second_name,
+         nth_value(c_name, 3) OVER w AS third_name,
+         row_number() OVER w AS rn
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT c_nationkey, second_name, third_name FROM r WHERE rn = 1
+""",
+    tags=("window",),
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a full-partition frame: per nation, the 2nd- and
+    3rd-richest customers' names (fully tie-broken ordering) — the
+    window-function surface beyond first/last_value. One row per nation
+    via the same window's row_number."""
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_rn = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.nth_value("c_name", 2).over(w).alias("second_name"),
+            F.nth_value("c_name", 3).over(w).alias("third_name"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", "second_name", "third_name")
+    )
