@@ -161,6 +161,11 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_autocorr_lag1",
     "window_nth_value",
     "text_hashing_trick",
+    # round 2 (session 4e): PMI collocations, weighted moving average,
+    # shuffle-key skew diagnostic
+    "corpus_pmi_collocations",
+    "events_weighted_moving_avg",
+    "events_key_skew_report",
 ]
 RUNS = 3
 

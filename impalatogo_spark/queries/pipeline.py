@@ -3324,3 +3324,215 @@ def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("w").alias("sample_word"),
         )
     )
+
+
+@register(
+    "corpus_pmi_collocations",
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS wa FROM documents),
+tok AS (SELECT unnest(wa) AS w FROM s),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(wa) - 1),
+                               i -> wa[i] || ' ' || wa[i + 1])) AS g
+  FROM s WHERE len(wa) >= 2
+),
+c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY 1
+       HAVING count(*) >= 5)
+SELECT c2.g AS bigram, c2.c_xy, a.c AS c_x, b.c AS c_y,
+       CAST(c2.c_xy * n.n * 1000 // (a.c * b.c) AS BIGINT) AS pmi_ratio_milli
+FROM c2
+JOIN c1 a ON a.w = string_split(c2.g, ' ')[1]
+JOIN c1 b ON b.w = string_split(c2.g, ' ')[2]
+CROSS JOIN n
+ORDER BY pmi_ratio_milli DESC, bigram LIMIT 20
+""",
+    tags=("text", "nlp"),
+)
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery by pointwise mutual information: the 20
+    bigrams (min support 5) whose co-occurrence most exceeds independence.
+    PMI's log is monotone, so ranking by the integer ratio
+    c_xy * N / (c_x * c_y) (milli-scaled, BIGINT) gives the exact PMI
+    order with zero float arithmetic. Token and bigram counts are both
+    map-side-combined aggregates; the unigram join-back is keyed by word
+    (vocabulary-sized); top-20 is TakeOrderedAndProject with a full
+    tie-break. At 100 TB the milli-ratio product needs decimal(38) once
+    N * c_xy passes 2^63 — the DIV structure is unchanged."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("wa")
+    )
+    tok = docs.select(F.explode("wa").alias("w"))
+    c1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    bg = (
+        docs.where(F.size("wa") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(wa, 1, size(wa) - 1), (x, i) ->"
+                    " concat(x, ' ', wa[i + 1]))"
+                )
+            ).alias("g")
+        )
+    )
+    c2 = (
+        bg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+        .withColumn("w1", F.split("g", " ")[0])
+        .withColumn("w2", F.split("g", " ")[1])
+    )
+    return (
+        c2.join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
+        .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("g").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("CAST(c_xy * n * 1000 DIV (c_x * c_y) AS BIGINT)").alias(
+                "pmi_ratio_milli"
+            ),
+        )
+        .orderBy(F.desc("pmi_ratio_milli"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "events_weighted_moving_avg",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(day) AS max_day FROM daily),
+rep AS (
+  SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS win_end,
+         day, c
+  FROM daily
+)
+SELECT strftime(r.win_end, '%Y-%m-%d') AS window_end,
+       CAST(count(*) AS BIGINT) AS n_days_present,
+       CAST(sum((7 - (r.win_end - r.day)) * r.c) * 1000
+            // sum(7 - (r.win_end - r.day)) AS BIGINT) AS wma_milli
+FROM rep r, mx WHERE r.win_end <= mx.max_day
+GROUP BY r.win_end
+""",
+    tags=("timeseries", "window"),
+)
+def events_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted 7-day moving average of daily event volume (WMA —
+    recent days weighted 7..1): exact integer arithmetic via the bounded
+    window-replication pattern (each observed day lands in at most 7
+    windows carrying its distance-derived weight; absent days contribute
+    neither mass nor weight — the observed-days WMA semantics, mirrored
+    identically in the oracle). The input collapses to the days-sized
+    series in the first map-side combine; output is milli-scaled integer
+    division."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    rep = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "win_end"
+        ),
+        "day",
+        "c",
+    )
+    wgt = F.lit(7) - F.datediff(F.col("win_end"), F.col("day"))
+    return (
+        rep.crossJoin(F.broadcast(mx))
+        .filter(F.col("win_end") <= F.col("max_day"))
+        .groupBy(F.date_format("win_end", "yyyy-MM-dd").alias("window_end"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days_present"),
+            F.expr(
+                "CAST(sum((7 - datediff(win_end, day)) * c) * 1000"
+                " DIV sum(7 - datediff(win_end, day)) AS BIGINT)"
+            ).alias("wma_milli"),
+        )
+    )
+
+
+@register(
+    "events_key_skew_report",
+    oracle="""
+WITH k AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS i FROM k),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         CAST(sum(i * cnt) AS BIGINT) AS weighted
+  FROM r
+),
+h AS (SELECT min(user_id) AS hottest_key
+      FROM k, s WHERE k.cnt = s.max_cnt)
+SELECT s.n_keys, s.total, s.max_cnt, h.hottest_key,
+       CAST(CAST(s.max_cnt AS HUGEINT) * 1000000 // s.total AS BIGINT)
+           AS max_share_ppm,
+       CAST(CAST(2 * s.weighted - (s.n_keys + 1) * s.total AS HUGEINT)
+            * 1000000 // (CAST(s.n_keys AS HUGEINT) * s.total) AS BIGINT)
+           AS gini_ppm
+FROM s, h
+""",
+    tags=("profiling", "scale"),
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic — the report you run BEFORE picking
+    a strategy from operators/scale.py (salted_join / AQE skew split):
+    per-key cardinality, the hottest key and its traffic share, and the
+    Gini coefficient of the key distribution (0 = uniform, ->1 = one key
+    owns the shuffle), all in exact integer ppm via global_row_number
+    ranks. One map-side-combined count + the two-level rank scan."""
+    from impalatogo_spark.operators.scale import global_row_number
+    from impalatogo_spark.session import tracked_persist
+
+    k = tracked_persist(
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # both the summary aggregate and the hottest-key probe re-read the
+    # rank pipeline; persist it once (session-tracked)
+    r = tracked_persist(global_row_number(k, ["cnt", "user_id"], out="i"))
+    s = r.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("i") * F.col("cnt")).alias("weighted"),
+    )
+    h = (
+        k.crossJoin(F.broadcast(s.select("max_cnt")))
+        .where(F.col("cnt") == F.col("max_cnt"))
+        .agg(F.min("user_id").alias("hottest_key"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    return (
+        s.crossJoin(F.broadcast(h))
+        .select(
+            "n_keys",
+            "total",
+            "max_cnt",
+            "hottest_key",
+            F.floor(d38(F.col("max_cnt")) * 1000000 / d38(F.col("total")))
+            .cast("long")
+            .alias("max_share_ppm"),
+            F.floor(
+                d38(2 * F.col("weighted") - (F.col("n_keys") + 1) * F.col("total"))
+                * 1000000
+                / d38(F.col("n_keys") * F.col("total"))
+            ).cast("long").alias("gini_ppm"),
+        )
+    )
