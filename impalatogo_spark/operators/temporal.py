@@ -199,8 +199,12 @@ def asof_join_nearest(
         .withColumn("__next_ts", F.first("__rts", ignorenulls=True).over(wf))
         .filter(F.col("__side") == 1)
     )
-    prev_gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__prev_ts"))
-    next_gap = F.unix_micros(F.col("__next_ts")) - F.unix_micros(F.col("__ts"))
+    # gap arithmetic works for TIMESTAMP (micros) and plain numeric ts
+    # columns alike; cast-to-long on a timestamp would truncate to seconds
+    is_ts = left.schema[left_ts].dataType.typeName().startswith("timestamp")
+    ts_num = (lambda c: F.unix_micros(c)) if is_ts else (lambda c: c.cast("long"))
+    prev_gap = ts_num(F.col("__ts")) - ts_num(F.col("__prev_ts"))
+    next_gap = ts_num(F.col("__next_ts")) - ts_num(F.col("__ts"))
     take_prev = F.col("__next").isNull() | (
         F.col("__prev").isNotNull() & (prev_gap <= next_gap)
     )

@@ -116,3 +116,47 @@ def test_range_join_same_lineage_no_trivial_equals(spark):
     rows = {(r["pk"], r["pts"]) for r in got.collect()}
     # k=1 click@100 is in (60,160]; k=2 click@150 is NOT in (300,400]
     assert rows == {(1, 100)}
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    """Equidistant candidates: the EARLIER right row wins (documented
+    tie rule), and an exact-timestamp match is gap 0 via the backward
+    frame's inclusive bound."""
+    from impalatogo_spark.operators.temporal import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100, 50), (2, 100, 200)], "id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 40), (11, 100, 60), (12, 100, 200)],
+        "rid long, k long, ts long",
+    )
+    out = {
+        r["id"]: r["rid_r"]
+        for r in asof_join_nearest(
+            left, right, by=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["rid", "ts"],
+        ).collect()
+    }
+    # id=1 at 50: candidates 40 (gap 10) and 60 (gap 10) -> earlier (40)
+    assert out[1] == 10
+    # id=2 at 200: exact match
+    assert out[2] == 12
+
+
+def test_asof_nearest_one_sided_and_empty(spark):
+    from impalatogo_spark.operators.temporal import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 10)], "id long, k long, ts long"
+    )
+    # key 1 has only a LATER right row (forward-only match); key 2 has none
+    right = spark.createDataFrame([(99, 1, 500)], "rid long, k long, ts long")
+    rows = {
+        r["id"]: (r["rid_r"], r["ts_r"])
+        for r in asof_join_nearest(
+            left, right, by=["k"], right_cols=["rid", "ts"]
+        ).collect()
+    }
+    assert rows[1] == (99, 500)
+    assert rows[2] == (None, None)
