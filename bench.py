@@ -166,6 +166,11 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "corpus_pmi_collocations",
     "events_weighted_moving_avg",
     "events_key_skew_report",
+    # round 2 (session 4f): trigram paths, seasonality decomposition,
+    # substitution candidates
+    "events_trigram_paths",
+    "orders_seasonality_decompose",
+    "part_substitution_candidates",
 ]
 RUNS = 3
 

@@ -3581,3 +3581,169 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("c_nationkey", "second_name", "third_name")
     )
+
+
+@register(
+    "events_trigram_paths",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+""",
+    tags=("events", "analytics"),
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the 20 most common 3-step event-type
+    paths across all users (the Sankey-diagram feed). ONE window sort per
+    user yields both lookaheads (Spark reuses the exchange+sort for the
+    two lead() calls), then a map-side-combined count over the ~|types|^3
+    path space. Full tie-break under LIMIT."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        o.where(F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "orders_seasonality_decompose",
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT month, total_cents,
+         CAST(sum(total_cents) OVER win AS BIGINT) AS ma12_total,
+         CAST(count(*) OVER win AS BIGINT) AS n_in_window
+  FROM m
+  WINDOW win AS (ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+)
+SELECT month, total_cents, ma12_total,
+       CAST(total_cents * 12 * 1000000 // ma12_total AS BIGINT)
+           AS seasonal_ppm
+FROM w WHERE n_in_window = 12
+""",
+    tags=("timeseries", "analytics"),
+)
+def orders_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonality decomposition readout over monthly revenue:
+    trailing-12-month moving total as the trend and each month's seasonal
+    index as its share of trend (x12, integer ppm — no float division).
+    Months with fewer than 12 trailing observations are excluded rather
+    than emitting a partial-window trend. The heavy scan collapses to the
+    months-sized series in the first map-side combine; the tiny series
+    window uses a constant non-foldable partition key."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            )
+        )
+    )
+    win = (
+        W.partitionBy(F.length("month") % F.lit(1))
+        .orderBy("month")
+        .rowsBetween(-11, W.currentRow)
+    )
+    return (
+        m.select(
+            "month",
+            "total_cents",
+            F.sum("total_cents").over(win).alias("ma12_total"),
+            F.count(F.lit(1)).over(win).alias("n_in_window"),
+        )
+        .where(F.col("n_in_window") == 12)
+        .select(
+            "month",
+            "total_cents",
+            "ma12_total",
+            F.expr(
+                "CAST(total_cents * 12 * 1000000 DIV ma12_total AS BIGINT)"
+            ).alias("seasonal_ppm"),
+        )
+    )
+
+
+@register(
+    "part_substitution_candidates",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_type, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+)
+SELECT a.p_type, CAST(a.p_size AS INT) AS p_size,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(a.cents - b.cents) * 1000
+                // least(a.cents, b.cents)) AS BIGINT) AS min_gap_milli,
+       CAST(min(a.p_partkey) AS BIGINT) AS sample_partkey
+FROM p a JOIN p b
+  ON a.p_type = b.p_type AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE a.p_brand <> b.p_brand
+  AND abs(a.cents - b.cents) * 10 <= least(a.cents, b.cents)
+GROUP BY 1, 2
+""",
+    tags=("join", "analytics"),
+)
+def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitute-product discovery: per (type, size) block, count
+    cross-brand part pairs priced within 10% of each other (candidate
+    substitutions for assortment/pricing analysis). The (type, size)
+    blocking key bounds the pairwise price comparison to per-block
+    quadratics — same record-linkage shape as customers_er_blocking —
+    and all price math is integer cents with a milli-scaled relative gap
+    (trunc division on positives matches DuckDB's integer `/` after
+    CAST)."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    diff = F.abs(F.col("a.cents") - F.col("b.cents"))
+    lo = F.least(F.col("a.cents"), F.col("b.cents"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where((F.col("a.p_brand") != F.col("b.p_brand")) & (diff * 10 <= lo))
+        .groupBy(
+            F.col("a.p_type").alias("p_type"),
+            F.col("a.p_size").cast("int").alias("p_size"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.expr("abs(a.cents - b.cents) * 1000 DIV least(a.cents, b.cents)"))
+            .alias("min_gap_milli"),
+            F.min(F.col("a.p_partkey")).alias("sample_partkey"),
+        )
+    )
