@@ -171,6 +171,11 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_trigram_paths",
     "orders_seasonality_decompose",
     "part_substitution_candidates",
+    # round 2 (session 4g): deterministic mode, arg-min/max + count_if,
+    # activity bitmaps
+    "agg_mode_deterministic",
+    "agg_argminmax_countif",
+    "events_activity_bitmap",
 ]
 RUNS = 3
 

@@ -3747,3 +3747,130 @@ def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("a.p_partkey")).alias("sample_partkey"),
         )
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT o_orderstatus, max(n) AS mn FROM c GROUP BY 1)
+SELECT c.o_orderstatus, min(c.o_orderpriority) AS modal_priority,
+       CAST(max(c.n) AS BIGINT) AS modal_count
+FROM c JOIN mx ON c.o_orderstatus = mx.o_orderstatus AND c.n = mx.mn
+GROUP BY 1
+""",
+    tags=("agg",),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the builtin mode() in BOTH engines
+    picks an arbitrary winner under ties, which can never pass a hash
+    gate — so the engine computes it as two map-side-combined aggregates
+    (value counts, per-group max) with a min-value tie-break, the exact
+    same rule the oracle states. The count relation is |group x value|-
+    sized; its max join-back broadcasts."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mx = c.groupBy("o_orderstatus").agg(F.max("n").alias("mn"))
+    return (
+        c.join(F.broadcast(mx), "o_orderstatus")
+        .where(F.col("n") == F.col("mn"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderpriority").alias("modal_priority"),
+            F.max("n").alias("modal_count"),
+        )
+    )
+
+
+@register(
+    "agg_argminmax_countif",
+    oracle="""
+WITH t AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey
+             AS v
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count_if(v % 2 = 1) AS BIGINT) AS n_odd,
+       CAST(arg_max(o_orderkey, v) AS BIGINT) AS biggest_order,
+       CAST(arg_min(o_orderkey, v) AS BIGINT) AS smallest_order
+FROM t GROUP BY 1
+""",
+    tags=("agg", "functions"),
+)
+def agg_argminmax_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / max_by / min_by (DuckDB arg_max/arg_min) aggregate
+    battery. The by-value is made STRICTLY unique (cents scaled plus the
+    key) because argmin/argmax under ties is engine-arbitrary — the same
+    determinism rule as the mode query. All three are ordinary 2-phase
+    aggregates."""
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long") * 10000000
+            + F.col("o_orderkey")
+        ).alias("v"),
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("v") % 2 == 1).alias("n_odd"),
+        F.max_by("o_orderkey", "v").alias("biggest_order"),
+        F.min_by("o_orderkey", "v").alias("smallest_order"),
+    )
+
+
+@register(
+    "events_activity_bitmap",
+    oracle="""
+WITH mn AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+b AS (
+  SELECT user_id,
+         bit_or(CAST(1 AS BIGINT) << (CAST(ts AS DATE) - mn.d0)) AS bitmap
+  FROM events, mn GROUP BY 1
+)
+SELECT user_id, bitmap,
+       CAST(bit_count(bitmap) AS INT) AS n_active_days,
+       CAST(CASE WHEN bitmap & 127 = 127 THEN 1 ELSE 0 END AS INT)
+           AS active_first_week
+FROM b
+""",
+    tags=("events", "analytics"),
+)
+def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-activity bitmap: one BIGINT with bit i set iff the
+    user was active on day i of the observation window (<= 63 days by
+    construction of the testdata's 30-day span) — the roaring-bitmap-lite
+    encoding behind streak/retention queries: n_active_days is a
+    popcount, 'active every day of week 1' is a mask test, and the whole
+    reduction is a 2-phase bit_or (commutative, O(1) state — the cheapest
+    possible distinct-day aggregate). Day indexes are anchored to a
+    broadcast 1-row corpus min date."""
+    mn = _t(spark, sf_dir, "events").agg(F.min(F.to_date("ts")).alias("d0"))
+    b = (
+        _t(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "user_id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), datediff(CAST(ts AS DATE), d0))"
+            ).alias("day_bit"),
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or("day_bit").alias("bitmap"))
+    )
+    return b.select(
+        "user_id",
+        "bitmap",
+        F.bit_count("bitmap").cast("int").alias("n_active_days"),
+        F.when((F.col("bitmap").bitwiseAND(127)) == 127, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("active_first_week"),
+    )
