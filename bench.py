@@ -176,6 +176,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "agg_mode_deterministic",
     "agg_argminmax_countif",
     "events_activity_bitmap",
+    # round 2 (session 4h): longest streaks, readability bands
+    "events_streak_longest",
+    "documents_readability_scores",
 ]
 RUNS = 3
 

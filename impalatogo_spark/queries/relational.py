@@ -3874,3 +3874,114 @@ def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("active_first_week"),
     )
+
+
+@register(
+    "events_streak_longest",
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS anchor
+  FROM d
+),
+runs AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len,
+         strftime(min(day), '%Y-%m-%d') AS streak_start
+  FROM r GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, max(len) AS longest FROM runs GROUP BY 1
+)
+SELECT b.user_id, b.longest,
+       min(r2.streak_start) AS first_longest_start,
+       CAST(count(*) AS BIGINT) AS n_longest_streaks
+FROM best b JOIN runs r2 ON r2.user_id = b.user_id AND r2.len = b.longest
+GROUP BY 1, 2
+""",
+    tags=("events", "window"),
+)
+def events_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the canonical
+    gaps-and-islands reduction: day minus per-user row_number is constant
+    exactly within a consecutive run, so streaks fall out of ONE keyed
+    window + two map-side-combined aggregates (no self-join, no
+    iteration). Deterministic tie handling: earliest start and the count
+    of equal-length longest streaks are both reported."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    runs = r.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    best = runs.groupBy("user_id").agg(F.max("len").alias("longest"))
+    return (
+        runs.join(best, "user_id")
+        .where(F.col("len") == F.col("longest"))
+        .groupBy("user_id", "longest")
+        .agg(
+            F.min("streak_start").alias("first_longest_start"),
+            F.count(F.lit(1)).alias("n_longest_streaks"),
+        )
+    )
+
+
+@register(
+    "documents_readability_scores",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+             AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+              AS BIGINT) AS n_vowels
+  FROM documents
+)
+SELECT doc_id, n_words, n_vowels,
+       CAST(n_vowels * 1000 // n_words AS BIGINT) AS vowels_per_word_milli,
+       CASE WHEN n_vowels * 1000 // n_words >= 2200 THEN 'dense'
+            WHEN n_vowels * 1000 // n_words >= 1800 THEN 'medium'
+            ELSE 'light' END AS reading_band
+FROM t
+""",
+    tags=("text", "quality"),
+)
+def documents_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability proxy per document: vowel density as the syllable
+    stand-in (the Flesch-style complexity axis that survives punctuation-
+    free corpora), in exact integer milli with banded levels. Pure
+    codegen string arithmetic — the regexp vowel strip and word count
+    never leave the JVM, zero shuffle."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("n_words"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+        ).cast("long").alias("n_vowels"),
+    )
+    vpw = F.expr("CAST(n_vowels * 1000 DIV n_words AS BIGINT)")
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_vowels",
+        vpw.alias("vowels_per_word_milli"),
+        F.when(vpw >= 2200, "dense")
+        .when(vpw >= 1800, "medium")
+        .otherwise("light")
+        .alias("reading_band"),
+    )
