@@ -176,9 +176,10 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "agg_mode_deterministic",
     "agg_argminmax_countif",
     "events_activity_bitmap",
-    # round 2 (session 4h): longest streaks, readability bands
+    # round 2 (session 4h): longest streaks, readability bands, SRM gate
     "events_streak_longest",
     "documents_readability_scores",
+    "events_ab_srm_check",
 ]
 RUNS = 3
 

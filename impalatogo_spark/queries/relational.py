@@ -3985,3 +3985,64 @@ def documents_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("light")
         .alias("reading_band"),
     )
+
+
+@register(
+    "events_ab_srm_check",
+    oracle="""
+WITH a AS (
+  SELECT user_id,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 1))
+              - 1 AS BIGINT) % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM a
+)
+SELECT n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS BIGINT)
+           AS chi2_milli,
+       CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841
+                 THEN 1 ELSE 0 END AS INT) AS srm_flag
+FROM c
+""",
+    tags=("events", "analytics"),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the md5-parity A/B split (the
+    experimentation-QA gate run before trusting any lift readout, see
+    events_ab_lift_exact): chi-square for a 50/50 split reduces to
+    (n_a - n_b)^2 / n, computed in exact integer milli; the flag trips at
+    the 3.841 critical value (chi^2_1, p=0.05). One distinct + one
+    2-phase conditional count — no floats anywhere."""
+    a = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))),
+                        1, 1,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % 2
+            ).alias("arm")
+        )
+    )
+    c = a.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    chi = F.expr("CAST((n_a - n_b) * (n_a - n_b) * 1000 DIV (n_a + n_b) AS BIGINT)")
+    return c.select(
+        "n_a",
+        "n_b",
+        chi.alias("chi2_milli"),
+        F.when(chi > 3841, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
