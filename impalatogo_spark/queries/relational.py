@@ -4046,3 +4046,108 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi.alias("chi2_milli"),
         F.when(chi > 3841, 1).otherwise(0).cast("int").alias("srm_flag"),
     )
+
+
+@register(
+    "events_cohort_ltv_curve",
+    oracle="""
+WITH firstw AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+  FROM events GROUP BY 1
+),
+wk AS (
+  SELECT f.cohort,
+         CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort) // 7
+              AS BIGINT) AS widx,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN firstw f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+),
+g AS (
+  SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, widx,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM wk GROUP BY 1, 2
+)
+SELECT cohort_week, widx, revenue_cents,
+       CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week ORDER BY widx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+FROM g
+""",
+    tags=("events", "analytics"),
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: purchase revenue by signup-week cohort and weeks-
+    since-signup, with the cumulative curve per cohort — the
+    lifetime-value readout growth teams plot. Revenue is integer cents;
+    week arithmetic is Monday-anchored date_trunc in both engines; the
+    cumulative window is PARTITIONED by cohort (weeks-sized partitions).
+    Two keyed shuffles: the per-user first-week reduce and the
+    (cohort, week) rollup."""
+    ev = _t(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    wk = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firstw, "user_id")
+        .select(
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort"))
+                / 7
+            ).cast("long").alias("widx"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = wk.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "widx"
+    ).agg(F.sum("cents").alias("revenue_cents"))
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("widx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return g.select(
+        "cohort_week",
+        "widx",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_cents"),
+    )
+
+
+@register(
+    "lineitem_return_rate_trend",
+    oracle="""
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS return_ppm
+FROM lineitem GROUP BY 1
+""",
+    tags=("agg", "timeseries"),
+)
+def lineitem_return_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate trend (share of lineitems flagged 'R', integer
+    ppm) — the operational quality metric over the biggest fact table.
+    Single scan, 2-phase conditional aggregate; everything after the
+    map-side combine is months-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    ret = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+    return (
+        li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            ret.alias("n_returned"),
+        )
+        .select(
+            "month",
+            "n_lines",
+            "n_returned",
+            F.expr("CAST(n_returned * 1000000 DIV n_lines AS BIGINT)").alias(
+                "return_ppm"
+            ),
+        )
+    )
