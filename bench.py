@@ -180,9 +180,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_streak_longest",
     "documents_readability_scores",
     "events_ab_srm_check",
-    # round 2 (session 4i): cohort LTV curve, return-rate trend
+    # round 2 (session 4i): cohort LTV curve, return-rate trend,
+    # null-safe join, exact covariance
     "events_cohort_ltv_curve",
     "lineitem_return_rate_trend",
+    "join_null_safe_eq",
+    "agg_covar_exact",
 ]
 RUNS = 3
 

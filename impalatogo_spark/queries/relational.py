@@ -4151,3 +4151,90 @@ def lineitem_return_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+  SELECT nullif(o_custkey % 7, 0) AS k,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT nullif(c_custkey % 7, 0) AS k,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY 1
+)
+SELECT coalesce(CAST(a.k AS VARCHAR), '<null>') AS k,
+       a.n_orders, b.n_customers
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    tags=("join", "semantics"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Impala's <=> operator as a JOIN key,
+    sql-parser.y NULLSAFE_EQ): NULL keys MATCH each other instead of
+    silently dropping — Spark's eqNullSafe against DuckDB's IS NOT
+    DISTINCT FROM. Both sides pre-aggregate so the null-safe comparison
+    runs on grouped relations (Spark plans a hash join with the null-safe
+    key wrapped in coalesce-style knownfloatingpointnormalized equality;
+    no nested-loop fallback). NULL keys are derived deterministically via
+    nullif so the match path is actually exercised."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        F.coalesce(a["k"].cast("string"), F.lit("<null>")).alias("k"),
+        "n_orders",
+        "n_customers",
+    )
+
+
+@register(
+    "agg_covar_exact",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+           AS covar_num,
+       CAST(sign(count(*) * sum(x * y) - sum(x) * sum(y)) AS INT)
+           AS covar_sign
+FROM t GROUP BY 1
+""",
+    tags=("agg", "stats"),
+)
+def agg_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance numerator per group (n*Sxy - Sx*Sy over integer
+    quantity x price-cents) — the deterministic twin of the engines'
+    covar_pop builtin, whose float accumulation order makes a rounded
+    result hash-unstable across partitionings (the tpch_q9 lesson). The
+    sign and scaled numerator carry the full analytical content; dividing
+    by n^2 is presentation. Single 2-phase aggregate."""
+    t = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    num = (
+        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+        - F.sum("x") * F.sum("y")
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        num.alias("covar_num"),
+        F.signum(num).cast("int").alias("covar_sign"),
+    )
