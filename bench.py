@@ -186,6 +186,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "lineitem_return_rate_trend",
     "join_null_safe_eq",
     "agg_covar_exact",
+    "events_inter_arrival_stats",
 ]
 RUNS = 3
 

@@ -4238,3 +4238,66 @@ def agg_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("covar_num"),
         F.signum(num).cast("int").alias("covar_sign"),
     )
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us,
+         event_id
+  FROM events
+),
+r AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gap_us, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+           AS p50_gap_us,
+       CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN gap_us END) AS BIGINT)
+           AS p90_gap_us
+FROM r GROUP BY 1
+""",
+    tags=("events", "timeseries"),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type (the event-stream
+    SLA/latency readout): exact p50/p90 of the microsecond gaps, defined
+    by EXPLICIT rank selection — element at rank floor((n+1)/2) resp.
+    ceil(0.9*n) under a fully tie-broken sort — because the engines'
+    quantile builtins disagree on discrete-percentile tie rules. Two
+    keyed windows (gap via lag, rank) over event_type partitions; all
+    integers, no interpolation."""
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        "event_id",
+    ).where(F.col("gap_us").isNotNull())
+    wr = W.partitionBy("event_type").orderBy("gap_us", "event_id")
+    wn = W.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("gap_us"))
+        ).alias("p50_gap_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 9 + 9) DIV 10"), F.col("gap_us"))
+        ).alias("p90_gap_us"),
+    )
