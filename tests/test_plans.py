@@ -317,3 +317,56 @@ def test_pagerank_no_cartesian_no_collect(spark, sf_dir):
         assert df.count() > 0
     finally:
         release_persisted()
+
+
+def test_pareto_frontier_prune_broadcasts(spark, sf_dir):
+    """The skyline's bucket-cummax prune table must reach the data via a
+    broadcast join (it is bucket-grain tiny); the corpus itself must
+    never build a hash-join table against it."""
+    from impalatogo_spark.queries.relational import part_pareto_frontier
+
+    df = part_pareto_frontier(spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_interval_overlap_is_bucket_equijoin(spark, sf_dir):
+    """Interval x interval overlap must compile to a broadcast hash join
+    on the epoch-hour bucket — never BroadcastNestedLoopJoin (the
+    inequality-pair fallback that dies at scale)."""
+    from impalatogo_spark.queries.relational import join_interval_overlap
+
+    df = join_interval_overlap(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.uses_broadcast_join(df)
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    """The per-column profile must read the table ONCE: a single scan
+    node feeding one Expand for the multi-column COUNT(DISTINCT), not
+    one scan per column."""
+    from impalatogo_spark.queries.relational import table_profile
+
+    df = table_profile(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+
+
+def test_er_blocking_no_cartesian(spark, sf_dir):
+    """Blocked ER candidate generation must plan an equi hash/merge join
+    on the block keys with the edit-distance predicate applied post-join
+    — never a cartesian/nested-loop product."""
+    from impalatogo_spark.queries.relational import customers_er_blocking
+
+    plan = plans.simple_plan(customers_er_blocking(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hourly_seasonality_partial_agg(spark, sf_dir):
+    """The seasonality rollup must be 2-phase (map-side partial
+    aggregation before the exchange)."""
+    from impalatogo_spark.queries.relational import events_hourly_seasonality
+
+    assert plans.has_partial_aggregate(events_hourly_seasonality(spark, sf_dir))
