@@ -217,14 +217,36 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map goes to a file: the driver's stdout capture keeps
+    # only the tail, and a 160+-entry "queries" map pushed the single JSON
+    # line past that window (BENCH_r02.json came back `parsed: null`). The
+    # LAST stdout line is a compact (<1 KB) summary that always survives
+    # tail capture; per-query numbers live in bench_results.json.
+    full = {
+        "metric": "headline_suite_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    results_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
+    with open(results_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     print(
         json.dumps(
             {
                 "metric": "headline_suite_median_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "sf": sf_val,
+                "slowest5": {k: v for k, v in slowest},
+                "queries_file": "bench_results.json",
             }
         )
     )

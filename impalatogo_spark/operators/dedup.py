@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from impalatogo_spark.session import tracked_local_checkpoint as _ckpt
+
 N_HASHES = 16
 BANDS = 4  # rows per band = N_HASHES // BANDS = 4
 SIMHASH_BITS = 32
@@ -401,7 +403,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     numeric = dict(labels.dtypes)["label"] in (
         "tinyint", "smallint", "int", "bigint", "float", "double",
@@ -417,7 +419,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .withColumnRenamed("src", "node")
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
         if numeric:
             new_sum = _label_sum(new_labels)
@@ -463,7 +465,7 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )  # canonical: u > v
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
@@ -492,10 +494,10 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     for _ in range(max_iter):
-        after = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        after = _star(_star(edges, large=True), large=False).transform(_ckpt)
         changed = (
             after.exceptAll(edges).limit(1).count() + edges.exceptAll(after).limit(1).count()
         )

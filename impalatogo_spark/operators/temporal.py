@@ -165,6 +165,27 @@ def asof_join_nearest(
     (e.g. max of an id column) first; the forward frame would otherwise
     pick the first duplicate and the backward frame the last.
     """
+    # The gap arithmetic below picks its conversion (unix_micros vs
+    # cast-long) from ONE rule applied to both __ts and the matched row's
+    # __prev_ts/__next_ts — those come from opposite sides of the union, so
+    # mixed-type inputs (timestamp left vs numeric right, or NTZ vs LTZ)
+    # would silently convert one side with the wrong rule and pick the
+    # wrong nearest row. Refuse them at entry.
+    def _ts_kind(dt):
+        name = dt.typeName()
+        if name.startswith("timestamp"):
+            return name  # 'timestamp' (LTZ) vs 'timestamp_ntz' are distinct
+        return "numeric"
+
+    l_kind = _ts_kind(left.schema[left_ts].dataType)
+    r_kind = _ts_kind(right.schema[right_ts].dataType)
+    if l_kind != r_kind:
+        raise TypeError(
+            f"asof_join_nearest: left ts {left_ts!r} is "
+            f"{left.schema[left_ts].dataType.simpleString()} but right ts "
+            f"{right_ts!r} is {right.schema[right_ts].dataType.simpleString()};"
+            " cast both sides to one timestamp/numeric type first"
+        )
     rcols = list(right_cols) or [c for c in right.columns if c not in by]
     r_struct = F.struct(*[F.col(c) for c in rcols])
     r_type = right.select(r_struct.alias("s")).schema["s"].dataType
@@ -200,9 +221,16 @@ def asof_join_nearest(
         .filter(F.col("__side") == 1)
     )
     # gap arithmetic works for TIMESTAMP (micros) and plain numeric ts
-    # columns alike; cast-to-long on a timestamp would truncate to seconds
-    is_ts = left.schema[left_ts].dataType.typeName().startswith("timestamp")
-    ts_num = (lambda c: F.unix_micros(c)) if is_ts else (lambda c: c.cast("long"))
+    # columns alike; cast-to-long on a timestamp would truncate to seconds.
+    # NTZ goes through an explicit cast to TIMESTAMP first — unix_micros is
+    # only defined on LTZ, and both sides are the same kind (asserted
+    # above) so the session-zone shift cancels out of every gap.
+    if l_kind == "numeric":
+        ts_num = lambda c: c.cast("long")  # noqa: E731
+    elif l_kind == "timestamp_ntz":
+        ts_num = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    else:
+        ts_num = lambda c: F.unix_micros(c)  # noqa: E731
     prev_gap = ts_num(F.col("__ts")) - ts_num(F.col("__prev_ts"))
     next_gap = ts_num(F.col("__next_ts")) - ts_num(F.col("__ts"))
     take_prev = F.col("__next").isNull() | (

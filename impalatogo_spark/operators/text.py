@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from impalatogo_spark.session import tracked_local_checkpoint as _ckpt
+
 # marker words per language for the n-gram/stopword heuristic; checked
 # against ' word '-padded text so boundaries are cheap and dialect-free.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -888,7 +890,7 @@ def bpe_merges(df: DataFrame, text_col: str = "text",
     reason BPE trains on word frequencies)."""
     wf = bpe_word_freqs(df, text_col)
     cur = wf.select("w", "freq", F.split("w", "").alias("syms"))
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(_ckpt)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(n_merges):
         best = (
@@ -901,7 +903,7 @@ def bpe_merges(df: DataFrame, text_col: str = "text",
         merges.append((r, best.lhs, best.rhs, best.pair_count))
         cur = cur.select(
             "w", "freq", _bpe_apply_merge(F.col("syms"), best.lhs, best.rhs).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).transform(_ckpt)
     return merges
 
 

@@ -3165,7 +3165,7 @@ SELECT a.n_users AS users_a, b.n_users AS users_b,
        CAST(a.n_purch * 1000 // a.n_users AS BIGINT) AS rate_a_milli,
        CAST(b.n_purch * 1000 // b.n_users AS BIGINT) AS rate_b_milli,
        CAST(1000000 * a.n_purch * b.n_users
-            // (b.n_purch * a.n_users) AS BIGINT) AS lift_ratio_ppm
+            // nullif(b.n_purch * a.n_users, 0) AS BIGINT) AS lift_ratio_ppm
 FROM (SELECT * FROM arms WHERE arm = 'A') a,
      (SELECT * FROM arms WHERE arm = 'B') b
 """,
@@ -3221,8 +3221,12 @@ def events_ab_lift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.purch_cents").alias("cents_b"),
         F.expr("a.n_purch * 1000 div a.n_users").alias("rate_a_milli"),
         F.expr("b.n_purch * 1000 div b.n_users").alias("rate_b_milli"),
+        # nullif guard on BOTH sides: Spark div by 0 yields NULL silently
+        # while DuckDB's // raises — a zero-purchase arm B would otherwise
+        # diverge (NULL vs hard oracle failure) on sparse data.
         F.expr(
-            "1000000 * a.n_purch * b.n_users div (b.n_purch * a.n_users)"
+            "1000000 * a.n_purch * b.n_users"
+            " div nullif(b.n_purch * a.n_users, 0)"
         ).alias("lift_ratio_ppm"),
     )
 
@@ -3360,8 +3364,14 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-sized); top-20 is TakeOrderedAndProject with a full
     tie-break. At 100 TB the milli-ratio product needs decimal(38) once
     N * c_xy passes 2^63 — the DIV structure is unchanged."""
-    docs = _t(spark, sf_dir, "documents").select(
-        F.split(F.col("text"), " ").alias("wa")
+    from impalatogo_spark.operators import split_words
+
+    # split_words materializes the word array behind a Generate barrier —
+    # a plain `split(text).alias("wa")` projection gets CollapseProject-
+    # inlined into the bigram transform() lambda below and re-evaluates
+    # per array element (O(len^2) per document).
+    docs = split_words(
+        _t(spark, sf_dir, "documents").select("text"), keep=(), out="wa"
     )
     tok = docs.select(F.explode("wa").alias("w"))
     c1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))

@@ -3057,12 +3057,17 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant, so the two different enumeration orders must
     agree exactly. Edge generation is bounded per (day,type) cell, never
     an all-pairs across the corpus."""
+    from impalatogo_spark.session import tracked_persist
+
     ev = _t(spark, sf_dir, "events")
     cells = ev.select(
         F.to_date("ts").alias("d"), "event_type", "user_id"
     ).distinct()
     a, b = cells.alias("a"), cells.alias("b")
-    edges = (
+    # edges feeds the degree union (x2), the orientation join and the edge
+    # count — 4 consumers; without a persist the quadratic per-cell edge
+    # self-join recomputes per consumer (multi-consumer persist rule).
+    edges = tracked_persist(
         a.join(
             b,
             (F.col("a.d") == F.col("b.d"))
@@ -3084,10 +3089,14 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
     kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
-    oriented = ed.select(
-        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
-        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    # oriented feeds the o1/o2 wedge join plus the o3 closing probe — 3
+    # consumers of the edges+degree join.
+    oriented = tracked_persist(
+        ed.select(
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
     )
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     wedges = o1.join(

@@ -121,6 +121,30 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 
 
 _TRACKED_PERSISTS: list[DataFrame] = []
+_TRACKED_CHECKPOINT_IDS: set[int] = set()
+
+
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager=True) with block accounting. The checkpoint's
+    blocks live in the BlockManager (not the SQL cache manager), so
+    release_persisted() can't reach them via df.unpersist(); recording the
+    RDD ids the checkpoint registered lets the sweep drop exactly OUR
+    blocks and nothing else — a long-lived cache created outside the
+    tracked helpers is never touched (round-2 ADVICE: the previous global
+    getPersistentRDDs sweep killed those too)."""
+    spark = df.sparkSession
+    try:
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    except Exception:
+        before = set()
+    out = df.localCheckpoint(eager=True)
+    try:
+        for rid in spark.sparkContext._jsc.getPersistentRDDs().keys():
+            if rid not in before:
+                _TRACKED_CHECKPOINT_IDS.add(int(str(rid)))
+    except Exception:
+        pass
+    return out
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -138,15 +162,18 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 def release_persisted() -> int:
     """Unpersist every tracked frame; returns how many were released.
 
-    Also drops any remaining persistent RDD blocks — localCheckpoint(eager)
-    blocks from iterative operators (connected components, k-means, BPE)
-    are registered in the BlockManager, not the SQL cache manager, so
-    df.unpersist() never reaches them and they otherwise accumulate for a
-    whole harness session until the async ContextCleaner gets around to
-    them (hundreds of stale blocks after a full bench run, with
-    GC-pause-shaped latency spikes when it finally fires). Only call
-    between queries: a returned-but-not-yet-collected frame backed by a
-    checkpoint cannot recompute after its blocks are dropped.
+    Also drops the localCheckpoint(eager) blocks recorded by
+    tracked_local_checkpoint — iterative operators (connected components,
+    k-means, BPE) register those in the BlockManager, not the SQL cache
+    manager, so df.unpersist() never reaches them and they otherwise
+    accumulate for a whole harness session until the async ContextCleaner
+    gets around to them (hundreds of stale blocks after a full bench run,
+    with GC-pause-shaped latency spikes when it finally fires). The sweep
+    is scoped to TRACKED ids only: an intentionally long-lived cache
+    created outside tracked_persist/tracked_local_checkpoint keeps its
+    blocks. Only call between queries: a returned-but-not-yet-collected
+    frame backed by a tracked checkpoint cannot recompute after its blocks
+    are dropped.
     """
     n = 0
     while _TRACKED_PERSISTS:
@@ -158,11 +185,12 @@ def release_persisted() -> int:
             pass  # session already stopped
     try:
         spark = SparkSession.getActiveSession()
-        if spark is not None:
-            for jrdd in list(
-                spark.sparkContext._jsc.getPersistentRDDs().values()
-            ):
-                jrdd.unpersist(False)
+        if spark is not None and _TRACKED_CHECKPOINT_IDS:
+            live = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in live.keys():
+                if int(str(rid)) in _TRACKED_CHECKPOINT_IDS:
+                    live[rid].unpersist(False)
+        _TRACKED_CHECKPOINT_IDS.clear()
     except Exception:
         pass  # session stopped or JVM map unavailable
     return n
