@@ -356,12 +356,18 @@ def test_table_profile_single_scan(spark, sf_dir):
 def test_er_blocking_no_cartesian(spark, sf_dir):
     """Blocked ER candidate generation must plan an equi hash/merge join
     on the block keys with the edit-distance predicate applied post-join
-    — never a cartesian/nested-loop product."""
+    — never a cartesian/nested-loop product. The equi-join key must
+    include the content-derived deletion-variant column: a fixed
+    (nation, segment)-only block key was the r02-verdict quadratic
+    (per-block pair work grows as (n/125)^2 — 125 blocks regardless of
+    data size)."""
     from impalatogo_spark.queries.relational import customers_er_blocking
 
-    plan = plans.simple_plan(customers_er_blocking(spark, sf_dir))
+    df = customers_er_blocking(spark, sf_dir)
+    plan = plans.simple_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "__v" in plan, "join key lost the deletion-variant column"
 
 
 def test_hourly_seasonality_partial_agg(spark, sf_dir):
