@@ -2775,8 +2775,8 @@ def customers_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimal edit script — each side needs at most s+d resp. s+i deletions
     to reach the matched common subsequence, both <= 2). Each name emits
     its <= 2-deletion variants (1 + L + C(L,2), ~172 for L=18) and
-    candidates equi-join on (nation, segment, variant): the join key's
-    cardinality GROWS with the corpus (distinct name variants), so
+    candidates meet on the key xxhash64(nation, segment, variant): the
+    key's cardinality GROWS with the corpus (distinct name variants), so
     per-key work no longer scales as (block_size)^2 the way the previous
     fixed-125-block plan did — 100x the rows means ~100x candidate rows,
     not 10,000x pair evaluations. A fixed (nation, segment)-only block
@@ -2785,6 +2785,10 @@ def customers_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     'Customer#%09d'), which is exactly why the variant key must come from
     name CONTENT. Verification runs Spark's BOUNDED levenshtein
     (threshold arg, banded DP) over the distinct candidate pairs only.
+    Hashing the (nation, segment, variant) triple to ONE long keeps the
+    wide fan-out stream narrow (16 bytes/row through the shuffle); a hash
+    collision can only ADD a candidate pair, which the exact verify (plus
+    the re-joined block-equality filter) rejects, so exactness holds.
     The oracle keeps the plain blocked all-pairs formulation: candidate
     generation is a provable superset + exact verify, so the final
     aggregate is bit-identical by construction (the mirror-the-banding
@@ -2834,42 +2838,67 @@ def customers_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__j"),
         )
         .select(
-            "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
-            F.expr(
-                "CASE WHEN __i = 0 AND __j = 0 THEN c_name"
-                " WHEN __i = 0 THEN concat("
-                "   substring(c_name, 1, __j - 1),"
-                "   substring(c_name, __j + 1, length(c_name)))"
-                " ELSE concat("
-                "   substring(c_name, 1, __i - 1),"
-                "   substring(c_name, __i + 1, __j - __i - 1),"
-                "   substring(c_name, __j + 1, length(c_name))) END"
-            ).alias("__v"),
+            "c_custkey",
+            F.xxhash64(
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+                F.expr(
+                    "CASE WHEN __i = 0 AND __j = 0 THEN c_name"
+                    " WHEN __i = 0 THEN concat("
+                    "   substring(c_name, 1, __j - 1),"
+                    "   substring(c_name, __j + 1, length(c_name)))"
+                    " ELSE concat("
+                    "   substring(c_name, 1, __i - 1),"
+                    "   substring(c_name, __i + 1, __j - __i - 1),"
+                    "   substring(c_name, __j + 1, length(c_name))) END"
+                ),
+            ).alias("__hk"),
         )
     )
-    # merge hint: both sides are the identical data-sized variant stream,
-    # so a sort-merge join shares ONE exchange (ReusedExchange) — AQE's
-    # broadcast pick would ship the whole 172x-fanned side to every task
-    # (and did, with GC-flappy timings); neither side is ever "small" here.
-    keyed = keyed.hint("merge")
-    a, bb = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.__v") == F.col("b.__v"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    # Pairs come from ONE hash-agg per key (collect_set + in-group
+    # expansion) instead of a variant self-join: a sort-merge self-join
+    # needs exchange + sort + join + a pair-distinct exchange, while this
+    # is exchange + agg + distinct — measurably fewer stages, identical
+    # per-key work (groups are near-duplicate clusters, tiny by nature;
+    # a degenerate all-identical-names corpus is quadratic under EITHER
+    # formulation because the answer itself is quadratic).
+    groups = (
+        keyed.groupBy("__hk")
+        .agg(F.sort_array(F.collect_set("c_custkey")).alias("ks"))
+        .where(F.size("ks") >= 2)
+    )
+    pairs = (
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ks, (x, xi) -> transform("
+                    "slice(ks, xi + 2, size(ks) - xi - 1),"
+                    " y -> struct(x AS k_a, y AS k_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.c_custkey").alias("k_a"),
-            F.col("b.c_custkey").alias("k_b"),
-            F.col("a.c_name").alias("n_a"),
-            F.col("b.c_name").alias("n_b"),
-            F.col("a.c_nationkey").alias("c_nationkey"),
-            F.col("a.c_mktsegment").alias("c_mktsegment"),
-        )
+        .select("p.k_a", "p.k_b")
         .distinct()  # a true pair shares many variants; verify each once
+    )
+    ca = c.select(
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_name").alias("n_a"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    cb = c.select(
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_name").alias("n_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_mktsegment").alias("ms_b"),
+    )
+    cand = (
+        pairs.join(ca, "k_a")
+        .join(cb, "k_b")
+        .where(
+            (F.col("c_nationkey") == F.col("nk_b"))
+            & (F.col("c_mktsegment") == F.col("ms_b"))
+        )
     )
     d2 = F.levenshtein(F.col("n_a"), F.col("n_b"), 2)
     d1 = F.levenshtein(F.col("n_a"), F.col("n_b"), 1)

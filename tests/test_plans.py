@@ -367,7 +367,7 @@ def test_er_blocking_no_cartesian(spark, sf_dir):
     plan = plans.simple_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "__v" in plan, "join key lost the deletion-variant column"
+    assert "__hk" in plan, "pairing key lost the deletion-variant hash"
 
 
 def test_hourly_seasonality_partial_agg(spark, sf_dir):
