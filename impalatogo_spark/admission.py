@@ -1,0 +1,172 @@
+"""Admission control: per-pool concurrency caps with FIFO queueing.
+
+Reference parity: the reference's admission controller
+(`be/src/scheduling/admission-controller.cc`) gates query execution per
+request pool — a query is ADMITTED immediately while the pool has a free
+slot, QUEUED (FIFO) when `max_requests` are already running, and REJECTED
+when the queue itself is full (`max_queued`) or the queue wait exceeds
+the timeout (`queue_timeout_ms`, reference default 60 s). Pool selection
+is the REQUEST_POOL query option (`be/src/service/query-options.cc`).
+
+Spark-native mapping: Spark has no admission layer — the FAIR scheduler
+(pool = `spark.scheduler.pool` local property) only WEIGHTS running
+queries. This module adds the missing admit/queue/reject stage in front
+of job submission; the engine/server call `admit()` before running a
+statement and `release()` after. Everything is driver-side bookkeeping
+(a condition variable and counters) — zero cost on the executor path, so
+the 100 TB posture is unchanged.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+
+class AdmissionRejected(Exception):
+    """Raised when a pool rejects a query (queue full or disabled pool)."""
+
+
+class AdmissionTimeout(Exception):
+    """Raised when a queued query exceeds the pool's queue timeout."""
+
+
+@dataclass
+class PoolConfig:
+    # <= 0 mirrors the reference's "unlimited" convention
+    # (admission-controller.cc: max_requests <= 0 -> no cap)
+    max_requests: int = 0
+    max_queued: int = 200  # reference default_pool_max_queued
+    queue_timeout_ms: int = 60000  # reference queue_wait_timeout_ms
+
+
+@dataclass
+class PoolStats:
+    admitted: int = 0
+    queued: int = 0
+    rejected: int = 0
+    timed_out: int = 0
+    running: int = 0
+    waiting: int = 0
+    # completed admission order, for tests/readouts (query labels)
+    admission_order: list = field(default_factory=list)
+
+
+class AdmissionController:
+    """FIFO per-pool admission. Thread-safe; one instance per server."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._configs: dict[str, PoolConfig] = {}
+        self._stats: dict[str, PoolStats] = {}
+        # FIFO ticket queue per pool: admission strictly in arrival order,
+        # like the reference's queue (no barging when a slot frees up).
+        self._queues: dict[str, list[int]] = {}
+        self._next_ticket = 0
+
+    def configure_pool(self, pool: str, max_requests: int | None = None,
+                       max_queued: int | None = None,
+                       queue_timeout_ms: int | None = None) -> PoolConfig:
+        with self._lock:
+            cfg = self._configs.setdefault(pool, PoolConfig())
+            if max_requests is not None:
+                cfg.max_requests = int(max_requests)
+            if max_queued is not None:
+                cfg.max_queued = int(max_queued)
+            if queue_timeout_ms is not None:
+                cfg.queue_timeout_ms = int(queue_timeout_ms)
+            self._cv.notify_all()
+            return cfg
+
+    def _pool(self, pool: str) -> tuple[PoolConfig, PoolStats, list]:
+        cfg = self._configs.setdefault(pool, PoolConfig())
+        st = self._stats.setdefault(pool, PoolStats())
+        q = self._queues.setdefault(pool, [])
+        return cfg, st, q
+
+    def admit(self, pool: str = "default", label: str = "") -> None:
+        """Block until admitted. Raises AdmissionRejected / AdmissionTimeout."""
+        with self._cv:
+            cfg, st, q = self._pool(pool)
+            if cfg.max_requests <= 0:  # unlimited pool: fast path
+                st.admitted += 1
+                st.running += 1
+                st.admission_order.append(label)
+                return
+            if st.running < cfg.max_requests and not q:
+                st.admitted += 1
+                st.running += 1
+                st.admission_order.append(label)
+                return
+            if len(q) >= cfg.max_queued:
+                st.rejected += 1
+                raise AdmissionRejected(
+                    f"pool {pool}: queue full ({cfg.max_queued} queued)"
+                )
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            q.append(ticket)
+            st.queued += 1
+            st.waiting += 1
+            deadline = time.monotonic() + cfg.queue_timeout_ms / 1000.0
+            try:
+                while True:
+                    cfg = self._configs[pool]
+                    if (q and q[0] == ticket
+                            and (cfg.max_requests <= 0
+                                 or st.running < cfg.max_requests)):
+                        q.pop(0)
+                        st.admitted += 1
+                        st.running += 1
+                        st.admission_order.append(label)
+                        return
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        st.timed_out += 1
+                        raise AdmissionTimeout(
+                            f"pool {pool}: admission queue wait exceeded "
+                            f"{cfg.queue_timeout_ms} ms"
+                        )
+                    self._cv.wait(timeout=remaining)
+            except BaseException:
+                if ticket in q:
+                    q.remove(ticket)
+                self._cv.notify_all()
+                raise
+            finally:
+                st.waiting -= 1
+
+    def release(self, pool: str = "default") -> None:
+        with self._cv:
+            _, st, _ = self._pool(pool)
+            st.running = max(0, st.running - 1)
+            self._cv.notify_all()
+
+    def stats(self, pool: str | None = None) -> dict:
+        """Readout: per-pool counters (the SHOW ADMISSION equivalent of the
+        reference's /admission debug endpoint)."""
+        with self._lock:
+            pools = [pool] if pool else sorted(
+                set(self._configs) | set(self._stats)
+            )
+            out = {}
+            for p in pools:
+                cfg, st, q = self._pool(p)
+                out[p] = {
+                    "max_requests": cfg.max_requests,
+                    "max_queued": cfg.max_queued,
+                    "queue_timeout_ms": cfg.queue_timeout_ms,
+                    "admitted": st.admitted,
+                    "queued_total": st.queued,
+                    "rejected": st.rejected,
+                    "timed_out": st.timed_out,
+                    "running_now": st.running,
+                    "waiting_now": st.waiting,
+                }
+            return out
+
+    def admission_order(self, pool: str = "default") -> list:
+        with self._lock:
+            return list(self._stats.setdefault(pool, PoolStats()).admission_order)

@@ -1,0 +1,359 @@
+"""Network front door: an HS2-equivalent SQL service over TCP.
+
+Reference parity: the reference engine is a network daemon first — clients
+speak HiveServer2 (`be/src/service/impala-hs2-server.cc:442`
+ExecuteStatement/FetchResults/OpenSession) or Beeswax
+(`be/src/service/impala-beeswax-server.cc:170` query/fetch) to impalad,
+and every session carries its own query options, database, and in-flight
+operation handles (`be/src/service/impala-server.h` SessionState /
+QueryExecState).
+
+Spark-native mapping (no Thrift dependency in this container — the wire
+format is newline-delimited JSON, one request/response object per line,
+deliberately mirroring HS2's RPC surface):
+
+  open_session   -> OpenSession: allocates a session backed by
+                    `spark.newSession()` — an isolated SparkSession sharing
+                    the SparkContext but with its OWN SQL conf, temp views
+                    and UDFs, which is exactly HS2's per-session contract —
+                    plus an Engine for dialect SQL / SET options.
+  execute        -> ExecuteStatement (+ first FetchResults batch inline):
+                    runs Impala-dialect SQL, returns an operation handle,
+                    column names/types, and up to `fetch` rows.
+  fetch          -> FetchResults: paginated continuation.
+  profile        -> GetRuntimeProfile: the executed plan's per-operator
+                    metrics tree (plans.profile_text).
+  explain        -> the reference's Explain() endpoint.
+  close_operation/close_session/ping -> their HS2 namesakes.
+
+Admission control (`be/src/scheduling/admission-controller.cc`): every
+execute is admitted into the session's REQUEST_POOL through
+admission.AdmissionController — admitted / FIFO-queued / rejected per the
+pool's MAX_REQUESTS / MAX_QUEUED / QUEUE_TIMEOUT_MS (all settable via SET,
+like the reference's pool config + REQUEST_POOL option). `admission_stats`
+is the /admission debug-endpoint readout.
+
+Scale notes: the server is a thin driver-side layer — each statement runs
+on the connection's thread against the shared SparkContext, so N clients
+get Spark's normal FAIR-scheduler concurrency (see tests/test_concurrency).
+Result buffering is bounded by the client's fetch pagination, not by
+row-count materialization on the wire.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import decimal
+import json
+import socket
+import socketserver
+import threading
+import uuid
+
+from pyspark.sql import SparkSession
+
+from .admission import (AdmissionController, AdmissionRejected,
+                        AdmissionTimeout)
+from .engine import Engine
+from .session import ensure_session_confs, register_tables
+
+# SET keys consumed by the admission layer (pool config), applied to the
+# session's current REQUEST_POOL.
+_ADMISSION_KEYS = ("MAX_REQUESTS", "MAX_QUEUED", "QUEUE_TIMEOUT_MS")
+
+
+def _json_val(v):
+    """Make a row value JSON-safe while keeping it faithful enough for a
+    shell: temporal -> ISO strings, Decimal -> str (no precision loss),
+    bytes -> base64, nested arrays/maps/structs -> recursed containers."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, dict):
+        return {str(k): _json_val(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_val(x) for x in v]
+    if hasattr(v, "asDict"):  # pyspark Row (struct)
+        return {k: _json_val(x) for k, x in v.asDict().items()}
+    return str(v)
+
+
+class _Operation:
+    """A finished statement's buffered result — the QueryExecState analogue
+    (rows are materialized at execute time, like the reference coordinator's
+    result cache; fetch() paginates)."""
+
+    def __init__(self, columns, types, rows, profile=""):
+        self.columns = columns
+        self.types = types
+        self.rows = rows
+        self.profile = profile
+        self.pos = 0
+
+    def fetch(self, max_rows: int):
+        batch = self.rows[self.pos:self.pos + max_rows]
+        self.pos += len(batch)
+        return batch, self.pos < len(self.rows)
+
+
+class _Session:
+    def __init__(self, spark: SparkSession, sf_dir: str | None):
+        self.spark = spark.newSession()
+        ensure_session_confs(self.spark)
+        if sf_dir:
+            register_tables(self.spark, sf_dir)
+        self.engine = Engine(self.spark)
+        self.operations: dict[str, _Operation] = {}
+        self.last_handle: str | None = None
+
+    @property
+    def pool(self) -> str:
+        return self.engine.options.get("REQUEST_POOL") or "default"
+
+
+class I2SServer:
+    """Threaded TCP server; `start()` binds and serves in the background."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None,
+                 host: str = "127.0.0.1", port: int = 0):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._host = host
+        self._port = port
+        self._sessions: dict[str, _Session] = {}
+        self._lock = threading.Lock()
+        self.admission = AdmissionController()
+        self._tcp: socketserver.ThreadingTCPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> tuple[str, int]:
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for raw in self.rfile:
+                    line = raw.decode("utf-8", errors="replace").strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                        resp = outer._dispatch(req)
+                    except (AdmissionRejected, AdmissionTimeout) as e:
+                        resp = {"ok": False, "error": str(e),
+                                "error_class": type(e).__name__}
+                    except Exception as e:  # per-request fault isolation
+                        resp = {"ok": False, "error": str(e),
+                                "error_class": type(e).__name__}
+                    self.wfile.write(
+                        (json.dumps(resp, default=str) + "\n").encode("utf-8")
+                    )
+                    self.wfile.flush()
+
+        class TCP(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._tcp = TCP((self._host, self._port), Handler)
+        self._thread = threading.Thread(
+            target=self._tcp.serve_forever, name="i2s-server", daemon=True
+        )
+        self._thread.start()
+        return self._tcp.server_address[:2]
+
+    def stop(self) -> None:
+        if self._tcp is not None:
+            self._tcp.shutdown()
+            self._tcp.server_close()
+            self._tcp = None
+
+    # -- dispatch ------------------------------------------------------------
+
+    def _session(self, req) -> _Session:
+        sid = req.get("session")
+        with self._lock:
+            sess = self._sessions.get(sid)
+        if sess is None:
+            raise ValueError(f"unknown session: {sid!r}")
+        return sess
+
+    def _dispatch(self, req: dict) -> dict:
+        op = req.get("op")
+        if op == "ping":
+            return {"ok": True, "server": "i2s-server",
+                    "spark_version": self._spark.version,
+                    "sessions": len(self._sessions)}
+        if op == "open_session":
+            sess = _Session(self._spark, req.get("sf_dir") or self._sf_dir)
+            for k, v in (req.get("config") or {}).items():
+                sess.engine.set(k, v)
+            sid = uuid.uuid4().hex[:12]
+            with self._lock:
+                self._sessions[sid] = sess
+            return {"ok": True, "session": sid,
+                    "spark_version": self._spark.version}
+        if op == "close_session":
+            with self._lock:
+                self._sessions.pop(req.get("session"), None)
+            return {"ok": True}
+        if op == "admission_stats":
+            return {"ok": True, "pools": self.admission.stats()}
+
+        sess = self._session(req)
+        if op == "execute":
+            return self._execute(sess, req)
+        if op == "fetch":
+            o = sess.operations.get(req.get("handle") or sess.last_handle)
+            if o is None:
+                raise ValueError("unknown operation handle")
+            rows, more = o.fetch(int(req.get("max_rows", 1024)))
+            return {"ok": True, "rows": rows, "has_more": more}
+        if op == "profile":
+            o = sess.operations.get(req.get("handle") or sess.last_handle)
+            if o is None:
+                raise ValueError("unknown operation handle")
+            return {"ok": True, "profile": o.profile}
+        if op == "explain":
+            return {"ok": True, "plan": sess.engine.explain(req["sql"])}
+        if op == "close_operation":
+            sess.operations.pop(req.get("handle"), None)
+            return {"ok": True}
+        raise ValueError(f"unknown op: {op!r}")
+
+    # -- statement execution ---------------------------------------------------
+
+    def _apply_admission_set(self, sess: _Session, key: str, value) -> None:
+        kwargs = {"MAX_REQUESTS": "max_requests",
+                  "MAX_QUEUED": "max_queued",
+                  "QUEUE_TIMEOUT_MS": "queue_timeout_ms"}[key]
+        self.admission.configure_pool(sess.pool, **{kwargs: int(value)})
+
+    def _execute(self, sess: _Session, req: dict) -> dict:
+        import re
+        import time as _time
+
+        sql = (req.get("sql") or "").strip().rstrip(";").strip()
+        fetch = int(req.get("fetch", 1024))
+        label = req.get("label", sql[:40])
+
+        # session-level statements that never hit Spark: SET / UNSET
+        m = re.match(r"(?is)^SET(\s+(\w+)\s*=\s*(.*))?$", sql)
+        if m:
+            if m.group(1) is None:
+                rows = [[k, v] for k, v in sorted(sess.engine.options.items())]
+                return {"ok": True, "handle": None,
+                        "columns": ["option", "value"],
+                        "types": ["string", "string"],
+                        "rows": rows, "has_more": False}
+            k, v = m.group(2).upper(), m.group(3).strip().strip("'\"")
+            sess.engine.set(k, v)
+            if k in _ADMISSION_KEYS:
+                self._apply_admission_set(sess, k, v)
+            return {"ok": True, "handle": None, "columns": [], "types": [],
+                    "rows": [], "has_more": False}
+        m = re.match(r"(?is)^UNSET\s+(\w+)$", sql)
+        if m:
+            sess.engine.unset(m.group(1))
+            return {"ok": True, "handle": None, "columns": [], "types": [],
+                    "rows": [], "has_more": False}
+        if re.match(r"(?is)^EXPLAIN\s", sql):
+            plan = sess.engine.explain(sql[len("EXPLAIN"):].strip())
+            rows = [[line] for line in plan.splitlines()]
+            return {"ok": True, "handle": None, "columns": ["Explain String"],
+                    "types": ["string"], "rows": rows, "has_more": False}
+
+        pool = sess.pool
+        # REQUEST_POOL was SET on a (possibly different) connection thread;
+        # pool pinning is thread-local, so re-apply before running.
+        sess.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", pool if pool != "default" else None
+        )
+        self.admission.admit(pool, label=label)
+        try:
+            t0 = _time.perf_counter()
+            df = sess.engine.sql(sql)
+            collected = df.collect()
+            elapsed = _time.perf_counter() - t0
+            from .plans import profile_text
+
+            try:
+                profile = (
+                    f"Query: {sql}\nRows: {len(collected)}\n"
+                    f"Elapsed: {elapsed:.3f}s\n" + profile_text(df)
+                )
+            except Exception:
+                profile = f"Query: {sql}\nRows: {len(collected)}\n"
+            o = _Operation(
+                list(df.columns),
+                [f.dataType.simpleString() for f in df.schema.fields],
+                [[_json_val(v) for v in tuple(r)] for r in collected],
+                profile,
+            )
+        finally:
+            self.admission.release(pool)
+        handle = uuid.uuid4().hex[:12]
+        sess.operations[handle] = o
+        sess.last_handle = handle
+        rows, more = o.fetch(fetch)
+        return {"ok": True, "handle": handle, "columns": o.columns,
+                "types": o.types, "rows": rows, "has_more": more,
+                "row_count": len(o.rows), "elapsed": round(elapsed, 4)}
+
+
+class I2SClient:
+    """Minimal blocking client for the JSON-lines protocol (the shell's
+    connect mode and tests both use this; the reference analogue is the
+    shell's ImpalaClient over HS2)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 120.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self.session: str | None = None
+
+    def call(self, **req) -> dict:
+        self._sock.sendall((json.dumps(req) + "\n").encode("utf-8"))
+        line = self._rfile.readline()
+        if not line:
+            raise ConnectionError("server closed the connection")
+        return json.loads(line.decode("utf-8"))
+
+    def open_session(self, sf_dir: str | None = None, config: dict | None = None) -> str:
+        resp = self.call(op="open_session", sf_dir=sf_dir, config=config or {})
+        if not resp.get("ok"):
+            raise RuntimeError(resp.get("error"))
+        self.session = resp["session"]
+        return self.session
+
+    def execute(self, sql: str, fetch: int = 1024) -> dict:
+        resp = self.call(op="execute", session=self.session, sql=sql,
+                         fetch=fetch)
+        if not resp.get("ok"):
+            raise RuntimeError(resp.get("error"))
+        return resp
+
+    def fetch_all(self, resp: dict, max_rows: int = 1024) -> list:
+        rows = list(resp.get("rows") or [])
+        while resp.get("has_more"):
+            resp = self.call(op="fetch", session=self.session,
+                             handle=resp.get("handle"), max_rows=max_rows)
+            if not resp.get("ok"):
+                raise RuntimeError(resp.get("error"))
+            rows.extend(resp["rows"])
+        return rows
+
+    def close(self) -> None:
+        try:
+            if self.session:
+                self.call(op="close_session", session=self.session)
+        finally:
+            try:
+                self._sock.close()
+            except OSError:
+                pass

@@ -1,0 +1,340 @@
+"""HS2-equivalent network front door (impalatogo_spark/server.py).
+
+Reference parity targets:
+  * impala-hs2-server.cc:442 (OpenSession/ExecuteStatement/FetchResults)
+  * impala-beeswax-server.cc:170 (query/fetch)
+  * impala-server.h SessionState — per-session query options & database
+  * admission-controller.cc — admit/queue/reject per request pool
+
+The in-process tests drive a live TCP server (real sockets, threaded
+handler) against the shared SparkSession; the subprocess test boots the
+full daemon + remote shell end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+
+import pytest
+
+from impalatogo_spark.server import I2SClient, I2SServer
+
+TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    srv = I2SServer(spark, sf_dir=sf_dir)
+    host, port = srv.start()
+    yield srv, host, port
+    srv.stop()
+
+
+def _client(server) -> I2SClient:
+    _, host, port = server
+    c = I2SClient(host, port)
+    c.open_session()
+    return c
+
+
+def test_ping_and_basic_query(server):
+    c = _client(server)
+    try:
+        ping = c.call(op="ping")
+        assert ping["ok"] and ping["server"] == "i2s-server"
+        resp = c.execute("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+        assert resp["columns"] == ["r_regionkey", "r_name"]
+        rows = c.fetch_all(resp)
+        assert len(rows) == 5 and rows[0][0] == 0
+    finally:
+        c.close()
+
+
+def test_session_isolation_set_options(server):
+    """HS2 SessionState: SET in one session must not leak into another
+    (per-session query options, impala-server.h)."""
+    c1, c2 = _client(server), _client(server)
+    try:
+        c1.execute("SET DEFAULT_ORDER_BY_LIMIT=3")
+        q = "SELECT r_regionkey FROM region ORDER BY r_regionkey"
+        assert len(c1.fetch_all(c1.execute(q))) == 3
+        assert len(c2.fetch_all(c2.execute(q))) == 5
+        # SET readout reflects only the session's own options
+        opts1 = {r[0] for r in c1.fetch_all(c1.execute("SET"))}
+        opts2 = {r[0] for r in c2.fetch_all(c2.execute("SET"))}
+        assert "DEFAULT_ORDER_BY_LIMIT" in opts1
+        assert "DEFAULT_ORDER_BY_LIMIT" not in opts2
+    finally:
+        c1.close()
+        c2.close()
+
+
+def test_session_isolation_temp_views(server):
+    """spark.newSession() per session: temp views created in one session are
+    invisible to another (the HS2 per-session catalog contract)."""
+    c1, c2 = _client(server), _client(server)
+    try:
+        c1.execute("CREATE TEMPORARY VIEW t_srv_iso AS SELECT 1 AS x")
+        assert c1.fetch_all(c1.execute("SELECT x FROM t_srv_iso")) == [[1]]
+        resp = c2.call(op="execute", session=c2.session,
+                       sql="SELECT x FROM t_srv_iso")
+        assert not resp["ok"] and "t_srv_iso" in resp["error"]
+    finally:
+        c1.close()
+        c2.close()
+
+
+def test_fetch_pagination(server):
+    c = _client(server)
+    try:
+        resp = c.execute(
+            "SELECT n_nationkey FROM nation ORDER BY n_nationkey", fetch=10
+        )
+        assert resp["row_count"] == 25
+        assert len(resp["rows"]) == 10 and resp["has_more"]
+        batch2 = c.call(op="fetch", session=c.session, handle=resp["handle"],
+                        max_rows=10)
+        assert len(batch2["rows"]) == 10 and batch2["has_more"]
+        batch3 = c.call(op="fetch", session=c.session, handle=resp["handle"],
+                        max_rows=10)
+        assert len(batch3["rows"]) == 5 and not batch3["has_more"]
+        all_keys = [r[0] for r in resp["rows"] + batch2["rows"] + batch3["rows"]]
+        assert all_keys == list(range(25))
+    finally:
+        c.close()
+
+
+def test_error_keeps_connection_usable(server):
+    c = _client(server)
+    try:
+        resp = c.call(op="execute", session=c.session, sql="SELECT FROM nope")
+        assert not resp["ok"] and resp["error"]
+        assert c.fetch_all(c.execute("SELECT 1 AS one")) == [[1]]
+    finally:
+        c.close()
+
+
+def test_explain_and_profile(server):
+    c = _client(server)
+    try:
+        resp = c.execute("EXPLAIN SELECT count(*) FROM nation")
+        plan = "\n".join(r[0] for r in resp["rows"])
+        assert "Aggregate" in plan or "Scan" in plan
+        c.execute("SELECT count(*) AS c FROM nation")
+        prof = c.call(op="profile", session=c.session)
+        assert prof["ok"] and "Rows: 1" in prof["profile"]
+    finally:
+        c.close()
+
+
+def test_impala_dialect_over_the_wire(server):
+    """The server speaks the Impala dialect end-to-end, not bare Spark SQL."""
+    c = _client(server)
+    try:
+        rows = c.fetch_all(c.execute(
+            "SELECT cast(l_shipdate AS string) AS d FROM lineitem "
+            "WHERE year(l_shipdate) = 1995 ORDER BY d LIMIT 2"
+        ))
+        assert all(r[0].startswith("1995") for r in rows)
+    finally:
+        c.close()
+
+
+def test_concurrent_clients_match_serial(server, spark, sf_dir):
+    """N concurrent socket clients each get exactly the serial answer
+    (the multi-tenant serving path, admission-controller.cc motivation)."""
+    queries = {
+        "a": "SELECT count(*) AS c FROM lineitem",
+        "b": "SELECT count(*) AS c FROM orders",
+        "c": "SELECT count(DISTINCT c_nationkey) AS c FROM customer",
+        "d": "SELECT sum(r_regionkey) AS c FROM region",
+    }
+    serial = {}
+    c0 = _client(server)
+    try:
+        for k, q in queries.items():
+            serial[k] = c0.fetch_all(c0.execute(q))
+    finally:
+        c0.close()
+
+    results, errors = {}, []
+
+    def run(k):
+        try:
+            cc = _client(server)
+            try:
+                # pin each client to its own scheduler pool, like per-session
+                # REQUEST_POOL assignments
+                cc.execute(f"SET REQUEST_POOL=pool_{k}")
+                results[k] = cc.fetch_all(cc.execute(queries[k]))
+            finally:
+                cc.close()
+        except Exception as e:  # surfaces in the assert below
+            errors.append((k, e))
+
+    threads = [threading.Thread(target=run, args=(k,)) for k in queries]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert results == serial
+
+
+def test_admission_queueing_cap2(server):
+    """SET MAX_REQUESTS=2 on a pool: 4 concurrent statements never run more
+    than 2 at a time and admission follows arrival order
+    (admission-controller.cc queue semantics)."""
+    srv, host, port = server
+    setup = I2SClient(host, port)
+    setup.open_session()
+    try:
+        setup.execute("SET REQUEST_POOL=etl_capped")
+        setup.execute("SET MAX_REQUESTS=2")
+    finally:
+        setup.close()
+
+    stats0 = srv.admission.stats("etl_capped")["etl_capped"]
+    labels = [f"q{i}" for i in range(4)]
+    errors = []
+
+    def run(label):
+        try:
+            c = I2SClient(host, port)
+            c.open_session()
+            try:
+                c.execute("SET REQUEST_POOL=etl_capped")
+                resp = c.call(op="execute", session=c.session,
+                              sql="SELECT count(*) AS c FROM lineitem l "
+                                  "JOIN orders o ON l.l_orderkey = o.o_orderkey",
+                              label=label)
+                assert resp["ok"], resp
+            finally:
+                c.close()
+        except Exception as e:
+            errors.append((label, e))
+
+    threads = [threading.Thread(target=run, args=(lb,)) for lb in labels]
+    for t in threads:
+        t.start()
+        time.sleep(0.15)  # deterministic arrival order
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    stats = srv.admission.stats("etl_capped")["etl_capped"]
+    assert stats["max_requests"] == 2
+    assert stats["admitted"] - stats0["admitted"] == 4
+    assert stats["queued_total"] > stats0["queued_total"], \
+        "with cap 2 and 4 concurrent statements, some must have queued"
+    assert stats["running_now"] == 0 and stats["waiting_now"] == 0
+    order = srv.admission.admission_order("etl_capped")
+    assert [x for x in order if x in labels] == labels, \
+        "admission must follow FIFO arrival order"
+
+
+def test_admission_rejects_when_queue_full(server):
+    srv, host, port = server
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        c.execute("SET REQUEST_POOL=tiny_pool")
+        c.execute("SET MAX_REQUESTS=1")
+        c.execute("SET MAX_QUEUED=0")
+        done = threading.Event()
+        hold = threading.Event()
+
+        def long_query():
+            cc = I2SClient(host, port)
+            cc.open_session()
+            try:
+                cc.execute("SET REQUEST_POOL=tiny_pool")
+                hold.set()
+                cc.execute("SELECT count(*) AS c FROM lineitem l, orders o "
+                           "WHERE l.l_orderkey = o.o_orderkey")
+            finally:
+                cc.close()
+                done.set()
+
+        t = threading.Thread(target=long_query)
+        t.start()
+        hold.wait(timeout=30)
+        # race the short window: retry until the long query is actually
+        # holding the slot or has finished
+        rejected = False
+        while not done.is_set():
+            resp = c.call(op="execute", session=c.session,
+                          sql="SELECT 1 AS one")
+            if not resp["ok"]:
+                assert resp["error_class"] == "AdmissionRejected"
+                assert "queue full" in resp["error"]
+                rejected = True
+                break
+        t.join(timeout=120)
+        stats = srv.admission.stats("tiny_pool")["tiny_pool"]
+        if rejected:
+            assert stats["rejected"] >= 1
+    finally:
+        c.close()
+
+
+def test_close_session_invalidates(server):
+    c = _client(server)
+    sid = c.session
+    c.close()
+    _, host, port = server
+    c2 = I2SClient(host, port)
+    try:
+        resp = c2.call(op="execute", session=sid, sql="SELECT 1")
+        assert not resp["ok"] and "unknown session" in resp["error"]
+    finally:
+        c2._sock.close()
+
+
+def test_shell_server_end_to_end():
+    """Boot the real daemon (`i2s_shell.py --listen`) in a subprocess and
+    drive it with the real remote shell (`--connect`) — the full network
+    path a reference user gets from `impala-shell -i host:port`."""
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    srv = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "i2s_shell.py"),
+         "--listen", "127.0.0.1:0", "--sf-dir", TEST_SF_DIR],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+    try:
+        port = None
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = srv.stdout.readline()
+            if not line:
+                time.sleep(0.2)
+                continue
+            if line.startswith("i2s-server listening on "):
+                port = int(line.rsplit(":", 1)[1])
+                break
+        assert port, "server never reported its port"
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "i2s_shell.py"),
+             "--connect", f"127.0.0.1:{port}", "-B",
+             "-q", "SET DEFAULT_ORDER_BY_LIMIT=2; "
+                   "SELECT r_regionkey FROM region ORDER BY r_regionkey;"],
+            capture_output=True, text=True, timeout=180, env=env,
+        )
+        assert out.returncode == 0, out.stderr
+        data_lines = [ln for ln in out.stdout.splitlines()
+                      if ln.strip() and ln.strip() != "OK"]
+        assert data_lines == ["0", "1"], out.stdout
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            srv.kill()

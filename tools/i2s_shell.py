@@ -7,6 +7,12 @@ Usage:
   python tools/i2s_shell.py -q "SELECT 1 AS x;"  # one-shot query
   python tools/i2s_shell.py -f script.sql        # run a ;-separated script
   python tools/i2s_shell.py --sf-dir DIR         # register testdata tables
+  python tools/i2s_shell.py --listen [H:]PORT    # serve SQL over TCP
+                                                 # (HS2-equivalent daemon,
+                                                 # impalatogo_spark/server.py)
+  python tools/i2s_shell.py --connect H:PORT     # remote shell against a
+                                                 # --listen server (like
+                                                 # impala-shell -i host:port)
 
 Shell commands (backslash-free, impala-shell style):
   use <db>; set k=v; set; unset k; explain <sql>; describe <tbl>;
@@ -163,6 +169,117 @@ class Shell:
         return f"{body}\nFetched {len(rows)} row(s) in {dt:.2f}s"
 
 
+class RemoteShell:
+    """Shell backend that talks to a --listen server over the JSON-lines
+    protocol (impalatogo_spark/server.py) — the impala-shell -i equivalent:
+    purely client-side commands (history, rerun, source, shell escape) stay
+    local; SQL / SET / EXPLAIN / profile run on the server's session."""
+
+    def __init__(self, host: str, port: int, sf_dir: str | None,
+                 delimited: bool = False, output_delimiter: str = "\t"):
+        from impalatogo_spark.server import I2SClient
+
+        self.client = I2SClient(host, port)
+        self.client.open_session(sf_dir=sf_dir)
+        self.history: list[str] = []
+        self.delimited = delimited
+        self.output_delimiter = output_delimiter
+        self._endpoint = f"{host}:{port}"
+
+    def execute(self, stmt: str) -> str:
+        stmt = stmt.strip().rstrip(";").strip()
+        if not stmt:
+            return ""
+        self.history.append(stmt)
+        low = stmt.lower()
+        if low in ("quit", "exit"):
+            self.client.close()
+            raise EOFError
+        if low == "help":
+            return __doc__ or ""
+        if low == "version":
+            ping = self.client.call(op="ping")
+            return (f"i2s-shell connected to {self._endpoint} "
+                    f"(Spark {ping.get('spark_version')})")
+        if low == "history":
+            return "\n".join(f"[{i}] {s}" for i, s in enumerate(self.history[:-1], 1))
+        if low == "connect" or low.startswith("connect "):
+            return f"Connected to {self._endpoint}"
+        if low == "profile":
+            resp = self.client.call(op="profile", session=self.client.session)
+            return resp.get("profile") or "(no previous query)" \
+                if resp.get("ok") else f"ERROR: {resp.get('error')}"
+        if low.startswith("rerun ") or stmt.startswith("@"):
+            self.history.pop()
+            arg = stmt[1:] if stmt.startswith("@") else stmt.split(None, 1)[1]
+            idx = int(arg)
+            n = len(self.history)
+            pos = idx - 1 if idx > 0 else n + idx
+            if not 0 <= pos < n:
+                raise ValueError(f"rerun: history has {n} entries, no [{idx}]")
+            return self.execute(self.history[pos])
+        if low.startswith("source "):
+            path = stmt.split(None, 1)[1].strip().strip("'\"")
+            with open(path) as f:
+                text = f.read()
+            outs = [self.execute(s) for s in text.split(";") if s.strip()]
+            return "\n".join(o for o in outs if o)
+        if low.startswith("shell ") or stmt.startswith("!"):
+            import subprocess
+
+            cmd = stmt[1:] if stmt.startswith("!") else stmt.split(None, 1)[1]
+            res = subprocess.run(cmd, shell=True, capture_output=True, text=True)
+            return res.stdout + res.stderr
+        # everything else — SQL, SET, UNSET, EXPLAIN, USE, DDL — is the
+        # server's job (ExecuteStatement)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        resp = self.client.execute(stmt)
+        rows = self.client.fetch_all(resp)
+        dt = _time.perf_counter() - t0
+        cols = resp.get("columns") or []
+        if not cols:
+            return "OK"
+        if self.delimited:
+            d = self.output_delimiter
+            return "\n".join(
+                d.join("NULL" if v is None else str(v) for v in r)
+                for r in rows
+            )
+        body = _fmt_table(cols, [tuple(r) for r in rows])
+        return f"{body}\nFetched {len(rows)} row(s) in {dt:.2f}s"
+
+
+def _parse_hostport(spec: str, default_host: str = "127.0.0.1") -> tuple[str, int]:
+    if ":" in spec:
+        h, p = spec.rsplit(":", 1)
+        return (h or default_host), int(p)
+    return default_host, int(spec)
+
+
+def _serve(args) -> None:
+    from impalatogo_spark.server import I2SServer
+    from impalatogo_spark.session import get_spark
+
+    host, port = _parse_hostport(args.listen)
+    spark = get_spark("i2s-server")
+    server = I2SServer(spark, sf_dir=args.sf_dir, host=host, port=port)
+    bound_host, bound_port = server.start()
+    # exact marker line, parsed by connect-mode scripts and tests
+    print(f"i2s-server listening on {bound_host}:{bound_port}", flush=True)
+    try:
+        import signal
+        import threading
+
+        stop = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *_: stop.set())
+        signal.signal(signal.SIGINT, lambda *_: stop.set())
+        stop.wait()
+    finally:
+        server.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="i2s SQL shell")
     ap.add_argument("-q", "--query", help="execute one statement and exit")
@@ -174,9 +291,23 @@ def main() -> None:
                     help="field delimiter for -B output (default tab)")
     ap.add_argument("-o", "--output_file",
                     help="write query output to this file as well as stdout")
+    ap.add_argument("--listen", metavar="[HOST:]PORT",
+                    help="serve SQL over TCP instead of running a REPL")
+    ap.add_argument("--connect", "-i", metavar="HOST:PORT",
+                    help="connect to a --listen server instead of starting "
+                         "an in-process engine")
     args = ap.parse_args()
-    shell = Shell(args.sf_dir, delimited=args.delimited,
-                  output_delimiter=args.output_delimiter)
+    if args.listen:
+        _serve(args)
+        return
+    if args.connect:
+        host, port = _parse_hostport(args.connect)
+        shell = RemoteShell(host, port, args.sf_dir,
+                            delimited=args.delimited,
+                            output_delimiter=args.output_delimiter)
+    else:
+        shell = Shell(args.sf_dir, delimited=args.delimited,
+                      output_delimiter=args.output_delimiter)
     import builtins
 
     out_f = open(args.output_file, "w") if args.output_file else None
