@@ -274,6 +274,33 @@ def translate(sql: str) -> str:
     # hive-benchmark workload: "pageRank > 10 && pageRank < 25").
     # Spark SQL does not. Literals are masked, so this cannot hit strings.
     chunk = re.sub(r"&&", " AND ", chunk)
+    # RIGHT SEMI / RIGHT ANTI JOIN (sql-parser.y join_operator; Impala
+    # returns the RIGHT side's rows). Spark only parses the LEFT forms, so
+    # swap sides textually: everything between FROM and the operator
+    # becomes the new right side (parenthesized when it is itself a join
+    # chain — Spark accepts a parenthesized joined-table there), the
+    # joined relation becomes the new left. Left-associativity keeps any
+    # tail joins correct: (X RSJ C) JOIN D == (C LSJ X) JOIN D.
+    _rsj = re.compile(
+        r"\bFROM\s+(?P<left>.+?)\s+RIGHT\s+(?P<kind>SEMI|ANTI)\s+JOIN\s+"
+        r"(?P<right>\w+(?:\.\w+)?(?:\s+(?:AS\s+)?(?!ON\b)\w+)?)\s+ON\s+"
+        r"(?P<cond>.+?)"
+        r"(?P<tail>\s+(?:(?:LEFT|RIGHT|FULL|INNER|CROSS)\s+(?:OUTER\s+)?"
+        r"JOIN|JOIN|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION)\b.*|$)",
+        re.IGNORECASE | re.DOTALL,
+    )
+    while True:
+        m = _rsj.search(chunk)
+        if not m:
+            break
+        left = m.group("left").strip()
+        if re.search(r"\bJOIN\b", left, flags=re.IGNORECASE):
+            left = f"({left})"
+        chunk = (
+            chunk[: m.start()]
+            + f"FROM {m.group('right')} LEFT {m.group('kind').upper()} JOIN "
+            + f"{left} ON {m.group('cond')}{m.group('tail')}"
+        )
     chunk = _rewrite_trunc(chunk, stash)
     chunk = _rewrite_functions(chunk)
     return _restore_literals(chunk, stash)

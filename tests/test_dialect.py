@@ -438,3 +438,38 @@ def test_insert_and_scan_bracket_hints_stripped(spark, sf_dir):
     register_tables(spark, sf_dir)
     n = eng.sql("SELECT count(*) AS n FROM region [schedule_random_replica]").first().n
     assert n == 5
+
+
+def test_right_semi_anti_join_translation(spark, sf_dir):
+    """RIGHT SEMI / RIGHT ANTI JOIN (sql-parser.y join_operator): Spark
+    only parses the LEFT forms, so the dialect swaps sides — including a
+    parenthesized join-chain left side. Values pinned against the
+    equivalent LEFT-form queries."""
+    out = translate(
+        "SELECT * FROM customer c RIGHT SEMI JOIN nation n "
+        "ON c.c_nationkey = n.n_nationkey")
+    assert "LEFT SEMI JOIN" in out and "RIGHT SEMI" not in out
+    assert out.index("nation n") < out.index("customer c")
+    out = translate(
+        "SELECT * FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "RIGHT ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE n.n_regionkey = 1")
+    assert "LEFT ANTI JOIN (customer c JOIN orders o" in out
+    assert out.rstrip().endswith("WHERE n.n_regionkey = 1")
+
+    register_tables(spark, sf_dir)
+    eng = Engine(spark)
+    semi = eng.sql(
+        "SELECT count(*) AS c FROM customer RIGHT SEMI JOIN nation "
+        "ON c_nationkey = n_nationkey").first().c
+    ref = eng.sql(
+        "SELECT count(*) AS c FROM nation LEFT SEMI JOIN customer "
+        "ON c_nationkey = n_nationkey").first().c
+    assert semi == ref > 0
+    anti = eng.sql(
+        "SELECT count(*) AS c FROM customer RIGHT ANTI JOIN nation "
+        "ON c_nationkey = n_nationkey AND c_acctbal > 9950").first().c
+    ref = eng.sql(
+        "SELECT count(*) AS c FROM nation LEFT ANTI JOIN customer "
+        "ON c_nationkey = n_nationkey AND c_acctbal > 9950").first().c
+    assert anti == ref
