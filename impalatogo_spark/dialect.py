@@ -66,9 +66,8 @@ _DEFAULT_TRAILING_ARGS = {
 # Impala trunc(ts, 'FMT') Oracle-style unit codes (timestamp-functions.cc
 # TruncUnit) -> Spark date_trunc units. DAY/DY/D truncate to start of week
 # (Monday) in both. WW/W (align to the weekday of Jan-1 / month-start) have
-# no date_trunc equivalent and are left untranslated (SURVEY §8
-# divergences); numeric trunc(x[, d]) is untouched (no string-literal
-# second argument).
+# no date_trunc equivalent and expand to date arithmetic in _rewrite_trunc;
+# numeric trunc(x[, d]) is untouched (no string-literal second argument).
 _TRUNC_UNIT = {
     "SYYYY": "YEAR", "YYYY": "YEAR", "YEAR": "YEAR", "SYEAR": "YEAR",
     "YYY": "YEAR", "YY": "YEAR", "Y": "YEAR",
@@ -124,9 +123,23 @@ def _rewrite_trunc(chunk: str, stash: list[str]) -> str:
         if len(args) == 2:
             ph = re.fullmatch(r"\x00(\d+)\x00", args[1])
             if ph:
-                unit = _TRUNC_UNIT.get(stash[int(ph.group(1))].strip("'\"").upper())
+                fmt = stash[int(ph.group(1))].strip("'\"").upper()
+                unit = _TRUNC_UNIT.get(fmt)
                 if unit:
                     repl = f"date_trunc('{unit}', {args[0]})"
+                elif fmt in ("WW", "W"):
+                    # TruncUnit WEEK_OF_YEAR / WEEK_OF_MONTH
+                    # (timestamp-functions.cc): most recent day <= x whose
+                    # day-of-week matches Jan-1 (WW) / the 1st of x's month
+                    # (W) — i.e. anchor + 7 * ((x - anchor) div 7) days.
+                    base = "YEAR" if fmt == "WW" else "MONTH"
+                    x = args[0]
+                    anchor = f"CAST(date_trunc('{base}', {x}) AS DATE)"
+                    repl = (
+                        f"CAST(date_add({anchor}, 7 * CAST("
+                        f"(datediff(CAST({x} AS DATE), {anchor}) DIV 7)"
+                        f" AS INT)) AS TIMESTAMP)"
+                    )
             else:
                 repl = (
                     f"(CAST(({args[0]}) * pow(10, ({args[1]})) AS BIGINT)"

@@ -1414,7 +1414,15 @@ SELECT o_orderkey,
                 '%Y-%m-%d %H:%M:%S.%f') AS ms1500,
        dayname(o_orderdate) AS dn,
        strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS tq,
-       strftime(date_trunc('week', o_orderdate),    '%Y-%m-%d') AS twk
+       strftime(date_trunc('week', o_orderdate),    '%Y-%m-%d') AS twk,
+       strftime(CAST(date_trunc('year', o_orderdate) AS DATE)
+                + INTERVAL (7 * ((CAST(o_orderdate AS DATE)
+                   - CAST(date_trunc('year', o_orderdate) AS DATE)) // 7)) DAY,
+                '%Y-%m-%d') AS tww,
+       strftime(CAST(date_trunc('month', o_orderdate) AS DATE)
+                + INTERVAL (7 * ((CAST(o_orderdate AS DATE)
+                   - CAST(date_trunc('month', o_orderdate) AS DATE)) // 7)) DAY,
+                '%Y-%m-%d') AS tw
 FROM orders WHERE o_orderkey <= 400
 """,
     tags=("functions", "date"),
@@ -1442,7 +1450,9 @@ SELECT o_orderkey,
                    'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ms1500,
        dayname(o_orderdate) AS dn,
        date_format(trunc(o_orderdate, 'Q'),   'yyyy-MM-dd') AS tq,
-       date_format(trunc(o_orderdate, 'DAY'), 'yyyy-MM-dd') AS twk
+       date_format(trunc(o_orderdate, 'DAY'), 'yyyy-MM-dd') AS twk,
+       date_format(trunc(o_orderdate, 'WW'),  'yyyy-MM-dd') AS tww,
+       date_format(trunc(o_orderdate, 'W'),   'yyyy-MM-dd') AS tw
 FROM orders WHERE o_orderkey <= 400
 """))
 
@@ -3367,6 +3377,63 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x in (
                 F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"nn_{col}"),
                 F.countDistinct(col).alias(f"nd_{col}"),
+                mn.alias(f"mn_{col}"),
+                mx.alias(f"mx_{col}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}"
+        for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    return a.select(
+        F.expr(f"stack(6, {stack})").alias("col_name", "n_nulls", "ndv", "min_v", "max_v"),
+        F.col("nr").alias("n_rows"),
+    ).select(
+        "col_name",
+        "n_rows",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("ndv").cast("long").alias("ndv"),
+        "min_v",
+        "max_v",
+    )
+
+
+@register(
+    "table_profile_approx",
+    oracle=None,  # sketch NDVs are engine-specific; bounded-error pytest
+    # (tests/test_plans.py) pins error vs the exact twin + no-Expand plan
+    tags=("profiling", "stats", "approx"),
+)
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB default form of `table_profile`: identical per-column
+    readout (rows / nulls / NDV / min / max from ONE scan) but NDV comes
+    from approx_count_distinct (HLL++, rsd 2.5%) instead of exact
+    COUNT(DISTINCT) — so Catalyst plans a single flat aggregate with NO
+    Expand node. The exact twin's Expand multiplies every scanned row by
+    the number of distinct-counted columns (6x here): fine for a readout
+    at test SF, wrong as the default against 100 TB. This is the ndv()
+    path the reference itself uses for COMPUTE STATS
+    (be/src/exprs/aggregate-functions.cc NDV, a fixed-size HLL) — stats
+    collection there is sketch-first for exactly this reason."""
+    ev = _t(spark, sf_dir, "events")
+    fmt_ts = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    micros = lambda c: F.round(c * 1000000).cast("long").cast("string")
+    a = ev.agg(
+        F.count(F.lit(1)).alias("nr"),
+        *[
+            x
+            for col, mn, mx in [
+                ("event_id", F.min("event_id").cast("string"), F.max("event_id").cast("string")),
+                ("ts", fmt_ts(F.min("ts")), fmt_ts(F.max("ts"))),
+                ("user_id", F.min("user_id").cast("string"), F.max("user_id").cast("string")),
+                ("event_type", F.min("event_type"), F.max("event_type")),
+                ("value", micros(F.min("value")), micros(F.max("value"))),
+                ("props", F.min("props"), F.max("props")),
+            ]
+            for x in (
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"nn_{col}"),
+                F.approx_count_distinct(col).alias(f"nd_{col}"),
                 mn.alias(f"mn_{col}"),
                 mx.alias(f"mx_{col}"),
             )

@@ -473,3 +473,26 @@ def test_right_semi_anti_join_translation(spark, sf_dir):
         "SELECT count(*) AS c FROM nation LEFT ANTI JOIN customer "
         "ON c_nationkey = n_nationkey AND c_acctbal > 9950").first().c
     assert anti == ref
+
+
+def test_trunc_week_codes(spark):
+    """trunc(ts,'WW'/'W') (timestamp-functions.cc TruncUnit WEEK_OF_YEAR /
+    WEEK_OF_MONTH): most recent day <= x whose weekday matches Jan-1 (WW)
+    resp. the 1st of x's month (W). Pinned: 2019-01-01 is a Tuesday,
+    2019-02-01 a Friday."""
+    cases = [
+        ("2019-02-08", "WW", "2019-02-05 00:00:00"),
+        ("2019-02-08", "W", "2019-02-08 00:00:00"),
+        ("2019-01-01", "WW", "2019-01-01 00:00:00"),
+        ("2019-01-07", "WW", "2019-01-01 00:00:00"),
+        ("2019-01-08", "WW", "2019-01-08 00:00:00"),
+        ("2019-02-07", "W", "2019-02-01 00:00:00"),
+        ("2019-12-31", "WW", "2019-12-31 00:00:00"),
+    ]
+    for d, fmt, want in cases:
+        sql = translate(
+            f"SELECT cast(trunc(cast('{d} 12:34:56' as timestamp), '{fmt}') "
+            f"as string) AS v")
+        assert "trunc(" not in sql.lower() or "date_trunc" in sql.lower()
+        got = spark.sql(sql).first().v
+        assert got == want, (d, fmt, got, want)

@@ -353,6 +353,30 @@ def test_table_profile_single_scan(spark, sf_dir):
     assert "Expand" in plan
 
 
+def test_table_profile_approx_no_expand(spark, sf_dir):
+    """The 100 TB profile default: approx_count_distinct keeps the single
+    scan AND drops the Expand row-multiplier; sketch NDVs stay within
+    HLL++ bounds of the exact twin, everything else matches exactly."""
+    from impalatogo_spark.queries.relational import (table_profile,
+                                                     table_profile_approx)
+
+    df = table_profile_approx(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, "approx profile must not multiply scan rows"
+
+    exact = {r["col_name"]: r for r in table_profile(spark, sf_dir).collect()}
+    approx = {r["col_name"]: r for r in df.collect()}
+    assert set(exact) == set(approx)
+    for col, e in exact.items():
+        a = approx[col]
+        for f in ("n_rows", "n_nulls", "min_v", "max_v"):
+            assert a[f] == e[f], (col, f, a[f], e[f])
+        # default rsd 0.05 -> generous 15% bound for tiny test SF
+        assert abs(a["ndv"] - e["ndv"]) <= max(3, 0.15 * e["ndv"]), (
+            col, a["ndv"], e["ndv"])
+
+
 def test_er_blocking_no_cartesian(spark, sf_dir):
     """Blocked ER candidate generation must plan an equi hash/merge join
     on the block keys with the edit-distance predicate applied post-join
