@@ -187,6 +187,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "join_null_safe_eq",
     "agg_covar_exact",
     "events_inter_arrival_stats",
+    # round 3: soft dedup, semantic decontamination, hybrid RRF retrieval,
+    # approx (no-Expand) table profile
+    "dedup_soft_weights",
+    "decontaminate_semantic",
+    "retrieval_hybrid_rrf",
+    "table_profile_approx",
 ]
 RUNS = 3
 

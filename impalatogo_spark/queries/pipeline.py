@@ -3546,3 +3546,197 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("gini_ppm"),
         )
     )
+
+
+# ===========================================================================
+# Round-3 additions: soft dedup, semantic decontamination, hybrid retrieval
+# ===========================================================================
+
+@register(
+    "dedup_soft_weights",
+    oracle="""
+WITH w AS (
+  SELECT source, n_chars,
+         count(*) OVER (PARTITION BY md5(text)) AS copies
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1000000 // copies) AS BIGINT) AS eff_docs_ppm,
+       CAST(sum(n_chars * (1000000 // copies)) AS BIGINT) AS eff_chars_ppm
+FROM w GROUP BY source
+""",
+    tags=("dedup", "pipeline", "governance"),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, each document is
+    down-weighted by 1/copies of its exact content hash (the soft-dedup /
+    duplicate-aware-sampling move: repeated documents contribute one
+    document's worth of training mass in total, split across copies).
+    Readout per source: raw docs vs effective (weight-summed) docs and
+    chars, weights as exact integer ppm (1000000 DIV copies — both engines
+    truncate identically on positives). Scale shape: ONE shuffle keyed on
+    the 32-byte hash (the window partition), then a map-side-combined
+    per-source aggregate — same cost as dedup_exact."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        "n_chars",
+        F.count(F.lit(1))
+        .over(W.partitionBy(F.md5("text")))
+        .alias("copies"),
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("1000000 DIV copies")).alias("eff_docs_ppm"),
+        F.sum(F.expr("n_chars * (1000000 DIV copies)")).alias("eff_chars_ppm"),
+    )
+
+
+@register(
+    "decontaminate_semantic",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+           FROM embeddings),
+bench AS (SELECT vec_id AS bench_id, emb,
+                 sqrt(list_dot_product(emb, emb)) AS nrm FROM e WHERE label = 0),
+corpus AS (SELECT vec_id, emb,
+                  sqrt(list_dot_product(emb, emb)) AS nrm FROM e WHERE label <> 0),
+scored AS (
+  SELECT c.vec_id, b.bench_id,
+         round(list_dot_product(c.emb, b.emb) / (c.nrm * b.nrm), 4) AS cos_sim
+  FROM corpus c CROSS JOIN bench b
+),
+flagged AS (
+  SELECT vec_id, bench_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, bench_id) AS rn
+  FROM scored WHERE cos_sim >= 0.45
+)
+SELECT vec_id, bench_id, cos_sim FROM flagged WHERE rn = 1
+""",
+    tags=("pipeline", "similarity", "decontamination"),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) train/test decontamination: flag corpus
+    vectors whose cosine to ANY benchmark vector (label 0 = the held-out
+    eval suite) reaches 0.45, reporting each flagged vector's best
+    benchmark match — the paraphrase-leakage companion to the n-gram
+    text_contamination gate. Scale shape mirrors it: a benchmark suite is
+    SMALL by nature (thousands of rows even at 100 TB corpora), so it is
+    BROADCAST and every corpus vector scores against it in one map-side
+    pass — zero corpus shuffle, recall 1.0 (sign-band blocking is the
+    wrong tool here: leakage thresholds sit far below the near-dup cosine
+    range where band recall holds). The per-vector best match is a window
+    over flagged rows only."""
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    bench = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("be"),
+        S._norm(F.col("embedding")).alias("bnrm"),
+    )
+    corpus = e.filter(F.col("label") != 0).select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        S._norm(F.col("embedding")).alias("cnrm"),
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        F.round(
+            S._dot(F.col("ce"), F.col("be")) / (F.col("cnrm") * F.col("bnrm")), 4
+        ).alias("cos_sim"),
+    )
+    flagged = scored.filter(F.col("cos_sim") >= 0.45)
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("bench_id"))
+    )
+    return (
+        flagged.withColumn("rn", rn).filter(F.col("rn") == 1)
+        .select("vec_id", "bench_id", "cos_sim")
+    )
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+WITH bm AS (
+  SELECT doc_id, rnk FROM ({X.bm25_topk_oracle(k=50)}) ),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS q_emb, sqrt(list_dot_product(emb, emb)) AS q_nrm
+      FROM e WHERE vec_id = 0),
+vscored AS (
+  SELECT vec_id,
+         round(list_dot_product(q_emb, emb)
+               / (q_nrm * sqrt(list_dot_product(emb, emb))), 4) AS cs
+  FROM e CROSS JOIN q
+),
+vr AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rnk
+  FROM vscored
+),
+vtop AS (SELECT vec_id, rnk FROM vr WHERE rnk <= 50),
+fused AS (
+  SELECT COALESCE(bm.doc_id, vtop.vec_id) AS doc_id,
+         bm.rnk AS rnk_bm25, vtop.rnk AS rnk_vec,
+         CAST(COALESCE(1000000000 // (60 + bm.rnk), 0)
+              + COALESCE(1000000000 // (60 + vtop.rnk), 0) AS BIGINT) AS rrf_ppb
+  FROM bm FULL OUTER JOIN vtop ON bm.doc_id = vtop.vec_id
+)
+SELECT doc_id, rrf_ppb,
+       CAST(rnk_bm25 AS BIGINT) AS rnk_bm25, CAST(rnk_vec AS BIGINT) AS rnk_vec
+FROM fused ORDER BY rrf_ppb DESC, doc_id LIMIT 10
+""",
+    tags=("pipeline", "similarity", "retrieval"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: the sparse branch
+    (BM25 top-50 for the fixed term set) and the dense branch (exact
+    cosine top-50 against query vector vec_id=0) fuse by
+    sum(1e9 DIV (60 + rank)) — the classic RRF k=60, as exact integers so
+    both engines rank identically; absent-from-one-branch contributes 0
+    via the FULL OUTER join. Scale shape: each branch is already the
+    scale-correct form (BM25: broadcast df/stats + TakeOrderedAndProject;
+    dense: broadcast 1-row query + TopN); the fusion joins two 50-row
+    frames — driver-trivial at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    bm = X.bm25_topk(docs, k=50).select(
+        F.col("doc_id").alias("b_id"), F.col("rnk").alias("rnk_bm25")
+    )
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        S._norm(F.col("embedding")).alias("q_nrm"),
+    )
+    vscored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            S._dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * S._norm(F.col("embedding"))),
+            4,
+        ).alias("cs"),
+    )
+    vtop = vscored.orderBy(F.desc("cs"), F.asc("vec_id")).limit(50)
+    # rank over the 50-row TopN result; non-foldable constant partition key
+    # keeps WindowExec's single-partition warning out (see bm25_topk)
+    vr = vtop.withColumn(
+        "rnk_vec",
+        F.row_number().over(
+            W.partitionBy(F.col("vec_id") % F.lit(1)).orderBy(
+                F.desc("cs"), F.asc("vec_id")
+            )
+        ),
+    ).select(F.col("vec_id").alias("v_id"), "rnk_vec")
+    fused = (
+        bm.join(vr, bm.b_id == vr.v_id, "full_outer")
+        .select(
+            F.coalesce("b_id", "v_id").alias("doc_id"),
+            (
+                F.coalesce(F.expr("1000000000 DIV (60 + rnk_bm25)"), F.lit(0))
+                + F.coalesce(F.expr("1000000000 DIV (60 + rnk_vec)"), F.lit(0))
+            ).cast("long").alias("rrf_ppb"),
+            F.col("rnk_bm25").cast("long").alias("rnk_bm25"),
+            F.col("rnk_vec").cast("long").alias("rnk_vec"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_ppb"), F.asc("doc_id")).limit(10)

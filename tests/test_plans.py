@@ -400,3 +400,32 @@ def test_hourly_seasonality_partial_agg(spark, sf_dir):
     from impalatogo_spark.queries.relational import events_hourly_seasonality
 
     assert plans.has_partial_aggregate(events_hourly_seasonality(spark, sf_dir))
+
+
+def test_decontaminate_semantic_broadcasts_benchmark(spark, sf_dir):
+    """Semantic decontamination must broadcast the (small by nature)
+    benchmark side and score the corpus map-side — a broadcast
+    nested-loop over the benchmark, never a CartesianProduct shuffle
+    explosion, and no exchange on the corpus branch before the join."""
+    from impalatogo_spark.queries.pipeline import decontaminate_semantic
+
+    df = decontaminate_semantic(spark, sf_dir)
+    plan = plans.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # the corpus scan must feed the join directly (no shuffle before it):
+    # the only Exchange allowed below the join is the broadcast one
+    join_pos = plan.index("BroadcastNestedLoopJoin")
+    below = plan[join_pos:]
+    assert "Exchange hashpartitioning" not in below.split("Window")[0], plan
+
+
+def test_hybrid_rrf_branches_are_topn(spark, sf_dir):
+    """Both RRF branches must reach their 50-row rank lists via
+    TakeOrderedAndProject (TopN), never a global sort or window over the
+    full corpus, and the fused join is 50x50-row driver-trivial."""
+    from impalatogo_spark.queries.pipeline import retrieval_hybrid_rrf
+
+    plan = plans.simple_plan(retrieval_hybrid_rrf(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan
