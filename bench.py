@@ -193,6 +193,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "decontaminate_semantic",
     "retrieval_hybrid_rrf",
     "table_profile_approx",
+    "select_kcenter_diversity",
 ]
 RUNS = 3
 

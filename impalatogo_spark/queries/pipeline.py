@@ -3740,3 +3740,22 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_ppb"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "select_kcenter_diversity",
+    oracle=S.kcenter_oracle(k=5),
+    tags=("pipeline", "similarity", "selection"),
+)
+def select_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware data selection via greedy k-center (farthest-point
+    traversal): pick 5 maximally-spread exemplar vectors, then report each
+    exemplar's coverage (nearest-center population) — the geometric
+    dual of SemDeDup (which prunes the DENSEST neighborhoods, while this
+    keeps the coverage extremes; both are standard curation passes over
+    the same embedding space). Exact integer arithmetic end-to-end, so the
+    DuckDB oracle reproduces every greedy pick and the coverage counts
+    bit-for-bit (operators/similarity.py::kcenter_select; oracle unrolls
+    the 5 rounds into chained CTEs). Scale: k joinless literal-center
+    scans + TakeOrderedAndProject(1) each, one k-row coverage aggregate."""
+    return S.kcenter_select(_t(spark, sf_dir, "embeddings"), k=5)
