@@ -190,9 +190,13 @@ def test_concurrent_clients_match_serial(server, spark, sf_dir):
 
 
 def test_admission_queueing_cap2(server):
-    """SET MAX_REQUESTS=2 on a pool: 4 concurrent statements never run more
-    than 2 at a time and admission follows arrival order
-    (admission-controller.cc queue semantics)."""
+    """SET MAX_REQUESTS=2 on a pool: with both slots held, every incoming
+    statement queues, and when the slots free up admission follows strict
+    arrival order (admission-controller.cc queue semantics). The test
+    holds the two slots via the controller directly and gates each
+    client's launch on the OBSERVED queue depth, so it cannot go flaky
+    under machine load (queries finishing before the next client arrives
+    was the timing-dependent failure mode)."""
     srv, host, port = server
     setup = I2SClient(host, port)
     setup.open_session()
@@ -205,35 +209,52 @@ def test_admission_queueing_cap2(server):
     stats0 = srv.admission.stats("etl_capped")["etl_capped"]
     labels = [f"q{i}" for i in range(4)]
     errors = []
+    clients = []
+    for _ in labels:  # sessions pre-opened so launch = one execute call
+        c = I2SClient(host, port)
+        c.open_session()
+        c.execute("SET REQUEST_POOL=etl_capped")
+        clients.append(c)
 
-    def run(label):
+    def run(c, label):
         try:
-            c = I2SClient(host, port)
-            c.open_session()
-            try:
-                c.execute("SET REQUEST_POOL=etl_capped")
-                resp = c.call(op="execute", session=c.session,
-                              sql="SELECT count(*) AS c FROM lineitem l "
-                                  "JOIN orders o ON l.l_orderkey = o.o_orderkey",
-                              label=label)
-                assert resp["ok"], resp
-            finally:
-                c.close()
+            resp = c.call(op="execute", session=c.session,
+                          sql="SELECT count(*) AS c FROM lineitem",
+                          label=label)
+            assert resp["ok"], resp
         except Exception as e:
             errors.append((label, e))
 
-    threads = [threading.Thread(target=run, args=(lb,)) for lb in labels]
-    for t in threads:
-        t.start()
-        time.sleep(0.15)  # deterministic arrival order
+    # occupy both slots so every client statement MUST queue
+    srv.admission.admit("etl_capped", label="holder_a")
+    srv.admission.admit("etl_capped", label="holder_b")
+    try:
+        threads = []
+        for i, (c, lb) in enumerate(zip(clients, labels)):
+            t = threading.Thread(target=run, args=(c, lb))
+            threads.append(t)
+            t.start()
+            deadline = time.time() + 60
+            while time.time() < deadline:  # gate on observed queue depth
+                st = srv.admission.stats("etl_capped")["etl_capped"]
+                if st["waiting_now"] >= i + 1:
+                    break
+                time.sleep(0.01)
+            else:
+                raise AssertionError(f"client {lb} never queued")
+    finally:
+        srv.admission.release("etl_capped")
+        srv.admission.release("etl_capped")
     for t in threads:
         t.join(timeout=120)
+    for c in clients:
+        c.close()
     assert not errors, errors
     stats = srv.admission.stats("etl_capped")["etl_capped"]
     assert stats["max_requests"] == 2
-    assert stats["admitted"] - stats0["admitted"] == 4
-    assert stats["queued_total"] > stats0["queued_total"], \
-        "with cap 2 and 4 concurrent statements, some must have queued"
+    # 2 manual holders + 4 client statements
+    assert stats["admitted"] - stats0["admitted"] == 6
+    assert stats["queued_total"] - stats0["queued_total"] == 4
     assert stats["running_now"] == 0 and stats["waiting_now"] == 0
     order = srv.admission.admission_order("etl_capped")
     assert [x for x in order if x in labels] == labels, \
