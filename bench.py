@@ -194,6 +194,8 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "retrieval_hybrid_rrf",
     "table_profile_approx",
     "select_kcenter_diversity",
+    "text_span_corruption",
+    "embedding_outlier_filter",
 ]
 RUNS = 3
 

@@ -1218,3 +1218,121 @@ ranked AS (SELECT doc_id, n_terms, round(s4 / 10000.0, 4) AS score,
            FROM agg)
 SELECT doc_id, n_terms, score, rnk FROM ranked WHERE rnk <= {k}
 """
+
+
+def span_corruption(df: DataFrame, text_col: str = "text",
+                    min_words: int = 8) -> DataFrame:
+    """T5-style span corruption with hash-deterministic spans.
+
+    Two non-overlapping spans (one per document half) are cut from the
+    word sequence and replaced by sentinel tokens; the target sequence is
+    the sentinel-delimited concatenation of the removed spans — the
+    denoising-pretraining transform (public: Raffel et al. 2020), the
+    masked twin of fim_transform. Span starts/lengths derive from pure
+    integer arithmetic on doc_id (Knuth multiplicative constants mod
+    large primes): no float, no RNG, bit-identical across engines.
+
+    Layout for an n-word doc (n >= min_words, n2 = n div 2):
+      len1 = 1 + h2 % 3;  a1 = 1 + h1 % (n2 - len1)        (first half)
+      len2 = 1 + h1 % 3;  a2 = n2 + 1 + h3 % (n - n2 - len2 + 1)
+    corrupted = w[1..a1-1] <x> w[a1+len1..a2-1] <y> w[a2+len2..n]
+    targets   = <x> span1 <y> span2 <z>
+
+    Pieces assemble as ARRAY concat then array_join — concat_ws keeps
+    empty strings (phantom separators when a span touches a boundary),
+    array concat drops empty slices identically in both engines.
+
+    Scale shape: zero shuffles — one scan, codegen slices + md5 per row
+    behind the split_words Generate barrier; the presentation orderBy is
+    the only exchange."""
+    from impalatogo_spark.operators import split_words
+
+    w = F.col("__w")
+    base = (
+        split_words(df.select("doc_id", text_col), text_col=text_col)
+        .select(
+            "doc_id", "__w",
+            F.size(w).cast("long").alias("n"),
+            ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)).alias("h1"),
+            ((F.col("doc_id") * F.lit(40503) + F.lit(2531011)) % F.lit(999983))
+            .alias("h2"),
+            ((F.col("doc_id") * F.lit(69069) + F.lit(12345)) % F.lit(999979))
+            .alias("h3"),
+        )
+        .filter(F.col("n") >= min_words)
+    )
+    n, n2 = F.col("n"), F.expr("n DIV 2")
+    len1 = (F.col("h2") % 3 + 1).alias("len1")
+    cut = base.select(
+        "doc_id", "__w", "n",
+        len1,
+        (F.col("h1") % 3 + 1).alias("len2"),
+        (F.col("h1") % (n2 - (F.col("h2") % 3 + 1)) + 1).alias("a1"),
+        (n2 + 1 + F.col("h3") % (n - n2 - (F.col("h1") % 3 + 1) + 1)).alias("a2"),
+    )
+    i = lambda c: c.cast("int")
+    s1 = F.slice(w, 1, i(F.col("a1") - 1))
+    s2 = F.slice(w, i(F.col("a1") + F.col("len1")),
+                 i(F.col("a2") - F.col("a1") - F.col("len1")))
+    s3 = F.slice(w, i(F.col("a2") + F.col("len2")),
+                 i(F.col("n") - F.col("a2") - F.col("len2") + 1))
+    sp1 = F.slice(w, i(F.col("a1")), i(F.col("len1")))
+    sp2 = F.slice(w, i(F.col("a2")), i(F.col("len2")))
+    sent = lambda s: F.array(F.lit(s))
+    corrupted = F.array_join(
+        F.concat(s1, sent("<extra_id_0>"), s2, sent("<extra_id_1>"), s3), " "
+    )
+    targets = F.array_join(
+        F.concat(sent("<extra_id_0>"), sp1, sent("<extra_id_1>"), sp2,
+                 sent("<extra_id_2>")), " "
+    )
+    return cut.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        F.col("a1").cast("long").alias("a1"),
+        F.col("len1").cast("long").alias("len1"),
+        F.col("a2").cast("long").alias("a2"),
+        F.col("len2").cast("long").alias("len2"),
+        (F.col("n") - F.col("len1") - F.col("len2") + 2)
+        .cast("long").alias("n_corrupted"),
+        F.md5(corrupted).alias("corrupted_md5"),
+        F.md5(targets).alias("targets_md5"),
+    ).orderBy("doc_id")
+
+
+def span_corruption_oracle(min_words: int = 8) -> str:
+    """DuckDB twin of span_corruption (list_slice is begin/end-inclusive
+    vs Spark slice's start/length — converted below)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS wl,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         (doc_id * 2654435761) % 1000003 AS h1,
+         (doc_id * 40503 + 2531011) % 999983 AS h2,
+         (doc_id * 69069 + 12345) % 999979 AS h3
+  FROM documents
+), cut AS (
+  SELECT doc_id, wl, n,
+         h2 % 3 + 1 AS len1,
+         h1 % 3 + 1 AS len2,
+         h1 % ((n // 2) - (h2 % 3 + 1)) + 1 AS a1,
+         (n // 2) + 1 + h3 % (n - (n // 2) - (h1 % 3 + 1) + 1) AS a2
+  FROM base WHERE n >= {min_words}
+)
+SELECT doc_id,
+       n AS n_words,
+       CAST(a1 AS BIGINT) AS a1, CAST(len1 AS BIGINT) AS len1,
+       CAST(a2 AS BIGINT) AS a2, CAST(len2 AS BIGINT) AS len2,
+       CAST(n - len1 - len2 + 2 AS BIGINT) AS n_corrupted,
+       md5(array_to_string(
+         list_concat(list_concat(list_concat(list_concat(
+           list_slice(wl, 1, a1 - 1), ['<extra_id_0>']),
+           list_slice(wl, a1 + len1, a2 - 1)), ['<extra_id_1>']),
+           list_slice(wl, a2 + len2, n)), ' ')) AS corrupted_md5,
+       md5(array_to_string(
+         list_concat(list_concat(list_concat(list_concat(
+           ['<extra_id_0>'], list_slice(wl, a1, a1 + len1 - 1)),
+           ['<extra_id_1>']), list_slice(wl, a2, a2 + len2 - 1)),
+           ['<extra_id_2>']), ' ')) AS targets_md5
+FROM cut ORDER BY doc_id
+"""

@@ -3759,3 +3759,98 @@ def select_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5 rounds into chained CTEs). Scale: k joinless literal-center
     scans + TakeOrderedAndProject(1) each, one k-row coverage aggregate."""
     return S.kcenter_select(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "text_span_corruption",
+    oracle=X.span_corruption_oracle(),
+    tags=("pipeline", "text"),
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption (denoising) training transform: two
+    hash-deterministic spans per document replaced by sentinel tokens,
+    targets = the removed spans — the masked twin of text_fim_transform.
+    Zero-shuffle codegen map pass; corrupted/target sequences pinned by
+    md5 (operators/text.py::span_corruption)."""
+    return X.span_corruption(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_outlier_filter",
+    oracle="""
+WITH q AS (
+  -- ::DOUBLE[] first: DuckDB keeps FLOAT width through arithmetic while
+  -- the Spark side quantizes DOUBLE values; the float product crosses an
+  -- integer boundary differently for a handful of dims
+  SELECT e.vec_id, e.label, CAST(gs.i AS INT) AS dim,
+         CAST(floor(e.emb[gs.i + 1] * 1000000) AS BIGINT) AS val
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) e,
+       (SELECT unnest(range(64)) AS i) gs
+),
+cent AS (
+  SELECT label, dim,
+         CAST((sum(val) - ((sum(val) % count(DISTINCT vec_id)
+                            + count(DISTINCT vec_id))
+                           % count(DISTINCT vec_id)))
+              / count(DISTINCT vec_id) AS BIGINT) AS cval
+  FROM q GROUP BY label, dim
+),
+d AS (
+  SELECT q.vec_id, q.label,
+         CAST(sum((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS dist2
+  FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim
+  GROUP BY q.vec_id, q.label
+),
+r AS (
+  SELECT vec_id, label, dist2,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist2 DESC, vec_id) AS rnk,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM d
+)
+SELECT label, vec_id, dist2, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= n // 10
+""",
+    tags=("pipeline", "similarity", "quality"),
+)
+def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier gate: per label, flag the 10% of vectors farthest
+    from their label centroid (mislabeled / noisy-embedding pruning — the
+    distance-to-centroid filter curation pipelines run before training
+    retrieval or classifier heads). Exact integer arithmetic end-to-end:
+    dims quantized to BIGINT, centroid = subtract-positive-mod floor
+    division (the kmeans update rule), threshold = exact rank selection
+    (top n DIV 10 by dist2, vec_id tie-break) — no float percentile.
+    Scale shape: centroids are a skinny (label, dim) map-side-combined
+    aggregate; distances are one scan with the centroid table joined back
+    BROADCAST (label x dim rows, bounded); ranking windows partition by
+    label."""
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    q = e.select(
+        "vec_id", "label",
+        F.expr("transform(embedding, v -> CAST(floor(v * 1000000) AS BIGINT))")
+        .alias("qa"),
+    )
+    ql = q.select("vec_id", "label", F.posexplode("qa").alias("dim", "val"))
+    cent = (
+        ql.groupBy("label", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select("label", "dim", F.expr("(s - pmod(s, c)) div c").alias("cval"))
+    )
+    d = (
+        ql.join(F.broadcast(cent), ["label", "dim"])
+        .select("vec_id", "label",
+                ((F.col("val") - F.col("cval"))
+                 * (F.col("val") - F.col("cval"))).alias("sq"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").alias("dist2"))
+    )
+    wr = W.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id"))
+    r = d.select(
+        "label", "vec_id", "dist2",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("label")).alias("n"),
+    )
+    return r.filter(F.col("rnk") <= F.expr("n DIV 10")).select(
+        "label", "vec_id", "dist2", "rnk"
+    )
