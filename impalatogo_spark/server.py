@@ -84,6 +84,29 @@ def _json_val(v):
     return str(v)
 
 
+def _sql_pattern(pat: str):
+    """HS2/JDBC metadata pattern -> compiled regex (% = any run, _ = one
+    char, backslash escapes the next char, everything else literal)."""
+    import re
+
+    out, i = [], 0
+    pat = pat or "%"
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile("".join(out))
+
+
 class _Operation:
     """A finished statement's buffered result — the QueryExecState analogue
     (rows are materialized at execute time, like the reference coordinator's
@@ -225,6 +248,43 @@ class I2SServer:
         if op == "close_operation":
             sess.operations.pop(req.get("handle"), None)
             return {"ok": True}
+        # HS2 metadata RPCs (GetSchemas / GetTables / GetColumns —
+        # TCLIService; the reference serves these from its catalog,
+        # impala-hs2-server.cc GetSchemas/GetTables/GetColumns). Patterns
+        # use the HS2/JDBC convention: % = any, _ = one char.
+        if op == "get_schemas":
+            pat = _sql_pattern(req.get("schema_pattern", "%"))
+            rows = [[d.name] for d in sess.spark.catalog.listDatabases()
+                    if pat.fullmatch(d.name)]
+            return {"ok": True, "columns": ["TABLE_SCHEM"],
+                    "types": ["string"], "rows": rows, "has_more": False}
+        if op == "get_tables":
+            pat = _sql_pattern(req.get("table_pattern", "%"))
+            rows = [
+                [t.namespace[0] if t.namespace else "", t.name,
+                 "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "TABLE"]
+                for t in sess.spark.catalog.listTables()
+                if pat.fullmatch(t.name)
+            ]
+            rows.sort()
+            return {"ok": True,
+                    "columns": ["TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE"],
+                    "types": ["string", "string", "string"],
+                    "rows": rows, "has_more": False}
+        if op == "get_columns":
+            tbl = req["table"]
+            pat = _sql_pattern(req.get("column_pattern", "%"))
+            rows = [
+                [tbl, f.name, f.dataType.simpleString(), i + 1,
+                 bool(f.nullable)]
+                for i, f in enumerate(sess.spark.table(tbl).schema.fields)
+                if pat.fullmatch(f.name)
+            ]
+            return {"ok": True,
+                    "columns": ["TABLE_NAME", "COLUMN_NAME", "TYPE_NAME",
+                                "ORDINAL_POSITION", "NULLABLE"],
+                    "types": ["string", "string", "string", "int", "boolean"],
+                    "rows": rows, "has_more": False}
         raise ValueError(f"unknown op: {op!r}")
 
     # -- statement execution ---------------------------------------------------

@@ -211,3 +211,61 @@ def test_grammar_covers_all_nine_join_forms():
                  "FULL OUTER JOIN", "CROSS", "LEFT SEMI", "RIGHT SEMI",
                  "LEFT ANTI", "RIGHT ANTI"]:
         assert form in sig, f"form never generated in seed range: {form}"
+
+
+def _gen_nested(seed: int) -> str:
+    """Nesting axis (the reference generator joins derived tables): one
+    side of the join is an aggregated subquery in FROM — group-key join,
+    aggregate-on-aggregate, HAVING inside the derived table."""
+    rng = random.Random(95_000 + seed)
+    inner_grp, inner_key = rng.choice([
+        ("o.o_custkey", "o_custkey"),
+        ("o.o_orderstatus", "o_orderstatus"),
+    ])
+    inner_having = (f" HAVING count(*) > {rng.choice([1, 2])}"
+                    if rng.random() < 0.5 else "")
+    inner = (
+        f"SELECT {inner_grp} AS k, CAST(count(*) AS BIGINT) AS n_ord, "
+        f"CAST(sum(CAST(o.o_orderkey AS BIGINT)) AS BIGINT) AS sum_ok, "
+        f"max(o.o_totalprice) AS max_tp "
+        f"FROM orders o WHERE o.o_totalprice > {rng.randrange(20_000, 120_000)} "
+        f"GROUP BY {inner_grp}{inner_having}"
+    )
+    if inner_key == "o_custkey":
+        form = rng.choice(["JOIN", "LEFT OUTER JOIN", "RIGHT OUTER JOIN",
+                           "FULL OUTER JOIN"])
+        outer_grp = rng.choice(["c.c_mktsegment", "c.c_nationkey"])
+        sel = (
+            f"{outer_grp} AS g0, CAST(count(*) AS BIGINT) AS a0, "
+            "CAST(count(t.n_ord) AS BIGINT) AS a1, "
+            "CAST(sum(t.n_ord) AS BIGINT) AS a2, "
+            "min(t.max_tp) AS a3"
+        )
+        return (f"SELECT {sel} FROM customer c {form} ({inner}) t "
+                f"ON c.c_custkey = t.k GROUP BY {outer_grp}")
+    # status-keyed derived table: join two independent aggregates on the
+    # 3-value status key (aggregate-joined-to-aggregate)
+    inner2 = (
+        "SELECT l.l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n_li "
+        f"FROM lineitem l WHERE l.l_quantity > {rng.randrange(10, 40)} "
+        "GROUP BY l.l_returnflag"
+    )
+    return (
+        "SELECT t.k AS g0, t.n_ord AS a0, t.sum_ok AS a1, "
+        "CAST(u.n_li AS BIGINT) AS a2 "
+        f"FROM ({inner}) t LEFT OUTER JOIN ({inner2}) u ON t.k = u.rf"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_nested_derived_table_join_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.engine import Engine
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_nested(seed)
+    srows = Engine(spark).sql(sql).collect()
+    drows = duck.execute(sql).fetchall()
+    assert len(srows) > 0, f"seed {seed} vacuous:\n{sql}"
+    assert _norm(srows) == _norm(drows), (
+        f"seed {seed} diverged:\n{sql}\n{_norm(srows)[:3]}\n{_norm(drows)[:3]}")

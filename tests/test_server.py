@@ -359,3 +359,43 @@ def test_shell_server_end_to_end():
             srv.wait(timeout=30)
         except subprocess.TimeoutExpired:
             srv.kill()
+
+
+def test_hs2_metadata_ops(server):
+    """GetSchemas / GetTables / GetColumns equivalents (TCLIService
+    metadata RPCs, impala-hs2-server.cc) with %/_ JDBC patterns, served
+    per-session (temp views registered in the session's own catalog)."""
+    c = _client(server)
+    try:
+        schemas = c.call(op="get_schemas", session=c.session)
+        assert schemas["ok"]
+        assert ["default"] in schemas["rows"]
+
+        tables = c.call(op="get_tables", session=c.session)
+        names = [r[1] for r in tables["rows"]]
+        for t in ("region", "nation", "lineitem", "documents"):
+            assert t in names, names
+        assert all(r[2] == "VIEW" for r in tables["rows"]
+                   if r[1] == "region"), tables["rows"]
+
+        filtered = c.call(op="get_tables", session=c.session,
+                          table_pattern="na%")
+        assert [r[1] for r in filtered["rows"]] == ["nation"]
+        one_char = c.call(op="get_tables", session=c.session,
+                          table_pattern="regio_")
+        assert [r[1] for r in one_char["rows"]] == ["region"]
+
+        cols = c.call(op="get_columns", session=c.session, table="region")
+        assert cols["ok"]
+        assert [r[1] for r in cols["rows"]] == \
+            [r[1] for r in sorted(cols["rows"], key=lambda r: r[3])]
+        byname = {r[1]: r for r in cols["rows"]}
+        assert byname["r_regionkey"][2] in ("int", "bigint")
+        assert byname["r_name"][2] == "string"
+
+        pat_cols = c.call(op="get_columns", session=c.session,
+                          table="region", column_pattern="r\\_name")
+        # '_' is a wildcard; the literal-underscore pattern still matches
+        assert any(r[1] == "r_name" for r in pat_cols["rows"])
+    finally:
+        c.close()
