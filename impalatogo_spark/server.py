@@ -127,6 +127,8 @@ class _Operation:
 
 class _Session:
     def __init__(self, spark: SparkSession, sf_dir: str | None):
+        import time as _time
+
         self.spark = spark.newSession()
         ensure_session_confs(self.spark)
         if sf_dir:
@@ -134,17 +136,31 @@ class _Session:
         self.engine = Engine(self.spark)
         self.operations: dict[str, _Operation] = {}
         self.last_handle: str | None = None
+        self.last_used = _time.monotonic()
 
     @property
     def pool(self) -> str:
         return self.engine.options.get("REQUEST_POOL") or "default"
 
 
+class SessionExpired(Exception):
+    """The reference's idle-session expiration (impala-server.cc
+    --idle_session_timeout): a session untouched past the timeout is
+    closed server-side; subsequent use gets this error."""
+
+
 class I2SServer:
-    """Threaded TCP server; `start()` binds and serves in the background."""
+    """Threaded TCP server; `start()` binds and serves in the background.
+
+    idle_session_timeout_s mirrors the reference daemon's
+    --idle_session_timeout flag (impala-server.cc ExpireSessions): sessions
+    idle past the limit are reaped lazily at dispatch time (no reaper
+    thread needed — an expired session is indistinguishable from a reaped
+    one until someone touches it)."""
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 idle_session_timeout_s: float | None = None):
         self._spark = spark
         self._sf_dir = sf_dir
         self._host = host
@@ -152,6 +168,7 @@ class I2SServer:
         self._sessions: dict[str, _Session] = {}
         self._lock = threading.Lock()
         self.admission = AdmissionController()
+        self.idle_session_timeout_s = idle_session_timeout_s
         self._tcp: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -200,9 +217,23 @@ class I2SServer:
     # -- dispatch ------------------------------------------------------------
 
     def _session(self, req) -> _Session:
+        import time as _time
+
         sid = req.get("session")
         with self._lock:
+            if self.idle_session_timeout_s is not None:
+                now = _time.monotonic()
+                for k in [k for k, s in self._sessions.items()
+                          if now - s.last_used > self.idle_session_timeout_s]:
+                    del self._sessions[k]
+                    if k == sid:
+                        raise SessionExpired(
+                            f"session {sid!r} expired after "
+                            f"{self.idle_session_timeout_s}s idle"
+                        )
             sess = self._sessions.get(sid)
+            if sess is not None:
+                sess.last_used = _time.monotonic()
         if sess is None:
             raise ValueError(f"unknown session: {sid!r}")
         return sess
@@ -335,11 +366,39 @@ class I2SServer:
         sess.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", pool if pool != "default" else None
         )
+        # EXEC_TIME_LIMIT_S (query-options.cc exec_time_limit_s; the
+        # reference coordinator cancels the query when the wall-clock limit
+        # expires): run the statement in its own job group and cancel the
+        # group from a watchdog timer. setJobGroup is thread-local, so only
+        # this statement's jobs are cancelled.
+        limit = float(sess.engine.options.get("EXEC_TIME_LIMIT_S", "0") or 0)
+        sc = sess.spark.sparkContext
+        group = f"i2s-exec-{uuid.uuid4().hex[:8]}"
+        timer = None
+        timed_out = threading.Event()
+        if limit > 0:
+            sc.setJobGroup(group, label, interruptOnCancel=True)
+
+            def _cancel():
+                timed_out.set()
+                sc.cancelJobGroup(group)
+
+            timer = threading.Timer(limit, _cancel)
+            timer.daemon = True
+            timer.start()
         self.admission.admit(pool, label=label)
         try:
             t0 = _time.perf_counter()
             df = sess.engine.sql(sql)
-            collected = df.collect()
+            try:
+                collected = df.collect()
+            except Exception:
+                if timed_out.is_set():
+                    raise TimeoutError(
+                        f"query exceeded EXEC_TIME_LIMIT_S={limit:g}s "
+                        "and was cancelled"
+                    ) from None
+                raise
             elapsed = _time.perf_counter() - t0
             from .plans import profile_text
 
@@ -358,6 +417,10 @@ class I2SServer:
             )
         finally:
             self.admission.release(pool)
+            if timer is not None:
+                timer.cancel()
+            if limit > 0:
+                sc.setJobGroup(None, None)
         handle = uuid.uuid4().hex[:12]
         sess.operations[handle] = o
         sess.last_handle = handle

@@ -399,3 +399,52 @@ def test_hs2_metadata_ops(server):
         assert any(r[1] == "r_name" for r in pat_cols["rows"])
     finally:
         c.close()
+
+
+def test_idle_session_expiry(spark, sf_dir):
+    """--idle_session_timeout parity (impala-server.cc ExpireSessions):
+    a session untouched past the limit is reaped; the next use errors as
+    expired, and fresh sessions keep working."""
+    srv = I2SServer(spark, sf_dir=sf_dir, idle_session_timeout_s=1.0)
+    host, port = srv.start()
+    try:
+        c = I2SClient(host, port)
+        c.open_session()
+        assert c.fetch_all(c.execute("SELECT 1 AS x")) == [[1]]
+        time.sleep(1.4)
+        # a different session's dispatch reaps the idle one; the direct
+        # probe from the stale session reports expiry either way
+        resp = c.call(op="execute", session=c.session, sql="SELECT 1 AS x")
+        assert not resp["ok"]
+        assert "expired" in resp["error"] or "unknown session" in resp["error"]
+        c2 = I2SClient(host, port)
+        c2.open_session()
+        assert c2.fetch_all(c2.execute("SELECT 2 AS x")) == [[2]]
+        c2.close()
+        c._sock.close()
+    finally:
+        srv.stop()
+
+
+def test_exec_time_limit_cancels_query(server):
+    """EXEC_TIME_LIMIT_S (query-options.cc exec_time_limit_s): a statement
+    past the wall-clock limit is cancelled via its job group and reports a
+    clean timeout error; the session stays usable and later statements are
+    unaffected by the old limit once unset."""
+    c = _client(server)
+    try:
+        c.execute("SET EXEC_TIME_LIMIT_S=1")
+        resp = c.call(
+            op="execute", session=c.session,
+            # unconstrained 4-way product: astronomically larger than 1s
+            sql="SELECT count(*) AS c FROM lineitem a, lineitem b, "
+                "orders o, customer cu",
+        )
+        assert not resp["ok"], "runaway query must be cancelled"
+        assert "EXEC_TIME_LIMIT_S" in resp["error"], resp["error"]
+        # session still healthy; removing the limit restores normal runs
+        c.execute("UNSET EXEC_TIME_LIMIT_S")
+        assert c.fetch_all(c.execute(
+            "SELECT count(*) AS c FROM lineitem"))[0][0] > 0
+    finally:
+        c.close()
