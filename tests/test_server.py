@@ -448,3 +448,38 @@ def test_exec_time_limit_cancels_query(server):
             "SELECT count(*) AS c FROM lineitem"))[0][0] > 0
     finally:
         c.close()
+
+
+def test_remote_shell_commands_over_wire(server, monkeypatch):
+    """The --connect RemoteShell: client-side commands (history, rerun)
+    stay local while SQL / SET / EXPLAIN / profile round-trip the JSON
+    protocol — the impala-shell -i command surface end-to-end without a
+    subprocess."""
+    import importlib.util
+
+    _, host, port = server
+    spec = importlib.util.spec_from_file_location(
+        "i2s_shell", os.path.join(REPO, "tools", "i2s_shell.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sh = mod.RemoteShell(host, port, sf_dir=None, delimited=True)
+    try:
+        assert sh.execute("SET DEFAULT_ORDER_BY_LIMIT=2") == "OK"
+        out = sh.execute("SELECT r_regionkey FROM region ORDER BY r_regionkey")
+        assert out.splitlines() == ["0", "1"]
+        # profile of the last statement comes back over the wire
+        prof = sh.execute("profile")
+        assert "Rows: 2" in prof
+        # explain round-trips through the server's EXPLAIN path
+        plan = sh.execute("EXPLAIN SELECT count(*) FROM nation")
+        assert "Aggregate" in plan or "Scan" in plan
+        # history/rerun are client-side; rerun re-executes over the wire
+        assert "[1] SET DEFAULT_ORDER_BY_LIMIT=2" in sh.execute("history")
+        assert sh.execute("@2").splitlines() == ["0", "1"]
+        ver = sh.execute("version")
+        assert "connected to" in ver
+    finally:
+        try:
+            sh.client.close()
+        except Exception:
+            pass
