@@ -3640,11 +3640,24 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         S._norm(F.col("embedding")).alias("cnrm"),
     )
+    # cos_sim materializes behind a Generate barrier (explode(array(..)),
+    # the split_words idiom): a plain projected column gets pushed INTO the
+    # join condition by predicate pushdown and the 64-dim dot product then
+    # evaluates TWICE per pair (once to filter, once to output) — verified
+    # in the optimized plan. The barrier keeps it at one fold per pair;
+    # nothing is lost because a broadcast cross join forms every pair
+    # either way.
     scored = corpus.crossJoin(F.broadcast(bench)).select(
         "vec_id",
         "bench_id",
-        F.round(
-            S._dot(F.col("ce"), F.col("be")) / (F.col("cnrm") * F.col("bnrm")), 4
+        F.explode(
+            F.array(
+                F.round(
+                    S._dot(F.col("ce"), F.col("be"))
+                    / (F.col("cnrm") * F.col("bnrm")),
+                    4,
+                )
+            )
         ).alias("cos_sim"),
     )
     flagged = scored.filter(F.col("cos_sim") >= 0.45)
