@@ -86,3 +86,62 @@ def test_random_window_parity(seed, spark, duck, sf_dir):
     assert len(s_norm) > 0, f"seed {seed}: vacuous (0 rows)"
     assert s_norm == d_norm, (
         f"seed {seed} diverged:\n{sql}\n{s_norm[:2]}\n{d_norm[:2]}")
+
+
+# ---------------------------------------------------------------------------
+# Windows over OUTER-JOINED inputs: the null-interaction axis. Partition and
+# order keys come from the null-generating side of a left/full outer join, so
+# NULL partitions (one group per engine? all in one?) and NULL order keys
+# (NULLS FIRST/LAST defaults) are exercised where engines genuinely differ.
+# Determinism: every ORDER BY ends in the left side's unique key, and NULL
+# order positioning is forced explicitly (NULLS LAST) because the engine
+# defaults differ (Spark NULLS FIRST asc; DuckDB NULLS LAST) — the explicit
+# spelling is identical SQL in both.
+# ---------------------------------------------------------------------------
+
+_J_FORMS = ["LEFT OUTER JOIN", "FULL OUTER JOIN"]
+
+
+def _gen_joined(seed: int) -> str:
+    rng = random.Random(78_500 + seed)
+    form = rng.choice(_J_FORMS)
+    thresh = rng.randrange(100_000, 350_000)
+    part = rng.choice(["o.o_orderstatus", "c.c_mktsegment", "c.c_nationkey"])
+    val = rng.choice([
+        "CAST(coalesce(round(o.o_totalprice * 100), 0) AS BIGINT)",
+        "CAST(coalesce(o.o_orderkey, -1) AS BIGINT)",
+    ])
+    k = rng.randrange(1, 4)
+    frame = rng.choice([
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN CURRENT ROW AND {k} FOLLOWING",
+    ])
+    order = ("o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST, "
+             "c.c_custkey ASC")
+    return f"""
+SELECT c.c_custkey AS g0, {part} AS g1,
+       CAST(row_number() OVER (PARTITION BY {part} ORDER BY {order})
+            AS BIGINT) AS a0,
+       CAST(sum({val}) OVER (PARTITION BY {part} ORDER BY {order} {frame})
+            AS BIGINT) AS a1,
+       CAST(count(o.o_orderkey) OVER (PARTITION BY {part}) AS BIGINT) AS a2
+FROM customer c {form} orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > {thresh}
+"""
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_windows_over_outer_join_parity(seed, spark, duck, sf_dir):
+    from impalatogo_spark.engine import Engine
+    from impalatogo_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    sql = _gen_joined(seed)
+    srows = Engine(spark).sql(sql).collect()
+    drows = duck.execute(sql).fetchall()
+    assert len(srows) > 0, f"seed {seed} vacuous:\n{sql}"
+    s_norm = sorted(tuple(str(c) for c in r) for r in srows)
+    d_norm = sorted(tuple(str(c) for c in r) for r in drows)
+    assert s_norm == d_norm, (
+        f"seed {seed} diverged:\n{sql}\n{s_norm[:3]}\n{d_norm[:3]}")
