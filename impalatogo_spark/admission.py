@@ -121,6 +121,11 @@ class AdmissionController:
                         st.admitted += 1
                         st.running += 1
                         st.admission_order.append(label)
+                        # Wake the next FIFO waiter: when 2+ slots free in a
+                        # burst, release() only notified once before this
+                        # waiter consumed the wakeup — without a re-notify the
+                        # next head-of-queue sleeps until its queue timeout.
+                        self._cv.notify_all()
                         return
                     remaining = deadline - time.monotonic()
                     if remaining <= 0:

@@ -302,18 +302,60 @@ def translate(sql: str) -> str:
         r"JOIN|JOIN|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION)\b.*|$)",
         re.IGNORECASE | re.DOTALL,
     )
+    def _last_toplevel_comma(s: str) -> int:
+        depth, last = 0, -1
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                last = i
+        return last
+
+    def _split_at_unbalanced(s: str) -> tuple[str, str]:
+        """Split s at the first unmatched ')' (the ON condition of a
+        RIGHT SEMI/ANTI inside a derived table captures past the subquery's
+        closing paren; everything from that paren on belongs to the tail)."""
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return s[:i].rstrip(), s[i:]
+        return s, ""
+
+    pos = 0
     while True:
-        m = _rsj.search(chunk)
+        m = _rsj.search(chunk, pos)
         if not m:
             break
         left = m.group("left").strip()
+        # A FROM outside the subquery holding the RIGHT SEMI/ANTI captures
+        # across a paren boundary (unbalanced left side): skip this FROM and
+        # keep scanning — the inner FROM matches next with a balanced left.
+        if left.count("(") != left.count(")"):
+            pos = m.start() + len("FROM")
+            continue
+        # Comma join binds looser than JOIN: FROM a, b RIGHT SEMI JOIN c
+        # means a CROSS (b RSJ c) — only the last relation swaps.
+        prefix = ""
+        lc = _last_toplevel_comma(left)
+        if lc >= 0:
+            prefix = left[: lc + 1] + " "
+            left = left[lc + 1:].strip()
+        cond, spill = _split_at_unbalanced(m.group("cond"))
         if re.search(r"\bJOIN\b", left, flags=re.IGNORECASE):
             left = f"({left})"
         chunk = (
             chunk[: m.start()]
-            + f"FROM {m.group('right')} LEFT {m.group('kind').upper()} JOIN "
-            + f"{left} ON {m.group('cond')}{m.group('tail')}"
+            + f"FROM {prefix}{m.group('right')} LEFT "
+            + f"{m.group('kind').upper()} JOIN "
+            + f"{left} ON {cond}{spill}{m.group('tail')}"
         )
+        pos = 0
     chunk = _rewrite_trunc(chunk, stash)
     chunk = _rewrite_functions(chunk)
     return _restore_literals(chunk, stash)

@@ -376,18 +376,22 @@ class I2SServer:
         group = f"i2s-exec-{uuid.uuid4().hex[:8]}"
         timer = None
         timed_out = threading.Event()
-        if limit > 0:
-            sc.setJobGroup(group, label, interruptOnCancel=True)
-
-            def _cancel():
-                timed_out.set()
-                sc.cancelJobGroup(group)
-
-            timer = threading.Timer(limit, _cancel)
-            timer.daemon = True
-            timer.start()
+        # Admit BEFORE arming the watchdog/job group: the reference treats
+        # queue timeout (QUEUE_TIMEOUT_MS) and exec time (EXEC_TIME_LIMIT_S)
+        # as separate budgets, and an armed timer + thread-local job group
+        # must not leak onto later statements when admit() raises.
         self.admission.admit(pool, label=label)
         try:
+            if limit > 0:
+                sc.setJobGroup(group, label, interruptOnCancel=True)
+
+                def _cancel():
+                    timed_out.set()
+                    sc.cancelJobGroup(group)
+
+                timer = threading.Timer(limit, _cancel)
+                timer.daemon = True
+                timer.start()
             t0 = _time.perf_counter()
             df = sess.engine.sql(sql)
             try:

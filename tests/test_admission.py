@@ -113,3 +113,44 @@ def test_raising_cap_drains_queue():
     t.join(timeout=10)
     ac.release("p")
     ac.release("p")
+
+
+def test_burst_release_admits_all_waiters_promptly():
+    """Two slots freeing in a burst must wake BOTH queued waiters at once:
+    a waiter that admits itself consumes the release's notify, so it has to
+    re-notify the next head-of-queue (r03 advice: without it the second
+    waiter slept until its full queue timeout despite a free slot)."""
+    ac = AdmissionController()
+    ac.configure_pool("p", max_requests=2, queue_timeout_ms=10000)
+    ac.admit("p", label="h1")
+    ac.admit("p", label="h2")
+    done = []
+    lock = threading.Lock()
+
+    def waiter(i):
+        ac.admit("p", label=f"w{i}")
+        with lock:
+            done.append(time.monotonic())
+
+    threads = []
+    for i in range(2):
+        t = threading.Thread(target=waiter, args=(i,))
+        threads.append(t)
+        t.start()
+        deadline = time.time() + 10
+        while (ac.stats("p")["p"]["waiting_now"] < i + 1
+               and time.time() < deadline):
+            time.sleep(0.005)
+    assert ac.stats("p")["p"]["waiting_now"] == 2
+    t0 = time.monotonic()
+    ac.release("p")
+    ac.release("p")  # back-to-back: one notify round for two free slots
+    for t in threads:
+        t.join(timeout=10)
+    assert len(done) == 2
+    slowest = max(done) - t0
+    assert slowest < 1.0, (
+        f"second waiter stalled {slowest:.2f}s after burst release "
+        "(should be immediate, not queue-timeout-bound)")
+    ac.release("p")
+    ac.release("p")

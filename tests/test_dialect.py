@@ -496,3 +496,49 @@ def test_trunc_week_codes(spark):
         assert "trunc(" not in sql.lower() or "date_trunc" in sql.lower()
         got = spark.sql(sql).first().v
         assert got == want, (d, fmt, got, want)
+
+
+def test_right_semi_anti_in_subquery_and_comma_join(spark, sf_dir):
+    """r03 advice: the RIGHT SEMI/ANTI swap anchored on the leftmost FROM and
+    mangled derived tables / EXISTS subqueries / comma-join left sides. The
+    balanced-paren scan now skips outer FROMs (the inner one rewrites), the
+    ON condition stops at the subquery's closing paren, and a comma join
+    swaps only its last relation (comma binds looser than JOIN)."""
+    # derived table: the swap happens INSIDE the parens
+    out = translate(
+        "SELECT * FROM (SELECT n.n_name FROM customer c RIGHT SEMI JOIN "
+        "nation n ON c.c_nationkey = n.n_nationkey) t WHERE t.n_name > 'A'")
+    assert "RIGHT SEMI" not in out and "LEFT SEMI JOIN" in out
+    assert out.index("nation n") < out.index("customer c")
+    assert out.count("(") == out.count(")")
+
+    register_tables(spark, sf_dir)
+    eng = Engine(spark)
+    n = eng.sql(
+        "SELECT count(*) AS c FROM (SELECT n.n_name FROM customer c "
+        "RIGHT SEMI JOIN nation n ON c.c_nationkey = n.n_nationkey) t"
+    ).first().c
+    ref = eng.sql(
+        "SELECT count(*) AS c FROM (SELECT n.n_name FROM nation n "
+        "LEFT SEMI JOIN customer c ON c.c_nationkey = n.n_nationkey) t"
+    ).first().c
+    assert n == ref > 0
+
+    # EXISTS subquery holding the RIGHT SEMI JOIN
+    ex = eng.sql(
+        "SELECT count(*) AS c FROM region WHERE EXISTS (SELECT 1 FROM "
+        "customer c RIGHT SEMI JOIN nation n ON c.c_nationkey = "
+        "n.n_nationkey AND n.n_regionkey = region.r_regionkey)"
+    ).first().c
+    ex_ref = eng.sql(
+        "SELECT count(*) AS c FROM region WHERE EXISTS (SELECT 1 FROM "
+        "nation n LEFT SEMI JOIN customer c ON c.c_nationkey = "
+        "n.n_nationkey AND n.n_regionkey = region.r_regionkey)"
+    ).first().c
+    assert ex == ex_ref > 0
+
+    # comma join: FROM a, b RIGHT SEMI JOIN c == a CROSS (b RSJ c)
+    cj = eng.sql(
+        "SELECT count(*) AS c FROM region r, customer c RIGHT SEMI JOIN "
+        "nation n ON c.c_nationkey = n.n_nationkey").first().c
+    assert cj == 5 * ref

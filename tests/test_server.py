@@ -483,3 +483,46 @@ def test_remote_shell_commands_over_wire(server, monkeypatch):
             sh.client.close()
         except Exception:
             pass
+
+
+def test_rejected_admission_arms_no_watchdog(server, monkeypatch):
+    """r03 advice: the EXEC_TIME_LIMIT_S watchdog timer and thread-local job
+    group were armed BEFORE admission; a rejected admit leaked the armed
+    timer + stale group onto the connection's next statement. Admission now
+    runs first — a rejected statement must create NO timer at all, and queue
+    wait no longer burns the exec-time budget."""
+    import impalatogo_spark.server as srvmod
+
+    created = []
+    real_timer = srvmod.threading.Timer
+
+    class RecTimer(real_timer):
+        def __init__(self, *a, **k):
+            created.append(self)
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(srvmod.threading, "Timer", RecTimer)
+    srv, host, port = server
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        c.execute("SET REQUEST_POOL=leakcheck_pool")
+        c.execute("SET MAX_REQUESTS=1")
+        c.execute("SET MAX_QUEUED=0")
+        c.execute("SET EXEC_TIME_LIMIT_S=30")
+        srv.admission.admit("leakcheck_pool", label="holder")
+        try:
+            resp = c.call(op="execute", session=c.session,
+                          sql="SELECT 1 AS one")
+            assert not resp["ok"]
+            assert resp["error_class"] == "AdmissionRejected"
+            assert not created, \
+                "watchdog timer must not be armed for a rejected statement"
+        finally:
+            srv.admission.release("leakcheck_pool")
+        # with the slot free the limit-bearing statement arms exactly one
+        # timer and cancels it on completion
+        assert c.fetch_all(c.execute("SELECT 2 AS two")) == [[2]]
+        assert len(created) == 1 and created[0].finished.is_set()
+    finally:
+        c.close()
