@@ -6,6 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Methodology per BASELINE.md: warm session (one untimed warmup pass of q1),
 median of 3 runs per query, session bootstrap excluded.
+
+Interference robustness (r03 verdict #3): the 3 measurement runs of a query
+are NOT consecutive — the whole suite runs 3x round-robin, so a transient
+external load spike poisons at most one of a query's 3 samples instead of
+all of them (three r03 bench artifacts on one box disagreed only in which
+queries got ~20s stalls; per-query minima agreed). bench_results.json
+records per-query median AND min plus os.getloadavg() around each pass so
+contaminated passes are visible in the artifact.
 """
 
 from __future__ import annotations
@@ -212,20 +220,34 @@ def main() -> None:
 
     from impalatogo_spark.session import release_persisted
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name].spark_fn
-        samples = []
-        for _ in range(RUNS):
+    # interleaved passes: suite x RUNS round-robin, so one external load
+    # spike contaminates at most one of each query's samples
+    passes: list[dict[str, float]] = []
+    loadavg: list[dict] = []
+    for _ in range(RUNS):
+        load_start = os.getloadavg()
+        pass_t: dict[str, float] = {}
+        for name in names:
+            fn = registry[name].spark_fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-            # keep run N's persisted intermediates from inflating run N+1's
-            # memory (and from surviving the whole suite)
+            pass_t[name] = time.perf_counter() - t0
+            # keep one query's persisted intermediates from inflating the
+            # next query's memory (and from surviving the whole suite)
             release_persisted()
-        timings[name] = round(statistics.median(samples), 4)
+        loadavg.append({
+            "start_1m": round(load_start[0], 2),
+            "end_1m": round(os.getloadavg()[0], 2),
+            "total_sec": round(sum(pass_t.values()), 2),
+        })
+        passes.append(pass_t)
+
+    timings = {n: round(statistics.median([p[n] for p in passes]), 4)
+               for n in names}
+    minimums = {n: round(min(p[n] for p in passes), 4) for n in names}
 
     total = round(sum(timings.values()), 4)
+    min_total = round(sum(minimums.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query map goes to a file: the driver's stdout capture keeps
     # only the tail, and a 160+-entry "queries" map pushed the single JSON
@@ -237,6 +259,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": minimums,
+        "min_total": min_total,
+        "loadavg": loadavg,
         "sf": sf_val,
     }
     results_path = os.path.join(
@@ -254,6 +279,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "min_total": min_total,
+                "loadavg_1m": [l["start_1m"] for l in loadavg],
                 "slowest5": {k: v for k, v in slowest},
                 "queries_file": "bench_results.json",
             }

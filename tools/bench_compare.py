@@ -27,14 +27,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_queries(path: str, use_min: bool = False) -> dict[str, float]:
     with open(path) as fh:
         d = json.load(fh)
     if isinstance(d, dict) and "parsed" in d:  # driver BENCH_r*.json wrapper
         d = d["parsed"]
     if not isinstance(d, dict) or not isinstance(d.get("queries"), dict):
         raise SystemExit(f"{path}: no per-query map found (parsed=null?)")
-    return {k: float(v) for k, v in d["queries"].items()}
+    # per-query minima across interleaved passes: the interference-robust
+    # signal (r03 verdict — box-load spikes inflate medians, minima agree
+    # across independent runs); present from r04 bench.py on
+    key = "queries_min" if use_min and isinstance(
+        d.get("queries_min"), dict) else "queries"
+    return {k: float(v) for k, v in d[key].items()}
 
 
 def default_old() -> str | None:
@@ -63,11 +68,15 @@ def main() -> None:
     ap.add_argument("--min-sec", type=float, default=0.2,
                     help="ignore drifts where both sides are under this "
                          "many seconds (scheduling noise floor)")
+    ap.add_argument("--use-min", action="store_true",
+                    help="compare per-query minima across passes when the "
+                         "artifact has them (interference-robust signal)")
     args = ap.parse_args()
     old_path = args.old or default_old()
     if not old_path:
         raise SystemExit("no previous bench artifact found to compare against")
-    old, new = load_queries(old_path), load_queries(args.new)
+    old = load_queries(old_path, use_min=args.use_min)
+    new = load_queries(args.new, use_min=args.use_min)
 
     overlap = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
