@@ -118,11 +118,111 @@ class _Operation:
         self.rows = rows
         self.profile = profile
         self.pos = 0
+        self.elapsed = 0.0
 
     def fetch(self, max_rows: int):
         batch = self.rows[self.pos:self.pos + max_rows]
         self.pos += len(batch)
         return batch, self.pos < len(self.rows)
+
+
+class OperationCancelled(Exception):
+    """Raised inside a worker when a client cancelled its operation
+    (CancelOperation, impala-hs2-server.cc:915 / Beeswax Cancel,
+    impala-beeswax-server.cc:434)."""
+
+
+class _AsyncOperation:
+    """An in-flight statement with the reference's operation lifecycle
+    (impala-hs2-server.cc:884 GetOperationStatus / :915 CancelOperation /
+    :1048 GetLog): ExecuteStatement returns this handle immediately, the
+    statement runs on a worker thread inside its own Spark job group, and
+    the client polls status / fetches once FINISHED / cancels mid-flight
+    (cancelJobGroup is the proven EXEC_TIME_LIMIT_S plumbing)."""
+
+    def __init__(self, sc, label: str):
+        import time as _time
+
+        self._sc = sc
+        self.label = label
+        self.group = f"i2s-async-{uuid.uuid4().hex[:8]}"
+        self.state = "INITIALIZED"
+        self.error: str | None = None
+        self.result: _Operation | None = None
+        self.cancel_requested = threading.Event()
+        self.done = threading.Event()
+        self._t0 = _time.monotonic()
+        self._log: list[str] = []
+        self._lock = threading.Lock()
+        self.log_line(f"operation created: {label!r}")
+
+    def log_line(self, msg: str) -> None:
+        import time as _time
+
+        with self._lock:
+            self._log.append(f"[{_time.monotonic() - self._t0:8.3f}s] {msg}")
+
+    @property
+    def log_text(self) -> str:
+        with self._lock:
+            return "\n".join(self._log)
+
+    def cancel(self) -> None:
+        """Client-initiated cancel: flag first (so the worker maps the Spark
+        job failure to CANCELED, not ERROR), then kill the job group —
+        repeatedly, because cancelJobGroup only hits jobs ALREADY running:
+        a cancel landing between statement planning and the first job launch
+        would otherwise be lost and the statement would run to completion."""
+        if self.done.is_set():
+            return
+        self.cancel_requested.set()
+        self.log_line("cancel requested by client")
+
+        def _reaper():
+            while not self.done.wait(timeout=0.2):
+                try:
+                    self._sc.cancelJobGroup(self.group)
+                except Exception:
+                    return
+
+        self._sc.cancelJobGroup(self.group)
+        threading.Thread(target=_reaper, name=f"{self.group}-reaper",
+                         daemon=True).start()
+
+    def run(self, fn) -> None:
+        """Execute fn() on a worker thread; fn returns the finished
+        _Operation-shaped response dict."""
+
+        def _worker():
+            self.state = "RUNNING"
+            self.log_line("statement started")
+            try:
+                self.result = fn()
+                if self.cancel_requested.is_set():
+                    self.state = "CANCELED"
+                    self.log_line("finished after cancel request")
+                else:
+                    self.state = "FINISHED"
+                    self.log_line(
+                        f"finished: {len(self.result.rows)} row(s) buffered")
+            except OperationCancelled:
+                self.state = "CANCELED"
+                self.log_line("cancelled")
+            except BaseException as e:
+                if self.cancel_requested.is_set():
+                    self.state = "CANCELED"
+                    self.log_line("cancelled")
+                else:
+                    self.state = "ERROR"
+                    self.error = f"{type(e).__name__}: {e}"
+                    self.log_line(f"error: {self.error}")
+            finally:
+                self.done.set()
+
+        t = threading.Thread(
+            target=_worker, name=f"i2s-op-{self.group}", daemon=True
+        )
+        t.start()
 
 
 class _Session:
@@ -263,16 +363,32 @@ class I2SServer:
         sess = self._session(req)
         if op == "execute":
             return self._execute(sess, req)
+        if op == "execute_async":
+            return self._execute_async(sess, req)
+        if op == "operation_status":
+            o = self._resolve(sess, req)
+            if isinstance(o, _AsyncOperation):
+                return {"ok": True, "state": o.state, "error": o.error,
+                        "row_count": (len(o.result.rows)
+                                      if o.result is not None else None)}
+            return {"ok": True, "state": "FINISHED", "error": None,
+                    "row_count": len(o.rows)}
+        if op == "cancel_operation":
+            o = self._resolve(sess, req)
+            if isinstance(o, _AsyncOperation):
+                o.cancel()
+                return {"ok": True, "state": o.state}
+            return {"ok": True, "state": "FINISHED"}  # already done
+        if op == "get_log":
+            o = self._resolve(sess, req)
+            log = o.log_text if isinstance(o, _AsyncOperation) else ""
+            return {"ok": True, "log": log}
         if op == "fetch":
-            o = sess.operations.get(req.get("handle") or sess.last_handle)
-            if o is None:
-                raise ValueError("unknown operation handle")
+            o = self._finished(self._resolve(sess, req))
             rows, more = o.fetch(int(req.get("max_rows", 1024)))
             return {"ok": True, "rows": rows, "has_more": more}
         if op == "profile":
-            o = sess.operations.get(req.get("handle") or sess.last_handle)
-            if o is None:
-                raise ValueError("unknown operation handle")
+            o = self._finished(self._resolve(sess, req))
             return {"ok": True, "profile": o.profile}
         if op == "explain":
             return {"ok": True, "plan": sess.engine.explain(req["sql"])}
@@ -332,6 +448,31 @@ class I2SServer:
 
         sql = (req.get("sql") or "").strip().rstrip(";").strip()
         fetch = int(req.get("fetch", 1024))
+        kind, o = self._execute_core(sess, req)
+        if kind != "query":
+            # session-level statements keep the historical JSON shape:
+            # no operation handle is registered
+            return {"ok": True, "handle": None, "columns": o.columns,
+                    "types": o.types, "rows": o.rows, "has_more": False}
+        handle = uuid.uuid4().hex[:12]
+        sess.operations[handle] = o
+        sess.last_handle = handle
+        rows, more = o.fetch(fetch)
+        return {"ok": True, "handle": handle, "columns": o.columns,
+                "types": o.types, "rows": rows, "has_more": more,
+                "row_count": len(o.rows), "elapsed": o.elapsed}
+
+    def _execute_core(self, sess: _Session, req: dict,
+                      aop: _AsyncOperation | None = None
+                      ) -> tuple[str, _Operation]:
+        """Run one statement to a buffered _Operation. Shared by the JSON
+        protocol's synchronous execute, the async operation lifecycle, and
+        the Thrift HS2 codec. Returns (kind, operation) with kind in
+        {"set", "unset", "explain", "query"}."""
+        import re
+        import time as _time
+
+        sql = (req.get("sql") or "").strip().rstrip(";").strip()
         label = req.get("label", sql[:40])
 
         # session-level statements that never hit Spark: SET / UNSET
@@ -339,26 +480,21 @@ class I2SServer:
         if m:
             if m.group(1) is None:
                 rows = [[k, v] for k, v in sorted(sess.engine.options.items())]
-                return {"ok": True, "handle": None,
-                        "columns": ["option", "value"],
-                        "types": ["string", "string"],
-                        "rows": rows, "has_more": False}
+                return "set", _Operation(["option", "value"],
+                                         ["string", "string"], rows)
             k, v = m.group(2).upper(), m.group(3).strip().strip("'\"")
             sess.engine.set(k, v)
             if k in _ADMISSION_KEYS:
                 self._apply_admission_set(sess, k, v)
-            return {"ok": True, "handle": None, "columns": [], "types": [],
-                    "rows": [], "has_more": False}
+            return "set", _Operation([], [], [])
         m = re.match(r"(?is)^UNSET\s+(\w+)$", sql)
         if m:
             sess.engine.unset(m.group(1))
-            return {"ok": True, "handle": None, "columns": [], "types": [],
-                    "rows": [], "has_more": False}
+            return "unset", _Operation([], [], [])
         if re.match(r"(?is)^EXPLAIN\s", sql):
             plan = sess.engine.explain(sql[len("EXPLAIN"):].strip())
             rows = [[line] for line in plan.splitlines()]
-            return {"ok": True, "handle": None, "columns": ["Explain String"],
-                    "types": ["string"], "rows": rows, "has_more": False}
+            return "explain", _Operation(["Explain String"], ["string"], rows)
 
         pool = sess.pool
         # REQUEST_POOL was SET on a (possibly different) connection thread;
@@ -370,10 +506,11 @@ class I2SServer:
         # reference coordinator cancels the query when the wall-clock limit
         # expires): run the statement in its own job group and cancel the
         # group from a watchdog timer. setJobGroup is thread-local, so only
-        # this statement's jobs are cancelled.
+        # this statement's jobs are cancelled. An async operation always
+        # runs in its own group so CancelOperation can target it.
         limit = float(sess.engine.options.get("EXEC_TIME_LIMIT_S", "0") or 0)
         sc = sess.spark.sparkContext
-        group = f"i2s-exec-{uuid.uuid4().hex[:8]}"
+        group = aop.group if aop is not None else f"i2s-exec-{uuid.uuid4().hex[:8]}"
         timer = None
         timed_out = threading.Event()
         # Admit BEFORE arming the watchdog/job group: the reference treats
@@ -381,9 +518,14 @@ class I2SServer:
         # as separate budgets, and an armed timer + thread-local job group
         # must not leak onto later statements when admit() raises.
         self.admission.admit(pool, label=label)
+        if aop is not None:
+            aop.log_line(f"admitted to pool {pool!r}")
         try:
-            if limit > 0:
+            if aop is not None and aop.cancel_requested.is_set():
+                raise OperationCancelled("cancelled while queued")
+            if limit > 0 or aop is not None:
                 sc.setJobGroup(group, label, interruptOnCancel=True)
+            if limit > 0:
 
                 def _cancel():
                     timed_out.set()
@@ -397,6 +539,8 @@ class I2SServer:
             try:
                 collected = df.collect()
             except Exception:
+                if aop is not None and aop.cancel_requested.is_set():
+                    raise OperationCancelled("cancelled by client") from None
                 if timed_out.is_set():
                     raise TimeoutError(
                         f"query exceeded EXEC_TIME_LIMIT_S={limit:g}s "
@@ -419,19 +563,47 @@ class I2SServer:
                 [[_json_val(v) for v in tuple(r)] for r in collected],
                 profile,
             )
+            o.elapsed = round(elapsed, 4)
         finally:
             self.admission.release(pool)
             if timer is not None:
                 timer.cancel()
-            if limit > 0:
+            if limit > 0 or aop is not None:
                 sc.setJobGroup(None, None)
+        return "query", o
+
+    # -- async operation lifecycle (GetOperationStatus / Cancel / GetLog) -----
+
+    def _execute_async(self, sess: _Session, req: dict) -> dict:
+        sql = (req.get("sql") or "").strip()
+        aop = _AsyncOperation(sess.spark.sparkContext,
+                              req.get("label", sql[:40]))
         handle = uuid.uuid4().hex[:12]
-        sess.operations[handle] = o
+        sess.operations[handle] = aop
         sess.last_handle = handle
-        rows, more = o.fetch(fetch)
-        return {"ok": True, "handle": handle, "columns": o.columns,
-                "types": o.types, "rows": rows, "has_more": more,
-                "row_count": len(o.rows), "elapsed": round(elapsed, 4)}
+        aop.run(lambda: self._execute_core(sess, req, aop=aop)[1])
+        return {"ok": True, "handle": handle, "state": aop.state}
+
+    @staticmethod
+    def _resolve(sess: _Session, req: dict):
+        o = sess.operations.get(req.get("handle") or sess.last_handle)
+        if o is None:
+            raise ValueError("unknown operation handle")
+        return o
+
+    @staticmethod
+    def _finished(o):
+        """Unwrap an async operation to its buffered result (or raise if it
+        is still running / failed / was cancelled)."""
+        if isinstance(o, _AsyncOperation):
+            if o.state in ("INITIALIZED", "RUNNING"):
+                raise RuntimeError(f"operation still executing ({o.state})")
+            if o.state == "CANCELED":
+                raise RuntimeError("operation was cancelled")
+            if o.state == "ERROR":
+                raise RuntimeError(o.error or "operation failed")
+            return o.result
+        return o
 
 
 class I2SClient:

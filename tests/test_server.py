@@ -526,3 +526,96 @@ def test_rejected_admission_arms_no_watchdog(server, monkeypatch):
         assert len(created) == 1 and created[0].finished.is_set()
     finally:
         c.close()
+
+
+def test_async_operation_lifecycle(server):
+    """Async statement lifecycle (impala-hs2-server.cc:884
+    GetOperationStatus / :1048 GetLog): execute_async returns a handle
+    immediately, status polls to FINISHED, fetch pages the buffered rows,
+    and the operation log records admission + completion."""
+    c = _client(server)
+    try:
+        resp = c.call(op="execute_async", session=c.session,
+                      sql="SELECT r_regionkey FROM region ORDER BY r_regionkey")
+        assert resp["ok"] and resp["handle"]
+        h = resp["handle"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = c.call(op="operation_status", session=c.session, handle=h)
+            assert st["ok"]
+            if st["state"] == "FINISHED":
+                assert st["row_count"] == 5
+                break
+            assert st["state"] in ("INITIALIZED", "RUNNING")
+            time.sleep(0.05)
+        else:
+            raise AssertionError("async operation never finished")
+        rows = c.call(op="fetch", session=c.session, handle=h,
+                      max_rows=100)["rows"]
+        assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+        log = c.call(op="get_log", session=c.session, handle=h)["log"]
+        assert "admitted to pool" in log and "finished: 5 row(s)" in log
+        # fetching a still-unknown handle still errors loudly
+        bad = c.call(op="fetch", session=c.session, handle="nope")
+        assert not bad["ok"] and "unknown operation" in bad["error"]
+    finally:
+        c.close()
+
+
+def test_async_cancel_releases_pool_slot(server):
+    """Client-initiated cancel (impala-hs2-server.cc:915 CancelOperation /
+    impala-beeswax-server.cc:434 Cancel): a deliberately slow async
+    statement is cancelled mid-flight via its job group, the state lands
+    on CANCELED, fetch refuses, and the admission slot is released."""
+    srv, host, port = server
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        c.execute("SET REQUEST_POOL=cancel_pool")
+        c.execute("SET MAX_REQUESTS=1")
+        before = srv.admission.stats("cancel_pool")["cancel_pool"]
+        resp = c.call(
+            op="execute_async", session=c.session,
+            # unconstrained 4-way product: astronomically larger than the
+            # poll window, so cancel always lands mid-flight
+            sql="SELECT count(*) AS c FROM lineitem a, lineitem b, "
+                "orders o, customer cu",
+        )
+        h = resp["handle"]
+        # wait until the statement holds the pool slot (RUNNING + admitted)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = srv.admission.stats("cancel_pool")["cancel_pool"]
+            if st["running_now"] == 1:
+                break
+            time.sleep(0.02)
+        else:
+            raise AssertionError("async statement never took the pool slot")
+        cr = c.call(op="cancel_operation", session=c.session, handle=h)
+        assert cr["ok"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = c.call(op="operation_status", session=c.session, handle=h)
+            if st["state"] == "CANCELED":
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("cancel never landed")
+        # the pool slot must be released so the next statement admits
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if srv.admission.stats("cancel_pool")["cancel_pool"][
+                    "running_now"] == 0:
+                break
+            time.sleep(0.02)
+        after = srv.admission.stats("cancel_pool")["cancel_pool"]
+        assert after["running_now"] == 0
+        assert after["admitted"] == before["admitted"] + 1
+        bad = c.call(op="fetch", session=c.session, handle=h)
+        assert not bad["ok"] and "cancelled" in bad["error"]
+        log = c.call(op="get_log", session=c.session, handle=h)["log"]
+        assert "cancel requested by client" in log
+        # the session keeps working and the pool is healthy
+        assert c.fetch_all(c.execute("SELECT 1 AS x")) == [[1]]
+    finally:
+        c.close()
