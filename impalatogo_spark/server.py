@@ -271,6 +271,15 @@ class I2SServer:
         self.idle_session_timeout_s = idle_session_timeout_s
         self._tcp: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
+        # query registry for the debug webserver (/queries,
+        # impala-server.cc RegisterWebserverCallbacks: in-flight +
+        # completed-query log, bounded like --query_log_size)
+        import collections
+
+        self.query_log = collections.deque(maxlen=200)
+        self._inflight: dict[int, dict] = {}
+        self._query_seq = 0
+        self.queries_completed = 0
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -513,11 +522,28 @@ class I2SServer:
         group = aop.group if aop is not None else f"i2s-exec-{uuid.uuid4().hex[:8]}"
         timer = None
         timed_out = threading.Event()
+        # /queries debug registry (impala-server.cc webserver callbacks):
+        # visible as in-flight from admission to completion, then moved to
+        # the bounded completed-query log.
+        with self._lock:
+            self._query_seq += 1
+            qid = self._query_seq
+        rec = {"id": qid, "label": label, "sql": sql[:2000], "pool": pool,
+               "state": "QUEUED", "start_ts": _time.time(),
+               "elapsed_s": None, "rows": None, "error": None}
+        self._inflight[qid] = rec
         # Admit BEFORE arming the watchdog/job group: the reference treats
         # queue timeout (QUEUE_TIMEOUT_MS) and exec time (EXEC_TIME_LIMIT_S)
         # as separate budgets, and an armed timer + thread-local job group
         # must not leak onto later statements when admit() raises.
-        self.admission.admit(pool, label=label)
+        try:
+            self.admission.admit(pool, label=label)
+        except BaseException as e:
+            rec.update(state="REJECTED", error=str(e))
+            self._inflight.pop(qid, None)
+            self.query_log.appendleft(rec)
+            raise
+        rec["state"] = "RUNNING"
         if aop is not None:
             aop.log_line(f"admitted to pool {pool!r}")
         try:
@@ -564,7 +590,20 @@ class I2SServer:
                 profile,
             )
             o.elapsed = round(elapsed, 4)
+            rec.update(state="FINISHED", rows=len(collected),
+                       elapsed_s=round(elapsed, 4))
+        except OperationCancelled:
+            rec["state"] = "CANCELED"
+            raise
+        except BaseException as e:
+            rec.update(state="ERROR", error=f"{type(e).__name__}: {e}")
+            raise
         finally:
+            rec["elapsed_s"] = rec["elapsed_s"] or round(
+                _time.time() - rec["start_ts"], 4)
+            self._inflight.pop(qid, None)
+            self.query_log.appendleft(rec)
+            self.queries_completed += 1
             self.admission.release(pool)
             if timer is not None:
                 timer.cancel()

@@ -1,0 +1,166 @@
+"""Debug webserver: /queries, /sessions, /admission, /metrics readouts.
+
+Reference parity: the reference daemon registers HTTP debug pages on its
+webserver — queries/sessions/memz/metrics (`be/src/service/impala-server.cc:287`
+RegisterWebserverCallbacks; templates `www/queries.tmpl`,
+`www/sessions.tmpl`, `www/memz.tmpl`). This module serves the same
+readouts over the data the serving core already tracks: the I2SServer
+query registry (in-flight + bounded completed log), session registry,
+admission pool stats, and process/Spark metrics.
+
+Content negotiation mirrors the reference webserver's `?json` convention:
+every endpoint returns HTML tables by default and raw JSON with `?json`
+(the reference uses the same toggle for its debug pages). Everything is
+driver-side introspection — zero executor-path cost.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .server import I2SServer, _AsyncOperation
+
+_PAGES = ("queries", "sessions", "admission", "metrics")
+
+
+def _table(rows: list[dict], title: str) -> str:
+    if not rows:
+        return f"<h2>{html.escape(title)}</h2><p>(none)</p>"
+    cols = list(rows[0].keys())
+    head = "".join(f"<th>{html.escape(str(c))}</th>" for c in cols)
+    body = "".join(
+        "<tr>" + "".join(
+            f"<td>{html.escape(str(r.get(c, '')))}</td>" for c in cols)
+        + "</tr>"
+        for r in rows)
+    return (f"<h2>{html.escape(title)}</h2>"
+            f"<table border=1 cellpadding=4 cellspacing=0>"
+            f"<tr>{head}</tr>{body}</table>")
+
+
+class WebUI:
+    """HTTP debug endpoints over a serving core (I2SServer)."""
+
+    def __init__(self, core: I2SServer, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.core = core
+        self._host, self._port = host, port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self._started = time.time()
+
+    # -- data readouts (shared by JSON and HTML renderings) --
+
+    def queries(self) -> dict:
+        core = self.core
+        with core._lock:
+            inflight = [dict(r) for r in core._inflight.values()]
+            completed = [dict(r) for r in core.query_log]
+        for r in inflight:
+            r["elapsed_s"] = round(time.time() - r["start_ts"], 3)
+        return {"in_flight": inflight, "completed": completed,
+                "num_in_flight": len(inflight),
+                "num_completed": core.queries_completed}
+
+    def sessions(self) -> dict:
+        import time as _time
+
+        core = self.core
+        now = _time.monotonic()
+        with core._lock:
+            rows = [{"session": sid, "pool": s.pool,
+                     "open_operations": len(s.operations),
+                     "idle_s": round(now - s.last_used, 1),
+                     "async_running": sum(
+                         1 for o in s.operations.values()
+                         if isinstance(o, _AsyncOperation)
+                         and not o.done.is_set())}
+                    for sid, s in core._sessions.items()]
+        return {"sessions": rows, "num_sessions": len(rows)}
+
+    def admission(self) -> dict:
+        return {"pools": self.core.admission.stats()}
+
+    def metrics(self) -> dict:
+        spark = self.core._spark
+        sc = spark.sparkContext
+        q = self.queries()
+        return {
+            "server": "i2s-server",
+            "uptime_s": round(time.time() - self._started, 1),
+            "spark_version": spark.version,
+            "default_parallelism": sc.defaultParallelism,
+            "num_sessions": len(self.core._sessions),
+            "num_queries_in_flight": q["num_in_flight"],
+            "num_queries_completed": q["num_completed"],
+            "admission_pools": self.core.admission.stats(),
+        }
+
+    # -- http plumbing --
+
+    def start(self) -> tuple[str, int]:
+        ui = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet: no stderr per request
+                pass
+
+            def do_GET(self):
+                parsed = urlparse(self.path)
+                page = parsed.path.strip("/") or "index"
+                as_json = "json" in parse_qs(parsed.query) or \
+                    "json" in parsed.query
+                if page == "index":
+                    links = "".join(f'<li><a href="/{p}">/{p}</a> '
+                                    f'(<a href="/{p}?json">json</a>)</li>'
+                                    for p in _PAGES)
+                    self._send(200, f"<h1>i2s-server debug</h1><ul>{links}"
+                               "</ul>", "text/html")
+                    return
+                if page not in _PAGES:
+                    self._send(404, json.dumps({"error": "not found"}),
+                               "application/json")
+                    return
+                data = getattr(ui, page)()
+                if as_json:
+                    self._send(200, json.dumps(data, default=str),
+                               "application/json")
+                    return
+                parts = [f"<h1>/{page}</h1>"]
+                for key, val in data.items():
+                    if isinstance(val, list):
+                        parts.append(_table(val, key))
+                    elif isinstance(val, dict):
+                        parts.append(_table(
+                            [{"name": k, **v} if isinstance(v, dict)
+                             else {"name": k, "value": v}
+                             for k, v in val.items()], key))
+                    else:
+                        parts.append(f"<p>{html.escape(str(key))}: "
+                                     f"{html.escape(str(val))}</p>")
+                self._send(200, "".join(parts), "text/html")
+
+            def _send(self, code: int, body: str, ctype: str):
+                data = body.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", f"{ctype}; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        name="i2s-webui", daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[:2]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

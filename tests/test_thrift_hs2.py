@@ -1,0 +1,390 @@
+"""TCLIService binary-Thrift front door (impalatogo_spark/thrift_hs2.py).
+
+Reference parity targets:
+  * impala-hs2-server.cc:442 ExecuteStatement / :884 GetOperationStatus /
+    :915 CancelOperation / :1048 GetLog — the real HS2 Thrift surface
+  * TCLIService.thrift (public Apache Hive IDL Impala implements)
+
+Layers tested: (1) the binary-Thrift codec against hand-computed golden
+bytes (so a symmetric encode/decode bug cannot hide), (2) a live TCP
+daemon driven end-to-end over real Thrift frames by the committed
+hand-rolled TCLIService client.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from impalatogo_spark.thrift_hs2 import (COLUMN, MSG_CALL, MSG_REPLY,
+                                         OPEN_SESSION_REQ, TReader, TWriter,
+                                         _VERSION_1, _encode_column,
+                                         decode_column, HS2ThriftClient,
+                                         HS2ThriftServer,
+                                         read_message_header)
+
+
+class _Buf:
+    def __init__(self, data: bytes):
+        self._d, self._p = data, 0
+
+    def read(self, n):
+        out = self._d[self._p:self._p + n]
+        self._p += len(out)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def test_strict_call_message_golden_bytes():
+    """Pin the exact wire bytes of a strict CALL message against the public
+    TBinaryProtocol layout (version word, name, seqid, field headers,
+    big-endian ints, STOP bytes) — hand-computed, so the encoder can't be
+    validated by its own decoder alone."""
+    w = TWriter()
+    w.i32(_VERSION_1 | MSG_CALL)
+    w.string("OpenSession")
+    w.i32(1)
+    w.struct_({1: ("req", OPEN_SESSION_REQ)},
+              {"req": {"client_protocol": 5}})
+    expect = (
+        "80010001"                     # strict version | CALL
+        "0000000b" + b"OpenSession".hex() +
+        "00000001"                     # seqid
+        "0c0001"                       # field: STRUCT id=1
+        "08000100000005"               # field: I32 id=1 value=5
+        "00"                           # inner STOP
+        "00"                           # outer STOP
+    )
+    assert bytes(w.buf).hex() == expect
+
+
+def test_codec_roundtrip_nested_and_skip():
+    """Structs with maps, lists, nested structs round-trip; a field the
+    reader's spec doesn't know (newer client) is skipped cleanly by wire
+    type, leaving the stream aligned for the next field."""
+    spec_writer = ("struct", {
+        1: ("name", "str"),
+        2: ("tags", ("map", "str", "str")),
+        3: ("ids", ("list", "i64")),
+        4: ("inner", ("struct", {1: ("flag", "bool"),
+                                 2: ("ratio", "double")})),
+        9: ("newer_field", ("list", ("struct", {1: ("x", "i32")}))),
+        10: ("after", "i16"),
+    })
+    spec_reader = ("struct", {
+        1: ("name", "str"),
+        2: ("tags", ("map", "str", "str")),
+        3: ("ids", ("list", "i64")),
+        4: ("inner", ("struct", {1: ("flag", "bool"),
+                                 2: ("ratio", "double")})),
+        # field 9 unknown to this reader
+        10: ("after", "i16"),
+    })
+    value = {"name": "åß∂", "tags": {"a": "1", "b": "2"},
+             "ids": [1, -2, 3_000_000_000],
+             "inner": {"flag": True, "ratio": -0.25},
+             "newer_field": [{"x": 7}, {"x": 8}], "after": -9}
+    w = TWriter()
+    w.struct_(spec_writer[1], value)
+    got = TReader(_Buf(bytes(w.buf))).struct_(spec_reader[1])
+    expect = dict(value)
+    expect.pop("newer_field")
+    assert got == expect
+
+
+def test_old_style_message_header():
+    """Non-strict framing (strictWrite=False clients): <len><name><type>
+    <seqid> must parse identically."""
+    w = TWriter()
+    w.string("Ping")
+    w.i8(MSG_CALL)
+    w.i32(42)
+    name, mtype, seqid = read_message_header(TReader(_Buf(bytes(w.buf))))
+    assert (name, mtype, seqid) == ("Ping", MSG_CALL, 42)
+
+
+def test_column_encoding_nulls_bitmap():
+    """TColumn nulls are a little-endian-bit bitmap with type-filler values
+    at null slots (the public V6 columnar layout); decode restores None."""
+    enc = _encode_column("bigint", [10, None, 30, None, None, 60])
+    assert list(enc) == ["i64Val"]
+    assert enc["i64Val"]["values"] == [10, 0, 30, 0, 0, 60]
+    assert enc["i64Val"]["nulls"] == bytes([0b00011010])
+    assert decode_column(enc) == [10, None, 30, None, None, 60]
+
+    enc = _encode_column("string", ["a", None, "c"])
+    assert enc["stringVal"]["values"] == ["a", "", "c"]
+    assert decode_column(enc) == ["a", None, "c"]
+
+    enc = _encode_column("boolean", [True, None, False])
+    assert decode_column(enc) == [True, None, False]
+
+    # complex values (arrays from _json_val) ride stringVal as JSON
+    enc = _encode_column("array<int>", [[1, 2], None])
+    assert enc["stringVal"]["values"][0] == "[1, 2]"
+
+    # round-trip through real thrift bytes, not just dicts
+    enc = _encode_column("double", [1.5, None, -2.25])
+    w = TWriter()
+    w.value(COLUMN, enc)
+    got = TReader(_Buf(bytes(w.buf))).value(COLUMN)
+    assert decode_column(got) == [1.5, None, -2.25]
+
+
+# ---------------------------------------------------------------------------
+# live daemon end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hs2(spark, sf_dir):
+    srv = HS2ThriftServer(spark, sf_dir=sf_dir)
+    host, port = srv.start()
+    yield srv, host, port
+    srv.stop()
+
+
+def _client(hs2) -> HS2ThriftClient:
+    _, host, port = hs2
+    c = HS2ThriftClient(host, port)
+    c.open_session()
+    return c
+
+
+def test_hs2_execute_fetch_typed_columns(hs2):
+    """OpenSession -> ExecuteStatement -> GetResultSetMetadata ->
+    FetchResults over real thrift frames; typed columns (bigint/string/
+    double) come back in their TColumn slots with correct values."""
+    c = _client(hs2)
+    try:
+        op = c.execute(
+            "SELECT r_regionkey, r_name, "
+            "cast(r_regionkey * 1.5 AS double) AS scaled, "
+            "r_regionkey * 1.5 AS dec_scaled, "
+            "cast(r_regionkey AS bigint) AS big "
+            "FROM region ORDER BY r_regionkey")
+        schema = c.schema(op)
+        assert [s[0] for s in schema] == [
+            "r_regionkey", "r_name", "scaled", "dec_scaled", "big"]
+        # int=3, string=7, double=6, decimal=15, bigint=4 per public TTypeId
+        assert [s[1] for s in schema] == [3, 7, 6, 15, 4]
+        rows = c.fetch_all(op)
+        assert len(rows) == 5
+        assert rows[0][0] == 0 and isinstance(rows[0][1], str)
+        assert rows[4][2] == 6.0
+        assert rows[4][3] == "6.0"  # decimals ride stringVal, HS2-style
+        assert rows[4][4] == 4
+        c.close_operation(op)
+    finally:
+        c.close()
+
+
+def test_hs2_nulls_and_pagination(hs2):
+    c = _client(hs2)
+    try:
+        op = c.execute(
+            "SELECT n_nationkey, CASE WHEN n_nationkey % 3 = 0 THEN NULL "
+            "ELSE n_name END AS maybe FROM nation ORDER BY n_nationkey")
+        rows, more = c.fetch(op, max_rows=10)
+        assert len(rows) == 10 and more
+        rest = c.fetch_all(op, max_rows=10)
+        rows += rest
+        assert len(rows) == 25
+        for k, maybe in rows:
+            assert (maybe is None) == (k % 3 == 0)
+    finally:
+        c.close()
+
+
+def test_hs2_impala_dialect_and_set(hs2):
+    """The thrift front door shares the dialect engine: SET options and
+    Impala SQL work exactly as over the JSON protocol."""
+    c = _client(hs2)
+    try:
+        c.execute("SET DEFAULT_ORDER_BY_LIMIT=2")
+        op = c.execute("SELECT r_regionkey FROM region ORDER BY r_regionkey")
+        assert [r[0] for r in c.fetch_all(op)] == [0, 1]
+        c.execute("UNSET DEFAULT_ORDER_BY_LIMIT")
+        op = c.execute("SELECT cast(l_shipdate AS string) AS d FROM lineitem "
+                       "WHERE year(l_shipdate) = 1995 ORDER BY d LIMIT 1")
+        (d,), = c.fetch_all(op)
+        assert d.startswith("1995")
+    finally:
+        c.close()
+
+
+def test_hs2_sync_error_surfaces_in_execute(hs2):
+    c = _client(hs2)
+    try:
+        with pytest.raises(RuntimeError):
+            c.execute("SELECT FROM nowhere")
+        # connection + session stay usable after the error
+        op = c.execute("SELECT 1 AS one")
+        assert c.fetch_all(op) == [[1]]
+    finally:
+        c.close()
+
+
+def test_hs2_async_cancel_and_log(hs2):
+    """runAsync ExecuteStatement + GetOperationStatus + CancelOperation +
+    GetLog: the full async lifecycle over real thrift frames, including the
+    admission slot being freed after cancel."""
+    srv, _, _ = hs2
+    c = _client(hs2)
+    try:
+        op = c.execute(
+            "SELECT count(*) AS c FROM lineitem a, lineitem b, orders o, "
+            "customer cu", run_async=True)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            state, _ = c.status(op)
+            if state == "RUNNING":
+                break
+            time.sleep(0.02)
+        c.cancel(op)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            state, _ = c.status(op)
+            if state == "CANCELED":
+                break
+            time.sleep(0.05)
+        assert state == "CANCELED"
+        assert "cancel requested by client" in c.get_log(op)
+        # pool healthy afterwards
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if srv.core.admission.stats("default")["default"][
+                    "running_now"] == 0:
+                break
+            time.sleep(0.02)
+        op2 = c.execute("SELECT 2 AS two")
+        assert c.fetch_all(op2) == [[2]]
+    finally:
+        c.close()
+
+
+def test_hs2_metadata_rpcs(hs2):
+    """GetSchemas/GetTables/GetColumns return operation handles whose rows
+    are fetched via FetchResults, per the HS2 contract."""
+    c = _client(hs2)
+    try:
+        op = c.call("GetTables", {"sessionHandle": c.session_handle,
+                                  "tableName": "na%"})["operationHandle"]
+        rows = c.fetch_all(op)
+        assert ["nation" in r for r in [row[1] for row in rows]]
+        assert any(row[1] == "nation" for row in rows)
+
+        op = c.call("GetColumns", {"sessionHandle": c.session_handle,
+                                   "tableName": "region",
+                                   "columnName": "%"})["operationHandle"]
+        cols = {row[1] for row in c.fetch_all(op)}
+        assert cols == {"r_regionkey", "r_name"}
+
+        op = c.call("GetSchemas",
+                    {"sessionHandle": c.session_handle})["operationHandle"]
+        assert c.fetch_all(op)  # at least the default database
+    finally:
+        c.close()
+
+
+def test_hs2_unknown_method_is_application_exception(hs2):
+    _, host, port = hs2
+    c = HS2ThriftClient(host, port)
+    try:
+        from impalatogo_spark import thrift_hs2 as t
+
+        t_methods_backup = dict(t.METHODS)
+        # teach only the CLIENT a method the server doesn't implement
+        t.METHODS["RenewDelegationToken"] = (
+            {1: ("req", t.OP_REQ)}, t.STATUS_RESP)
+        try:
+            with pytest.raises(RuntimeError, match="unknown method"):
+                c.call("RenewDelegationToken",
+                       {"operationHandle": {
+                           "operationId": {"guid": b"\0" * 16,
+                                           "secret": b"\0" * 16},
+                           "operationType": 0, "hasResultSet": False}})
+        finally:
+            t.METHODS.clear()
+            t.METHODS.update(t_methods_backup)
+    finally:
+        c._sock.close()
+
+
+def test_hs2_concurrent_clients_isolated_sessions(hs2):
+    """N thrift clients run concurrently with per-session isolation
+    (spark.newSession per OpenSession, same as the JSON protocol)."""
+    results, errors = {}, []
+
+    def run(i):
+        try:
+            cc = _client(hs2)
+            try:
+                cc.execute(f"SET DEFAULT_ORDER_BY_LIMIT={i + 1}")
+                op = cc.execute(
+                    "SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+                results[i] = [r[0] for r in cc.fetch_all(op)]
+            finally:
+                cc.close()
+        except Exception as e:
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert results == {i: list(range(i + 1)) for i in range(4)}
+
+
+def test_hs2_daemon_subprocess_end_to_end():
+    """Boot the real daemon with --hs2-port (TCLIService Thrift alongside
+    the JSON port, sharing one core) in a subprocess and drive it over real
+    thrift frames — the path a stock HS2 client takes to impalad's hs2
+    port."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    srv = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "tools", "i2s_shell.py"),
+         "--listen", "127.0.0.1:0", "--hs2-port", "0", "--sf-dir", sf],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+    try:
+        hs2_port = None
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = srv.stdout.readline()
+            if not line:
+                time.sleep(0.2)
+                continue
+            if line.startswith("hs2-thrift listening on "):
+                hs2_port = int(line.rsplit(":", 1)[1])
+                break
+        assert hs2_port, "daemon never reported its hs2 port"
+        c = HS2ThriftClient("127.0.0.1", hs2_port)
+        try:
+            c.open_session()
+            op = c.execute(
+                "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3")
+            assert c.schema(op) == [("n_name", 7)]
+            rows = c.fetch_all(op)
+            assert len(rows) == 3 and all(isinstance(r[0], str) for r in rows)
+        finally:
+            c.close()
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            srv.kill()

@@ -1,0 +1,175 @@
+"""Debug webserver (impalatogo_spark/webui.py).
+
+Reference parity: impala-server.cc:287 RegisterWebserverCallbacks —
+/queries, /sessions, /memz-style metrics pages (www/queries.tmpl,
+www/sessions.tmpl). Tests fetch JSON and HTML readouts from a live HTTP
+daemon while a query is in flight and after it completes.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from impalatogo_spark.server import I2SClient, I2SServer
+from impalatogo_spark.webui import WebUI
+
+
+@pytest.fixture(scope="module")
+def stack(spark, sf_dir):
+    core = I2SServer(spark, sf_dir=sf_dir)
+    chost, cport = core.start()
+    ui = WebUI(core)
+    whost, wport = ui.start()
+    yield core, (chost, cport), f"http://{whost}:{wport}"
+    ui.stop()
+    core.stop()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        ctype = r.headers.get("Content-Type", "")
+        body = r.read().decode("utf-8")
+    return ctype, body
+
+
+def _get_json(url: str) -> dict:
+    ctype, body = _get(url + ("&json" if "?" in url else "?json"))
+    assert ctype.startswith("application/json")
+    return json.loads(body)
+
+
+def test_index_and_404(stack):
+    _, _, base = stack
+    ctype, body = _get(base + "/")
+    assert ctype.startswith("text/html")
+    for page in ("/queries", "/sessions", "/admission", "/metrics"):
+        assert page in body
+    with pytest.raises(urllib.error.HTTPError):
+        _get(base + "/nosuchpage")
+
+
+def test_queries_inflight_and_completed(stack):
+    """The /queries readout shows a RUNNING in-flight query while it
+    executes, then moves it to the completed log with rows + elapsed —
+    the reference's queries.tmpl contract."""
+    core, (chost, cport), base = stack
+    c = I2SClient(chost, cport)
+    c.open_session()
+    try:
+        resp = c.call(op="execute_async", session=c.session,
+                      sql="SELECT count(*) AS c FROM lineitem a, lineitem b, "
+                          "orders o, customer cu",
+                      label="webui_slow_probe")
+        h = resp["handle"]
+        seen_inflight = False
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q = _get_json(base + "/queries")
+            mine = [r for r in q["in_flight"]
+                    if r["label"] == "webui_slow_probe"]
+            if mine and mine[0]["state"] == "RUNNING":
+                seen_inflight = True
+                assert mine[0]["elapsed_s"] >= 0
+                break
+            time.sleep(0.05)
+        assert seen_inflight, "query never appeared on /queries in-flight"
+        # the HTML rendering carries the same query
+        _, html_body = _get(base + "/queries")
+        assert "webui_slow_probe" in html_body
+        c.call(op="cancel_operation", session=c.session, handle=h)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q = _get_json(base + "/queries")
+            done = [r for r in q["completed"]
+                    if r["label"] == "webui_slow_probe"]
+            if done:
+                assert done[0]["state"] == "CANCELED"
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("query never reached the completed log")
+
+        # a fast query lands in completed with rows + elapsed
+        c.execute("SELECT 1 AS one")
+        q = _get_json(base + "/queries")
+        fin = [r for r in q["completed"] if r["state"] == "FINISHED"
+               and r["sql"].startswith("SELECT 1")]
+        assert fin and fin[0]["rows"] == 1 and fin[0]["elapsed_s"] > 0
+        assert q["num_completed"] >= 2
+    finally:
+        c.close()
+
+
+def test_sessions_admission_metrics(stack):
+    core, (chost, cport), base = stack
+    c = I2SClient(chost, cport)
+    c.open_session()
+    try:
+        c.execute("SET REQUEST_POOL=webui_pool")
+        c.execute("SET MAX_REQUESTS=3")
+        c.execute("SELECT count(*) AS c FROM region")
+
+        s = _get_json(base + "/sessions")
+        assert s["num_sessions"] >= 1
+        mine = [r for r in s["sessions"] if r["session"] == c.session]
+        assert mine and mine[0]["pool"] == "webui_pool"
+
+        a = _get_json(base + "/admission")
+        assert a["pools"]["webui_pool"]["max_requests"] == 3
+        assert a["pools"]["webui_pool"]["admitted"] >= 1
+
+        m = _get_json(base + "/metrics")
+        assert m["server"] == "i2s-server"
+        assert m["spark_version"]
+        assert m["num_queries_completed"] >= 1
+        assert "webui_pool" in m["admission_pools"]
+
+        # HTML renderings respond 200 with tables
+        for page in ("/sessions", "/admission", "/metrics"):
+            ctype, body = _get(base + page)
+            assert ctype.startswith("text/html") and "<h1>" in body
+    finally:
+        c.close()
+
+
+def test_webui_daemon_subprocess():
+    """Boot the daemon with --webui-port and fetch /metrics over HTTP —
+    the full deployment shape (impalad's debug webserver next to its
+    client ports)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    srv = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "tools", "i2s_shell.py"),
+         "--listen", "127.0.0.1:0", "--webui-port", "0", "--sf-dir", sf],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+    try:
+        web_port = None
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = srv.stdout.readline()
+            if not line:
+                time.sleep(0.2)
+                continue
+            if line.startswith("webui listening on "):
+                web_port = int(line.rsplit(":", 1)[1])
+                break
+        assert web_port, "daemon never reported its webui port"
+        m = _get_json(f"http://127.0.0.1:{web_port}/metrics")
+        assert m["server"] == "i2s-server" and m["num_sessions"] == 0
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            srv.kill()

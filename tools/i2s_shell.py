@@ -268,6 +268,25 @@ def _serve(args) -> None:
     bound_host, bound_port = server.start()
     # exact marker line, parsed by connect-mode scripts and tests
     print(f"i2s-server listening on {bound_host}:{bound_port}", flush=True)
+    webui = None
+    if args.webui_port is not None:
+        # debug webserver (impala-server.cc RegisterWebserverCallbacks):
+        # /queries /sessions /admission /metrics over the same core
+        from impalatogo_spark.webui import WebUI
+
+        webui = WebUI(server, host=bound_host, port=args.webui_port)
+        web_host, web_port = webui.start()
+        print(f"webui listening on {web_host}:{web_port}", flush=True)
+    hs2 = None
+    if args.hs2_port is not None:
+        # real TCLIService binary Thrift on a second port, sharing the same
+        # session/admission core (impala daemon: beeswax + hs2 ports)
+        from impalatogo_spark.thrift_hs2 import HS2ThriftServer
+
+        hs2 = HS2ThriftServer(spark, host=bound_host, port=args.hs2_port,
+                              core=server)
+        hs2_host, hs2_port = hs2.start()
+        print(f"hs2-thrift listening on {hs2_host}:{hs2_port}", flush=True)
     try:
         import signal
         import threading
@@ -277,6 +296,10 @@ def _serve(args) -> None:
         signal.signal(signal.SIGINT, lambda *_: stop.set())
         stop.wait()
     finally:
+        if hs2 is not None:
+            hs2.stop()
+        if webui is not None:
+            webui.stop()
         server.stop()
 
 
@@ -293,6 +316,13 @@ def main() -> None:
                     help="write query output to this file as well as stdout")
     ap.add_argument("--listen", metavar="[HOST:]PORT",
                     help="serve SQL over TCP instead of running a REPL")
+    ap.add_argument("--hs2-port", type=int, default=None, metavar="PORT",
+                    help="with --listen: also serve HiveServer2 TCLIService "
+                         "(binary Thrift) on this port (0 = ephemeral)")
+    ap.add_argument("--webui-port", type=int, default=None, metavar="PORT",
+                    help="with --listen: serve the debug webserver "
+                         "(/queries /sessions /admission /metrics) on this "
+                         "port (0 = ephemeral)")
     ap.add_argument("--connect", "-i", metavar="HOST:PORT",
                     help="connect to a --listen server instead of starting "
                          "an in-process engine")
