@@ -105,6 +105,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     # custom Python data sources (sources/external.py) offer pushFilters
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Impala's INSERT OVERWRITE ... PARTITION replaces only the partitions
+    # present in the input (hdfs-table-sink.cc); Spark's STATIC default
+    # would wipe every partition of the target instead.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
