@@ -204,6 +204,8 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "select_kcenter_diversity",
     "text_span_corruption",
     "embedding_outlier_filter",
+    # round 4: persisted IVF index lifecycle
+    "ann_topk_ivf_indexed",
 ]
 RUNS = 3
 

@@ -111,6 +111,23 @@ def executed_metrics(df: DataFrame) -> list[tuple[int, str, dict]]:
     return out
 
 
+def shuffle_write_bytes(df: DataFrame) -> int:
+    """Total 'shuffle bytes written' across the EXECUTED plan — the
+    quantitative scale signal (a per-key blowup that plan-shape asserts
+    can't see shows up here first; the r02 ER-blocking cliff was exactly a
+    shuffle-write explosion). Call after an action."""
+    return sum(int(vals.get("shuffle bytes written", 0) or 0)
+               for _, _, vals in executed_metrics(df))
+
+
+def scan_input_bytes(df: DataFrame) -> int:
+    """Total 'size of files read' across the executed plan's scans — the
+    input-size denominator for shuffle budgets."""
+    return sum(int(vals.get("size of files read", 0) or 0)
+               for _, name, vals in executed_metrics(df)
+               if name.startswith("Scan"))
+
+
 def profile_text(df: DataFrame) -> str:
     """Render executed_metrics as the indented profile tree the shell's
     `profile` command prints."""

@@ -1807,6 +1807,35 @@ def ann_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_ivf_indexed",
+    oracle=S.ivf_indexed_oracle(k_cells=8, iters=3, n_queries=5,
+                                n_probe=2, topk=5),
+    tags=("similarity", "ann", "index"),
+)
+def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index IVF lifecycle end-to-end: train the integer
+    k-means quantizer on the base corpus (vec_id % 5 <> 3) and write the
+    snapshot (centroids + assignments parquet), assign the held-out batch
+    against the read-back centroids as a delta (NO re-clustering — the
+    100 TB steady state, where the index is built once per corpus snapshot
+    and every new batch only reads centroids), then answer top-k probes
+    over base + delta from the snapshot alone. Oracle reproduces every
+    stage bit-for-bit; index reuse across query batches without
+    re-clustering is pinned in tests/test_similarity.py."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(F.col("vec_id") % 5 == 3)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(tempfile.gettempdir(), f"i2s_ivf_{sf_tag}")
+    snap = S.build_ivf_index(base, index_dir, k_cells=8, iters=3)
+    S.ivf_index_append_batch(batch, snap, batch_id="b1")
+    return S.ivf_indexed_topk(emb, snap, n_queries=5, n_probe=2, topk=5)
+
+
+@register(
     "events_path_analysis",
     oracle="""
 WITH seq AS (

@@ -376,3 +376,56 @@ def test_random_projection_preserves_relative_distances(spark, sf_dir):
     num = sum((ro[i] - (n - 1) / 2) * (rp[i] - (n - 1) / 2) for i in range(n))
     den = statistics.pstdev(ro.values()) * statistics.pstdev(rp.values()) * n
     assert num / den > 0.3
+
+
+def test_ivf_persisted_index_reused_across_batches(spark, sf_dir, tmp_path,
+                                                   monkeypatch):
+    """The persisted IVF lifecycle (operators/similarity.py
+    build_ivf_index / ivf_index_append_batch / ivf_indexed_topk): the index
+    is trained ONCE; appending a new vector batch and answering TWO query
+    batches afterwards must never re-cluster (k-means is poisoned after the
+    build), and the snapshot-served results are byte-identical to the
+    in-memory derivation."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(F.col("vec_id") % 5 == 3)
+
+    # expected: in-memory union of trained assignments + batch argmin
+    assign_mem, cents_mem = S.kmeans_quantized(
+        base, k=8, iters=3, return_state=True)
+    expected_assign = assign_mem.select("vec_id", "cluster").union(
+        S.ivf_assign_batch(batch, cents_mem))
+    exp_q5 = {tuple(r) for r in S._ivf_probe_topk(
+        S._quantized(emb), expected_assign, cents_mem, 5, 2, 5).collect()}
+    exp_q8 = {tuple(r) for r in S._ivf_probe_topk(
+        S._quantized(emb), expected_assign, cents_mem, 8, 2, 5).collect()}
+
+    snap = S.build_ivf_index(base, str(tmp_path / "ivf"), k_cells=8, iters=3)
+    S.ivf_index_append_batch(batch, snap, batch_id="b1")
+
+    # the index on disk is the whole state: centroids read back == trained
+    assert S.load_ivf_centroids(spark, snap) == cents_mem
+    n_base = base.count()
+    n_all = emb.count()
+    assert S.load_ivf_assignments(spark, snap).count() == n_all
+    assert spark.read.parquet(f"{snap}/assignments").count() == n_base
+
+    # poison k-means: every post-build step must be read-only on the index
+    def _boom(*a, **k):
+        raise AssertionError("query/append path re-clustered the corpus")
+
+    monkeypatch.setattr(S, "kmeans_quantized", _boom)
+
+    got_q5 = {tuple(r)
+              for r in S.ivf_indexed_topk(emb, snap, n_queries=5).collect()}
+    got_q8 = {tuple(r)
+              for r in S.ivf_indexed_topk(emb, snap, n_queries=8).collect()}
+    assert got_q5 == exp_q5 and len(exp_q5) == 25
+    assert got_q8 == exp_q8 and len(exp_q8) == 40
+
+    # a second incoming batch appends a delta without touching the base
+    # build or earlier deltas (immutable snapshot parts)
+    extra = emb.filter(F.col("vec_id") % 5 == 3).limit(10) \
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    S.ivf_index_append_batch(extra, snap, batch_id="b2")
+    assert S.load_ivf_assignments(spark, snap).count() == n_all + 10
