@@ -379,6 +379,23 @@ GET_COLUMNS_REQ = ("struct", {1: ("sessionHandle", SESSION_HANDLE),
                               3: ("schemaName", "str"),
                               4: ("tableName", "str"),
                               5: ("columnName", "str")})
+GET_FUNCTIONS_REQ = ("struct", {1: ("sessionHandle", SESSION_HANDLE),
+                                2: ("catalogName", "str"),
+                                3: ("schemaName", "str"),
+                                4: ("functionName", "str")})
+SESSION_ONLY_REQ = ("struct", {1: ("sessionHandle", SESSION_HANDLE)})
+GET_INFO_REQ = ("struct", {1: ("sessionHandle", SESSION_HANDLE),
+                           2: ("infoType", "i32")})
+GET_INFO_VALUE = ("struct", {1: ("stringValue", "str"),
+                             2: ("smallIntValue", "i16"),
+                             3: ("integerBitmask", "i32"),
+                             4: ("integerFlag", "i32"),
+                             5: ("binaryValue", "i32"),
+                             6: ("lenValue", "i64")})
+GET_INFO_RESP = ("struct", {1: ("status", STATUS),
+                            2: ("infoValue", GET_INFO_VALUE)})
+# TGetInfoType codes (public ODBC-derived enum in TCLIService.thrift)
+INFO_CLI_SERVER_NAME, INFO_CLI_DBMS_NAME, INFO_CLI_DBMS_VER = 13, 17, 18
 
 # method name -> (args spec {fid: (name, spec)}, result spec for `success`)
 METHODS = {
@@ -394,6 +411,11 @@ METHODS = {
     "GetSchemas": ({1: ("req", GET_SCHEMAS_REQ)}, OPHANDLE_RESP),
     "GetTables": ({1: ("req", GET_TABLES_REQ)}, OPHANDLE_RESP),
     "GetColumns": ({1: ("req", GET_COLUMNS_REQ)}, OPHANDLE_RESP),
+    "GetFunctions": ({1: ("req", GET_FUNCTIONS_REQ)}, OPHANDLE_RESP),
+    "GetCatalogs": ({1: ("req", SESSION_ONLY_REQ)}, OPHANDLE_RESP),
+    "GetTableTypes": ({1: ("req", SESSION_ONLY_REQ)}, OPHANDLE_RESP),
+    "GetTypeInfo": ({1: ("req", SESSION_ONLY_REQ)}, OPHANDLE_RESP),
+    "GetInfo": ({1: ("req", GET_INFO_REQ)}, GET_INFO_RESP),
 }
 
 APP_EXCEPTION = ("struct", {1: ("message", "str"), 2: ("type", "i32")})
@@ -692,6 +714,53 @@ class HS2ThriftServer:
             "table": req.get("tableName"),
             "column_pattern": req.get("columnName") or "%"})
         return self._meta_result(sid, sess, resp, OPTYPE_GET_COLUMNS)
+
+    def _h_GetCatalogs(self, req: dict) -> dict:
+        # Spark (like Impala) has a single flat catalog: zero rows, like
+        # the reference's GetCatalogs (impala-hs2-server.cc returns empty)
+        sid, sess = self._sess(req["sessionHandle"])
+        return self._meta_result(
+            sid, sess, {"columns": ["TABLE_CAT"], "types": ["string"],
+                        "rows": []}, 2)
+
+    def _h_GetTableTypes(self, req: dict) -> dict:
+        sid, sess = self._sess(req["sessionHandle"])
+        return self._meta_result(
+            sid, sess, {"columns": ["TABLE_TYPE"], "types": ["string"],
+                        "rows": [["TABLE"], ["VIEW"]]}, 5)
+
+    def _h_GetTypeInfo(self, req: dict) -> dict:
+        sid, sess = self._sess(req["sessionHandle"])
+        types = ["BOOLEAN", "TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT",
+                 "DOUBLE", "STRING", "TIMESTAMP", "BINARY", "DECIMAL",
+                 "DATE", "VARCHAR", "CHAR"]
+        rows = [[t, _type_id(t.lower())] for t in types]
+        return self._meta_result(
+            sid, sess, {"columns": ["TYPE_NAME", "DATA_TYPE"],
+                        "types": ["string", "int"], "rows": rows}, 1)
+
+    def _h_GetFunctions(self, req: dict) -> dict:
+        sid, sess = self._sess(req["sessionHandle"])
+        pat = (req.get("functionName") or "%").replace("%", "*")
+        rows = [["", "", f.name, "", 0, ""] for f in
+                sess.spark.catalog.listFunctions(pattern=pat)]
+        rows.sort(key=lambda r: r[2])
+        return self._meta_result(
+            sid, sess,
+            {"columns": ["FUNCTION_CAT", "FUNCTION_SCHEM", "FUNCTION_NAME",
+                         "REMARKS", "FUNCTION_TYPE", "SPECIFIC_NAME"],
+             "types": ["string", "string", "string", "string", "int",
+                       "string"], "rows": rows}, 7)
+
+    def _h_GetInfo(self, req: dict) -> dict:
+        t = req.get("infoType")
+        if t == INFO_CLI_SERVER_NAME or t == INFO_CLI_DBMS_NAME:
+            val = {"stringValue": "impalatogo-spark"}
+        elif t == INFO_CLI_DBMS_VER:
+            val = {"stringValue": self.core._spark.version}
+        else:
+            val = {"lenValue": 0}
+        return {"status": _ok_status(), "infoValue": val}
 
 
 # ---------------------------------------------------------------------------

@@ -388,3 +388,38 @@ def test_hs2_daemon_subprocess_end_to_end():
             srv.wait(timeout=30)
         except subprocess.TimeoutExpired:
             srv.kill()
+
+
+def test_hs2_client_compat_rpcs(hs2):
+    """The remaining TCLIService metadata RPCs stock clients call on
+    connect: GetInfo (server name/version), GetCatalogs (empty, like the
+    reference), GetTableTypes, GetTypeInfo, GetFunctions."""
+    c = _client(hs2)
+    try:
+        resp = c.call("GetInfo", {"sessionHandle": c.session_handle,
+                                  "infoType": 13})
+        assert resp["infoValue"]["stringValue"] == "impalatogo-spark"
+        resp = c.call("GetInfo", {"sessionHandle": c.session_handle,
+                                  "infoType": 18})
+        assert resp["infoValue"]["stringValue"][0].isdigit()
+
+        op = c.call("GetCatalogs",
+                    {"sessionHandle": c.session_handle})["operationHandle"]
+        assert c.fetch_all(op) == []
+
+        op = c.call("GetTableTypes",
+                    {"sessionHandle": c.session_handle})["operationHandle"]
+        assert [r[0] for r in c.fetch_all(op)] == ["TABLE", "VIEW"]
+
+        op = c.call("GetTypeInfo",
+                    {"sessionHandle": c.session_handle})["operationHandle"]
+        rows = c.fetch_all(op)
+        assert ["BIGINT", 4] in rows and ["STRING", 7] in rows
+
+        op = c.call("GetFunctions", {"sessionHandle": c.session_handle,
+                                     "functionName": "sub%"}
+                    )["operationHandle"]
+        names = [r[2] for r in c.fetch_all(op)]
+        assert "substring" in names
+    finally:
+        c.close()
