@@ -204,8 +204,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "select_kcenter_diversity",
     "text_span_corruption",
     "embedding_outlier_filter",
-    # round 4: persisted IVF index lifecycle
+    # round 4: persisted IVF index lifecycle, IVF-PQ ADC
     "ann_topk_ivf_indexed",
+    "ann_topk_ivf_pq_adc",
 ]
 RUNS = 3
 

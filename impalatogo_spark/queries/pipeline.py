@@ -1836,6 +1836,26 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_ivf_pq_adc",
+    oracle=S.ivf_pq_adc_oracle(k_cells=8, cell_iters=3, m=4, pq_k=4,
+                               pq_iters=2, n_queries=5, n_probe=2, topk=5),
+    tags=("similarity", "ann", "pq"),
+)
+def ann_topk_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation — the top of the ANN
+    ladder (brute -> LSH -> IVF -> IVF-PQ): coarse integer cells prune
+    candidates, PQ codes (m=4 subspaces) compress vectors, and scoring is
+    m lookup-table joins per candidate instead of any vector arithmetic
+    (the ADC property: at 100 TB the search is memory-bound on 4 small
+    codes per vector, not 64 floats). Every stage — cells, codebooks,
+    codes, probe ranking, per-query LUTs, final ranking — is integer-exact
+    and reproduced by the DuckDB oracle."""
+    return S.ivf_pq_adc_topk(_t(spark, sf_dir, "embeddings"), k_cells=8,
+                             cell_iters=3, m=4, pq_k=4, pq_iters=2,
+                             n_queries=5, n_probe=2, topk=5)
+
+
+@register(
     "events_path_analysis",
     oracle="""
 WITH seq AS (
