@@ -1,0 +1,304 @@
+"""Beeswax wire protocol: the reference's second front door.
+
+Reference parity: impala-shell and legacy clients speak BeeswaxService /
+ImpalaService (`be/src/service/impala-beeswax-server.cc:170` query/fetch,
+`:434` Cancel; the IDL is the public Apache Hive beeswax.thrift plus
+Impala's ImpalaService extension). Served here over the same hand-rolled
+binary-Thrift codec as thrift_hs2.py, in front of the same
+session/engine/admission core.
+
+Protocol notes (all public-IDL semantics):
+  * no session handles — a Beeswax session is the CONNECTION (one core
+    session per TCP connection, opened lazily, closed on disconnect);
+  * `query` returns a QueryHandle immediately (async — the reference
+    coordinator runs the statement in the background; get_state polls),
+    `executeAndWait` blocks;
+  * `fetch` returns rows as TAB-DELIMITED strings (Results.data), with
+    start_over rewinding to row 0;
+  * `get_results_metadata` exposes the hive_metastore-style FieldSchema
+    list; `explain` returns the plan text; Impala extensions `Cancel` and
+    `GetRuntimeProfile` map to the async cancel and profile readouts.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+import uuid
+
+from .server import I2SServer, _AsyncOperation
+from .thrift_hs2 import (APP_EXCEPTION, MSG_EXCEPTION, MSG_REPLY, TReader,
+                         TWriter, T_STRUCT, _VERSION_1, read_message_header,
+                         write_message)
+
+# -- beeswax.thrift structs (public Apache Hive IDL) -------------------------
+
+QUERY = ("struct", {1: ("query", "str"),
+                    3: ("configuration", ("list", "str")),
+                    4: ("hadoop_user", "str")})
+QUERY_HANDLE = ("struct", {1: ("id", "str"), 2: ("log_context", "str")})
+QUERY_EXPLANATION = ("struct", {1: ("textual", "str")})
+RESULTS = ("struct", {1: ("ready", "bool"),
+                      2: ("columns", ("list", "str")),
+                      3: ("data", ("list", "str")),
+                      4: ("start_row", "i64"), 5: ("has_more", "bool")})
+FIELD_SCHEMA = ("struct", {1: ("name", "str"), 2: ("type", "str"),
+                           3: ("comment", "str")})
+SCHEMA = ("struct", {1: ("fieldSchemas", ("list", FIELD_SCHEMA)),
+                     2: ("properties", ("map", "str", "str"))})
+RESULTS_METADATA = ("struct", {1: ("schema", SCHEMA), 2: ("table_dir", "str"),
+                               3: ("in_tablename", "str"), 4: ("delim", "str")})
+# QueryState enum (beeswax.thrift): CREATED=0 INITIALIZED=1 COMPILED=2
+# RUNNING=3 FINISHED=4 EXCEPTION=5
+_QSTATE = {"INITIALIZED": 1, "RUNNING": 3, "FINISHED": 4, "CANCELED": 5,
+           "ERROR": 5}
+
+METHODS = {
+    "query": ({1: ("query", QUERY)}, QUERY_HANDLE),
+    "executeAndWait": ({1: ("query", QUERY), 2: ("clientCtx", "str")},
+                       QUERY_HANDLE),
+    "explain": ({1: ("query", QUERY)}, QUERY_EXPLANATION),
+    "fetch": ({1: ("query_id", QUERY_HANDLE), 2: ("start_over", "bool"),
+               3: ("fetch_size", "i32")}, RESULTS),
+    "get_state": ({1: ("handle", QUERY_HANDLE)}, "i32"),
+    "get_results_metadata": ({1: ("handle", QUERY_HANDLE)},
+                             RESULTS_METADATA),
+    "echo": ({1: ("s", "str")}, "str"),
+    "get_log": ({1: ("context", "str")}, "str"),
+    "close": ({1: ("handle", QUERY_HANDLE)}, None),
+    "clean": ({1: ("log_context", "str")}, None),
+    # ImpalaService extensions (ImpalaService.thrift)
+    "Cancel": ({1: ("query_id", QUERY_HANDLE)},
+               ("struct", {1: ("status_code", "i32")})),
+    "GetRuntimeProfile": ({1: ("query_id", QUERY_HANDLE)}, "str"),
+    "PingImpalaService": ({}, None),
+}
+
+
+def _tsv(row: list) -> str:
+    return "\t".join("NULL" if v is None else str(v) for v in row)
+
+
+class BeeswaxServer:
+    """BeeswaxService/ImpalaService daemon over a shared I2SServer core."""
+
+    def __init__(self, spark, sf_dir: str | None = None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 core: I2SServer | None = None):
+        self.core = core or I2SServer(spark, sf_dir=sf_dir)
+        self._host, self._port = host, port
+        self._tcp = None
+        self._thread = None
+
+    def start(self) -> tuple[str, int]:
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                r = TReader(self.rfile)
+                sid = None
+                try:
+                    while True:
+                        try:
+                            name, mtype, seqid = read_message_header(r)
+                        except EOFError:
+                            return
+                        if sid is None:  # lazy per-connection session
+                            sid = outer.core._dispatch(
+                                {"op": "open_session"})["session"]
+                        outer._serve_one(r, self.wfile, name, seqid, sid)
+                finally:
+                    if sid is not None:
+                        outer.core._dispatch(
+                            {"op": "close_session", "session": sid})
+
+        class TCP(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._tcp = TCP((self._host, self._port), Handler)
+        self._thread = threading.Thread(target=self._tcp.serve_forever,
+                                        name="beeswax-server", daemon=True)
+        self._thread.start()
+        return self._tcp.server_address[:2]
+
+    def stop(self):
+        if self._tcp is not None:
+            self._tcp.shutdown()
+            self._tcp.server_close()
+            self._tcp = None
+
+    # -- dispatch --
+
+    def _serve_one(self, r: TReader, wfile, name: str, seqid: int, sid: str):
+        spec = METHODS.get(name)
+        handler = getattr(self, f"_h_{name}", None)
+        if spec is None or handler is None:
+            r.skip(T_STRUCT)
+            write_message(wfile, name, MSG_EXCEPTION, seqid, APP_EXCEPTION[1],
+                          {"message": f"unknown method {name!r}", "type": 1})
+            return
+        args_fields, result_spec = spec
+        args = r.struct_(args_fields)
+        try:
+            resp = handler(sid, args)
+        except Exception as e:
+            # BeeswaxException would need its declared exception slot; a
+            # TApplicationException is the conservative cross-client signal
+            write_message(wfile, name, MSG_EXCEPTION, seqid, APP_EXCEPTION[1],
+                          {"message": f"{type(e).__name__}: {e}", "type": 6})
+            return
+        result_fields = {} if result_spec is None else \
+            {0: ("success", result_spec)}
+        values = {} if result_spec is None else {"success": resp}
+        write_message(wfile, name, MSG_REPLY, seqid, result_fields, values)
+
+    def _sess(self, sid: str):
+        return self.core._session({"session": sid})
+
+    def _op(self, sid: str, handle: dict):
+        sess = self._sess(sid)
+        o = sess.operations.get((handle or {}).get("id"))
+        if o is None:
+            raise ValueError("unknown query handle")
+        return sess, o
+
+    @staticmethod
+    def _finished(o):
+        if isinstance(o, _AsyncOperation):
+            o.done.wait(timeout=3600)
+        return I2SServer._finished(o)
+
+    # -- handlers --
+
+    def _h_query(self, sid: str, args: dict) -> dict:
+        q = args.get("query") or {}
+        resp = self.core._dispatch({"op": "execute_async", "session": sid,
+                                    "sql": q.get("query") or ""})
+        return {"id": resp["handle"], "log_context": resp["handle"]}
+
+    def _h_executeAndWait(self, sid: str, args: dict) -> dict:
+        out = self._h_query(sid, args)
+        _, o = self._op(sid, {"id": out["id"]})
+        self._finished(o)
+        return out
+
+    def _h_explain(self, sid: str, args: dict) -> dict:
+        q = (args.get("query") or {}).get("query") or ""
+        sess = self._sess(sid)
+        return {"textual": sess.engine.explain(q)}
+
+    def _h_fetch(self, sid: str, args: dict) -> dict:
+        _, raw = self._op(sid, args.get("query_id"))
+        o = self._finished(raw)
+        if args.get("start_over"):
+            o.pos = 0
+        start = o.pos
+        n = args.get("fetch_size") or 1024
+        if n < 0:
+            n = 1024
+        batch, more = o.fetch(n)
+        return {"ready": True, "columns": list(o.columns),
+                "data": [_tsv(row) for row in batch],
+                "start_row": start, "has_more": more}
+
+    def _h_get_state(self, sid: str, args: dict) -> int:
+        _, o = self._op(sid, args.get("handle"))
+        state = o.state if isinstance(o, _AsyncOperation) else "FINISHED"
+        return _QSTATE.get(state, 5)
+
+    def _h_get_results_metadata(self, sid: str, args: dict) -> dict:
+        _, raw = self._op(sid, args.get("handle"))
+        o = self._finished(raw)
+        return {"schema": {"fieldSchemas": [
+            {"name": c, "type": t} for c, t in zip(o.columns, o.types)]},
+            "delim": "\t"}
+
+    def _h_echo(self, sid: str, args: dict) -> str:
+        return args.get("s") or ""
+
+    def _h_get_log(self, sid: str, args: dict) -> str:
+        sess = self._sess(sid)
+        o = sess.operations.get(args.get("context"))
+        return o.log_text if isinstance(o, _AsyncOperation) else ""
+
+    def _h_close(self, sid: str, args: dict):
+        sess = self._sess(sid)
+        sess.operations.pop((args.get("handle") or {}).get("id"), None)
+        return None
+
+    def _h_clean(self, sid: str, args: dict):
+        return None
+
+    def _h_Cancel(self, sid: str, args: dict) -> dict:
+        _, o = self._op(sid, args.get("query_id"))
+        if isinstance(o, _AsyncOperation):
+            o.cancel()
+        return {"status_code": 0}
+
+    def _h_GetRuntimeProfile(self, sid: str, args: dict) -> str:
+        _, raw = self._op(sid, args.get("query_id"))
+        o = self._finished(raw)
+        return o.profile
+
+    def _h_PingImpalaService(self, sid: str, args: dict):
+        return None
+
+
+class BeeswaxClient:
+    """Minimal BeeswaxService client over the shared codec (the committed
+    test driver; the reference analogue is impala-shell's beeswax mode)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 300.0):
+        import socket
+
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._r = TReader(self._sock.makefile("rb"))
+        self._seq = 0
+
+    def call(self, method: str, **kwargs):
+        args_fields, result_spec = METHODS[method]
+        self._seq += 1
+        w = TWriter()
+        w.i32(_VERSION_1 | 1)  # CALL
+        w.string(method)
+        w.i32(self._seq)
+        w.struct_(args_fields, kwargs)
+        self._sock.sendall(bytes(w.buf))
+        name, mtype, seqid = read_message_header(self._r)
+        if mtype == MSG_EXCEPTION:
+            exc = self._r.struct_(APP_EXCEPTION[1])
+            raise RuntimeError(exc.get("message") or "beeswax error")
+        fields = {} if result_spec is None else {0: ("success", result_spec)}
+        result = self._r.struct_(fields)
+        return result.get("success")
+
+    def query(self, sql: str) -> dict:
+        return self.call("query", query={"query": sql})
+
+    def wait(self, handle: dict, timeout: float = 300.0) -> int:
+        import time
+
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            st = self.call("get_state", handle=handle)
+            if st in (4, 5):
+                return st
+            time.sleep(0.05)
+        raise TimeoutError("query did not finish")
+
+    def fetch_all(self, handle: dict, fetch_size: int = 1024) -> list[str]:
+        rows: list[str] = []
+        more = True
+        while more:
+            res = self.call("fetch", query_id=handle, start_over=False,
+                            fetch_size=fetch_size)
+            rows.extend(res.get("data") or [])
+            more = bool(res.get("has_more"))
+        return rows
+
+    def close(self):
+        try:
+            self._sock.close()
+        except OSError:
+            pass

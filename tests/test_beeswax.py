@@ -1,0 +1,131 @@
+"""Beeswax front door (impalatogo_spark/beeswax.py).
+
+Reference parity: impala-beeswax-server.cc:170 (query/fetch), :434
+(Cancel) over the public Apache Hive beeswax.thrift IDL + Impala's
+ImpalaService extensions — the protocol impala-shell itself speaks.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from impalatogo_spark.beeswax import BeeswaxClient, BeeswaxServer
+
+
+@pytest.fixture(scope="module")
+def beeswax(spark, sf_dir):
+    srv = BeeswaxServer(spark, sf_dir=sf_dir)
+    host, port = srv.start()
+    yield srv, host, port
+    srv.stop()
+
+
+def _client(beeswax) -> BeeswaxClient:
+    _, host, port = beeswax
+    return BeeswaxClient(host, port)
+
+
+def test_beeswax_query_fetch_tsv(beeswax):
+    """query -> get_state poll -> fetch: rows come back TAB-delimited with
+    NULLs spelled NULL (the beeswax Results.data contract impala-shell
+    renders)."""
+    c = _client(beeswax)
+    try:
+        h = c.query("SELECT r_regionkey, r_name, "
+                    "CASE WHEN r_regionkey = 2 THEN NULL ELSE 'x' END AS n "
+                    "FROM region ORDER BY r_regionkey")
+        assert c.wait(h) == 4  # FINISHED
+        rows = c.fetch_all(h)
+        assert len(rows) == 5
+        assert rows[0].split("\t")[0] == "0"
+        assert rows[2].split("\t")[2] == "NULL"
+        md = c.call("get_results_metadata", handle=h)
+        assert [f["name"] for f in md["schema"]["fieldSchemas"]] == [
+            "r_regionkey", "r_name", "n"]
+        assert md["delim"] == "\t"
+    finally:
+        c.close()
+
+
+def test_beeswax_execute_and_wait_start_over(beeswax):
+    c = _client(beeswax)
+    try:
+        h = c.call("executeAndWait",
+                   query={"query": "SELECT n_nationkey FROM nation "
+                                   "ORDER BY n_nationkey LIMIT 4"},
+                   clientCtx="ctx1")
+        res = c.call("fetch", query_id=h, start_over=False, fetch_size=2)
+        assert res["data"] == ["0", "1"] and res["has_more"]
+        # start_over rewinds to row 0 (beeswax fetch contract)
+        res = c.call("fetch", query_id=h, start_over=True, fetch_size=10)
+        assert res["data"] == ["0", "1", "2", "3"]
+        assert not res["has_more"] and res["start_row"] == 0
+    finally:
+        c.close()
+
+
+def test_beeswax_explain_echo_profile(beeswax):
+    c = _client(beeswax)
+    try:
+        assert c.call("echo", s="hello") == "hello"
+        exp = c.call("explain",
+                     query={"query": "SELECT count(*) FROM nation"})
+        assert "Aggregate" in exp["textual"] or "Scan" in exp["textual"]
+        h = c.query("SELECT count(*) AS c FROM lineitem")
+        c.wait(h)
+        prof = c.call("GetRuntimeProfile", query_id=h)
+        assert "Rows: 1" in prof
+        log = c.call("get_log", context=h["log_context"])
+        assert "finished" in log
+        c.call("close", handle=h)
+        with pytest.raises(RuntimeError, match="unknown query handle"):
+            c.call("fetch", query_id=h, start_over=False, fetch_size=1)
+    finally:
+        c.close()
+
+
+def test_beeswax_cancel_mid_flight(beeswax):
+    """ImpalaService.Cancel (impala-beeswax-server.cc:434): a slow
+    statement cancels to EXCEPTION state and the connection stays live."""
+    c = _client(beeswax)
+    try:
+        h = c.query("SELECT count(*) AS c FROM lineitem a, lineitem b, "
+                    "orders o, customer cu")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if c.call("get_state", handle=h) == 3:  # RUNNING
+                break
+            time.sleep(0.02)
+        assert c.call("Cancel", query_id=h)["status_code"] == 0
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if c.call("get_state", handle=h) == 5:  # EXCEPTION/CANCELED
+                break
+            time.sleep(0.05)
+        assert c.call("get_state", handle=h) == 5
+        h2 = c.query("SELECT 1 AS one")
+        c.wait(h2)
+        assert c.fetch_all(h2) == ["1"]
+    finally:
+        c.close()
+
+
+def test_beeswax_sessions_are_per_connection(beeswax):
+    """Beeswax has no session handles: each CONNECTION is a session (SET
+    options on one connection are invisible on another)."""
+    c1, c2 = _client(beeswax), _client(beeswax)
+    try:
+        h = c1.query("SET DEFAULT_ORDER_BY_LIMIT=2")
+        c1.wait(h)
+        q = "SELECT r_regionkey FROM region ORDER BY r_regionkey"
+        h1 = c1.query(q)
+        c1.wait(h1)
+        assert len(c1.fetch_all(h1)) == 2
+        h2 = c2.query(q)
+        c2.wait(h2)
+        assert len(c2.fetch_all(h2)) == 5
+    finally:
+        c1.close()
+        c2.close()

@@ -1,18 +1,30 @@
 """Differential correctness: run every registered query on Spark AND its
 DuckDB oracle, compare row count + column names + order-insensitive values.
 Mirrors the driver's CORRECTNESS gate (see __spark_entry__.py docstring).
+
+Also enforces the executed-shuffle budgets (tests/shuffle_budgets.json):
+each headline query's 'shuffle bytes written' must stay within 4x its
+committed measurement at this SF — the quantitative scale gate that
+catches a per-key blowup (the r02 ER-blocking cliff) numerically, at zero
+extra run cost since every query executes here anyway.
 """
 
 from __future__ import annotations
 
 import datetime
 import decimal
+import json
 import math
+import os
 from collections import Counter
 
 import pytest
 
 from impalatogo_spark.queries import all_queries
+
+with open(os.path.join(os.path.dirname(__file__),
+                       "shuffle_budgets.json")) as _fh:
+    SHUFFLE_BUDGETS = json.load(_fh)
 
 
 def _norm_cell(v):
@@ -51,6 +63,19 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     q = QUERIES[name]
     sdf = q.spark_fn(spark, sf_dir)
     srows = sdf.collect()
+
+    budget = SHUFFLE_BUDGETS.get(
+        os.path.basename(sf_dir.rstrip("/")), {}).get(name)
+    if budget is not None:
+        from impalatogo_spark.plans import shuffle_write_bytes
+
+        sw = shuffle_write_bytes(sdf)
+        assert sw <= budget, (
+            f"{name}: shuffle-write {sw:,} B exceeds its committed budget "
+            f"{budget:,} B — a plan regressed toward a shuffle blowup "
+            "(re-measure and update tests/shuffle_budgets.json only if the "
+            "new plan is deliberate)")
+
     release_persisted()  # keep the 149-query session's cache flat
     scols = [c.lower() for c in sdf.columns]
 
@@ -70,3 +95,17 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         only_s = list((sm - dm).items())[:5]
         only_d = list((dm - sm).items())[:5]
         pytest.fail(f"{name}: value mismatch.\n spark-only: {only_s}\n duck-only: {only_d}")
+
+
+def test_every_headline_query_has_shuffle_budget():
+    """New headline queries must ship with a measured shuffle budget at
+    both SFs (run tools-free: measure shuffle_write_bytes at sf0.001 and
+    sf0.01, x4, into tests/shuffle_budgets.json)."""
+    import bench
+
+    for sf, table in SHUFFLE_BUDGETS.items():
+        missing = [n for n in bench.HEADLINE
+                   if n in QUERIES and n not in table]
+        assert not missing, (
+            f"{sf}: headline queries without a committed shuffle budget: "
+            f"{missing}")

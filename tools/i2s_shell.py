@@ -287,6 +287,14 @@ def _serve(args) -> None:
                               core=server)
         hs2_host, hs2_port = hs2.start()
         print(f"hs2-thrift listening on {hs2_host}:{hs2_port}", flush=True)
+    beeswax = None
+    if args.beeswax_port is not None:
+        from impalatogo_spark.beeswax import BeeswaxServer
+
+        beeswax = BeeswaxServer(spark, host=bound_host,
+                                port=args.beeswax_port, core=server)
+        bw_host, bw_port = beeswax.start()
+        print(f"beeswax listening on {bw_host}:{bw_port}", flush=True)
     try:
         import signal
         import threading
@@ -298,6 +306,8 @@ def _serve(args) -> None:
     finally:
         if hs2 is not None:
             hs2.stop()
+        if beeswax is not None:
+            beeswax.stop()
         if webui is not None:
             webui.stop()
         server.stop()
@@ -319,6 +329,10 @@ def main() -> None:
     ap.add_argument("--hs2-port", type=int, default=None, metavar="PORT",
                     help="with --listen: also serve HiveServer2 TCLIService "
                          "(binary Thrift) on this port (0 = ephemeral)")
+    ap.add_argument("--beeswax-port", type=int, default=None, metavar="PORT",
+                    help="with --listen: also serve the Beeswax protocol "
+                         "(impala-shell's legacy door) on this port "
+                         "(0 = ephemeral)")
     ap.add_argument("--webui-port", type=int, default=None, metavar="PORT",
                     help="with --listen: serve the debug webserver "
                          "(/queries /sessions /admission /metrics) on this "
