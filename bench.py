@@ -207,6 +207,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     # round 4: persisted IVF index lifecycle, IVF-PQ ADC
     "ann_topk_ivf_indexed",
     "ann_topk_ivf_pq_adc",
+    "events_decayed_engagement",
 ]
 RUNS = 3
 

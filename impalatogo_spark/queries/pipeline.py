@@ -1856,6 +1856,51 @@ def ann_topk_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_decayed_engagement",
+    oracle="""
+WITH ref AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+per AS (
+  SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(1 AS DOUBLE)
+             / CAST(CAST(1 AS BIGINT)
+                    << least(ref.d - CAST(e.ts AS DATE), 40) AS DOUBLE))
+             AS decayed_score
+  FROM events e, ref
+  GROUP BY e.user_id
+)
+SELECT user_id, n_events, decayed_score
+FROM per ORDER BY decayed_score DESC, user_id
+LIMIT 20
+""",
+    tags=("events", "decay"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score (half-life = 1 day,
+    capped at 40 days): score = sum over events of 2^-age_days — the
+    recency-weighted activity rollup a freshness-aware sampler feeds on.
+    Bit-deterministic floats BY CONSTRUCTION: every term is an exact
+    power of two from an integer shift (no libm pow), and per-user sums
+    of 2^-40 multiples stay far below 2^53, so addition order cannot
+    round — the ORDER BY ... LIMIT is engine-stable without any rounding
+    contract. One map-side-combined groupBy after a broadcast of the
+    1-row corpus max date."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("d"))
+    per = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "sum(CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT),"
+                " least(datediff(d, to_date(ts)), 40)) AS DOUBLE))"
+            ).alias("decayed_score"),
+        )
+    )
+    return per.orderBy(F.desc("decayed_score"), "user_id").limit(20)
+
+
+@register(
     "events_path_analysis",
     oracle="""
 WITH seq AS (
