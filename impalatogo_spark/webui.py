@@ -25,7 +25,7 @@ from urllib.parse import parse_qs, urlparse
 
 from .server import I2SServer, _AsyncOperation
 
-_PAGES = ("queries", "sessions", "admission", "metrics")
+_PAGES = ("queries", "sessions", "admission", "metrics", "memz")
 
 
 def _table(rows: list[dict], title: str) -> str:
@@ -99,6 +99,31 @@ class WebUI:
             "num_queries_in_flight": q["num_in_flight"],
             "num_queries_completed": q["num_completed"],
             "admission_pools": self.core.admission.stats(),
+        }
+
+    def memz(self) -> dict:
+        """Memory readout (www/memz.tmpl): JVM heap via the live
+        SparkContext, python RSS, and the storage-memory cache state."""
+        sc = self.core._spark.sparkContext
+        rt = sc._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+        heap_total, heap_free = rt.totalMemory(), rt.freeMemory()
+        rss_kb = None
+        try:
+            with open("/proc/self/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        rss_kb = int(line.split()[1])
+                        break
+        except OSError:
+            pass
+        jsc = sc._jsc.sc()  # noqa: SLF001
+        rdds = jsc.getPersistentRDDs()
+        return {
+            "jvm_heap_total_mb": round(heap_total / 1048576, 1),
+            "jvm_heap_used_mb": round((heap_total - heap_free) / 1048576, 1),
+            "jvm_heap_max_mb": round(rt.maxMemory() / 1048576, 1),
+            "python_rss_mb": round(rss_kb / 1024, 1) if rss_kb else None,
+            "persistent_rdds": rdds.size(),
         }
 
     # -- http plumbing --

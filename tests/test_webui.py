@@ -173,3 +173,15 @@ def test_webui_daemon_subprocess():
             srv.wait(timeout=30)
         except subprocess.TimeoutExpired:
             srv.kill()
+
+
+def test_memz_readout(stack):
+    """/memz (www/memz.tmpl): JVM heap + process RSS + cache state."""
+    _, _, base = stack
+    m = _get_json(base + "/memz")
+    assert m["jvm_heap_total_mb"] > 0
+    assert 0 < m["jvm_heap_used_mb"] <= m["jvm_heap_total_mb"]
+    assert m["jvm_heap_max_mb"] >= m["jvm_heap_total_mb"]
+    assert m["persistent_rdds"] >= 0
+    ctype, body = _get(base + "/memz")
+    assert ctype.startswith("text/html") and "jvm_heap_used_mb" in body
