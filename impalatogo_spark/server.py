@@ -525,13 +525,13 @@ class I2SServer:
         # /queries debug registry (impala-server.cc webserver callbacks):
         # visible as in-flight from admission to completion, then moved to
         # the bounded completed-query log.
-        with self._lock:
-            self._query_seq += 1
-            qid = self._query_seq
-        rec = {"id": qid, "label": label, "sql": sql[:2000], "pool": pool,
+        rec = {"label": label, "sql": sql[:2000], "pool": pool,
                "state": "QUEUED", "start_ts": _time.time(),
                "elapsed_s": None, "rows": None, "error": None}
-        self._inflight[qid] = rec
+        with self._lock:  # the webui snapshots these under the same lock
+            self._query_seq += 1
+            qid = rec["id"] = self._query_seq
+            self._inflight[qid] = rec
         # Admit BEFORE arming the watchdog/job group: the reference treats
         # queue timeout (QUEUE_TIMEOUT_MS) and exec time (EXEC_TIME_LIMIT_S)
         # as separate budgets, and an armed timer + thread-local job group
@@ -540,8 +540,9 @@ class I2SServer:
             self.admission.admit(pool, label=label)
         except BaseException as e:
             rec.update(state="REJECTED", error=str(e))
-            self._inflight.pop(qid, None)
-            self.query_log.appendleft(rec)
+            with self._lock:
+                self._inflight.pop(qid, None)
+                self.query_log.appendleft(rec)
             raise
         rec["state"] = "RUNNING"
         if aop is not None:
@@ -601,9 +602,10 @@ class I2SServer:
         finally:
             rec["elapsed_s"] = rec["elapsed_s"] or round(
                 _time.time() - rec["start_ts"], 4)
-            self._inflight.pop(qid, None)
-            self.query_log.appendleft(rec)
-            self.queries_completed += 1
+            with self._lock:
+                self._inflight.pop(qid, None)
+                self.query_log.appendleft(rec)
+                self.queries_completed += 1
             self.admission.release(pool)
             if timer is not None:
                 timer.cancel()
