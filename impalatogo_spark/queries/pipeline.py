@@ -2986,6 +2986,65 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_report",
+    oracle=f"""
+WITH pairs AS ({D.minhash_lsh_oracle(threshold=0.5)}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ({_hex4_poly_sql("'s:' || CAST(doc_id AS VARCHAR)")}) % 100
+                   AS b
+        FROM documents)
+)
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.id_a
+JOIN splits sb ON sb.doc_id = p.id_b
+WHERE sa.split <> sb.split
+ORDER BY p.id_a, p.id_b
+""",
+    tags=("dedup", "governance", "sampling"),
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: every MinHash-LSH near-dup
+    pair (Jaccard >= 0.5) whose two documents landed in DIFFERENT
+    train/valid/test splits — the eval-contamination check a pipeline runs
+    BEFORE training (a test doc with a train near-twin inflates eval).
+    Composes the banded dedup pipeline with corpus_split_assign's salted
+    id-hash split; both stages reuse their existing oracle twins. Scale
+    shape: the pair set is the banded LSH output (never all-pairs); the
+    split map is a content-free hash projection joined on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(
+        D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = tracked_persist(D.word_shingles(docs))
+    pairs = D.verify_jaccard(cand, sh, threshold=0.5)
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
+            1, 4), 16, 10).cast("long") % 100
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").when(bucket < 95, "valid")
+        .otherwise("test").alias("split"),
+    )
+    return (
+        pairs
+        .join(splits.select(F.col("doc_id").alias("id_a"),
+                            F.col("split").alias("split_a")), "id_a")
+        .join(splits.select(F.col("doc_id").alias("id_b"),
+                            F.col("split").alias("split_b")), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "embedding_random_projection",
     oracle=S.random_projection_oracle(out_dims=16, n_dims=64),
     tags=("similarity", "compression"),
