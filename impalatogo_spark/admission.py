@@ -39,6 +39,11 @@ class PoolConfig:
     max_requests: int = 0
     max_queued: int = 200  # reference default_pool_max_queued
     queue_timeout_ms: int = 60000  # reference queue_wait_timeout_ms
+    # memory-based admission (admission-controller.cc mem_resources:
+    # a query is admitted when the pool's aggregate admitted memory +
+    # this query's to-admit memory fits under the cap; a single query
+    # larger than the whole pool is REJECTED outright)
+    max_mem_resources: int = 0  # bytes; <= 0 -> no memory gate
 
 
 @dataclass
@@ -49,6 +54,7 @@ class PoolStats:
     timed_out: int = 0
     running: int = 0
     waiting: int = 0
+    running_mem: int = 0  # bytes admitted to currently-running queries
     # completed admission order, for tests/readouts (query labels)
     admission_order: list = field(default_factory=list)
 
@@ -68,7 +74,8 @@ class AdmissionController:
 
     def configure_pool(self, pool: str, max_requests: int | None = None,
                        max_queued: int | None = None,
-                       queue_timeout_ms: int | None = None) -> PoolConfig:
+                       queue_timeout_ms: int | None = None,
+                       max_mem_resources: int | None = None) -> PoolConfig:
         with self._lock:
             cfg = self._configs.setdefault(pool, PoolConfig())
             if max_requests is not None:
@@ -77,6 +84,8 @@ class AdmissionController:
                 cfg.max_queued = int(max_queued)
             if queue_timeout_ms is not None:
                 cfg.queue_timeout_ms = int(queue_timeout_ms)
+            if max_mem_resources is not None:
+                cfg.max_mem_resources = int(max_mem_resources)
             self._cv.notify_all()
             return cfg
 
@@ -86,19 +95,45 @@ class AdmissionController:
         q = self._queues.setdefault(pool, [])
         return cfg, st, q
 
-    def admit(self, pool: str = "default", label: str = "") -> None:
-        """Block until admitted. Raises AdmissionRejected / AdmissionTimeout."""
+    def admit(self, pool: str = "default", label: str = "",
+              mem: int = 0) -> None:
+        """Block until admitted. Raises AdmissionRejected / AdmissionTimeout.
+
+        `mem` is the query's to-admit memory estimate in bytes (the
+        reference uses the planner's per-host estimate or MEM_LIMIT,
+        admission-controller.cc CanAccommodateMaxInitialReservation);
+        pass 0 to skip the memory gate for this query."""
+
+        def _grant(st):
+            st.admitted += 1
+            st.running += 1
+            st.running_mem += mem
+            st.admission_order.append(label)
+
         with self._cv:
             cfg, st, q = self._pool(pool)
-            if cfg.max_requests <= 0:  # unlimited pool: fast path
-                st.admitted += 1
-                st.running += 1
-                st.admission_order.append(label)
+            if cfg.max_mem_resources > 0 and mem > cfg.max_mem_resources:
+                # a query that can never fit is rejected, not queued
+                # (reference: "request memory needed ... is greater than
+                # pool max mem resources")
+                st.rejected += 1
+                raise AdmissionRejected(
+                    f"pool {pool}: query memory estimate {mem} B exceeds "
+                    f"pool max mem resources {cfg.max_mem_resources} B"
+                )
+
+            def _fits(cfg, st):
+                return ((cfg.max_requests <= 0
+                         or st.running < cfg.max_requests)
+                        and (cfg.max_mem_resources <= 0 or mem <= 0
+                             or st.running_mem + mem
+                             <= cfg.max_mem_resources))
+
+            if cfg.max_requests <= 0 and cfg.max_mem_resources <= 0:
+                _grant(st)  # unlimited pool: fast path
                 return
-            if st.running < cfg.max_requests and not q:
-                st.admitted += 1
-                st.running += 1
-                st.admission_order.append(label)
+            if _fits(cfg, st) and not q:
+                _grant(st)
                 return
             if len(q) >= cfg.max_queued:
                 st.rejected += 1
@@ -114,13 +149,9 @@ class AdmissionController:
             try:
                 while True:
                     cfg = self._configs[pool]
-                    if (q and q[0] == ticket
-                            and (cfg.max_requests <= 0
-                                 or st.running < cfg.max_requests)):
+                    if q and q[0] == ticket and _fits(cfg, st):
                         q.pop(0)
-                        st.admitted += 1
-                        st.running += 1
-                        st.admission_order.append(label)
+                        _grant(st)
                         # Wake the next FIFO waiter: when 2+ slots free in a
                         # burst, release() only notified once before this
                         # waiter consumed the wakeup — without a re-notify the
@@ -143,10 +174,11 @@ class AdmissionController:
             finally:
                 st.waiting -= 1
 
-    def release(self, pool: str = "default") -> None:
+    def release(self, pool: str = "default", mem: int = 0) -> None:
         with self._cv:
             _, st, _ = self._pool(pool)
             st.running = max(0, st.running - 1)
+            st.running_mem = max(0, st.running_mem - mem)
             self._cv.notify_all()
 
     def stats(self, pool: str | None = None) -> dict:
@@ -163,6 +195,8 @@ class AdmissionController:
                     "max_requests": cfg.max_requests,
                     "max_queued": cfg.max_queued,
                     "queue_timeout_ms": cfg.queue_timeout_ms,
+                    "max_mem_resources": cfg.max_mem_resources,
+                    "running_mem": st.running_mem,
                     "admitted": st.admitted,
                     "queued_total": st.queued,
                     "rejected": st.rejected,

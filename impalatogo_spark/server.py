@@ -60,7 +60,21 @@ from .session import ensure_session_confs, register_tables
 
 # SET keys consumed by the admission layer (pool config), applied to the
 # session's current REQUEST_POOL.
-_ADMISSION_KEYS = ("MAX_REQUESTS", "MAX_QUEUED", "QUEUE_TIMEOUT_MS")
+_ADMISSION_KEYS = ("MAX_REQUESTS", "MAX_QUEUED", "QUEUE_TIMEOUT_MS",
+                   "MAX_MEM_RESOURCES")
+
+
+def _parse_mem(value) -> int:
+    """Impala memory-option syntax -> bytes: plain ints are bytes; b/k/m/g
+    suffixes scale (query-options.cc ParseMemValue)."""
+    s = str(value or "0").strip().lower()
+    if not s:
+        return 0
+    mult = 1
+    if s[-1] in "bkmg":
+        mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[s[-1]]
+        s = s[:-1]
+    return int(float(s) * mult)
 
 
 def _json_val(v):
@@ -448,8 +462,10 @@ class I2SServer:
     def _apply_admission_set(self, sess: _Session, key: str, value) -> None:
         kwargs = {"MAX_REQUESTS": "max_requests",
                   "MAX_QUEUED": "max_queued",
-                  "QUEUE_TIMEOUT_MS": "queue_timeout_ms"}[key]
-        self.admission.configure_pool(sess.pool, **{kwargs: int(value)})
+                  "QUEUE_TIMEOUT_MS": "queue_timeout_ms",
+                  "MAX_MEM_RESOURCES": "max_mem_resources"}[key]
+        v = _parse_mem(value) if key == "MAX_MEM_RESOURCES" else int(value)
+        self.admission.configure_pool(sess.pool, **{kwargs: v})
 
     def _execute(self, sess: _Session, req: dict) -> dict:
         import re
@@ -536,8 +552,15 @@ class I2SServer:
         # queue timeout (QUEUE_TIMEOUT_MS) and exec time (EXEC_TIME_LIMIT_S)
         # as separate budgets, and an armed timer + thread-local job group
         # must not leak onto later statements when admit() raises.
+        # memory-based admission (admission-controller.cc mem_resources):
+        # the query's to-admit memory is its MEM_LIMIT option — the
+        # reference's mem_limit-based admission configuration (pool cap via
+        # SET MAX_MEM_RESOURCES; plan-estimate admission would require
+        # planning DDL before admitting it, which this engine executes
+        # eagerly, so the option-driven mode is the one implemented).
+        mem = _parse_mem(sess.engine.options.get("MEM_LIMIT", "0"))
         try:
-            self.admission.admit(pool, label=label)
+            self.admission.admit(pool, label=label, mem=mem)
         except BaseException as e:
             rec.update(state="REJECTED", error=str(e))
             with self._lock:
@@ -606,7 +629,7 @@ class I2SServer:
                 self._inflight.pop(qid, None)
                 self.query_log.appendleft(rec)
                 self.queries_completed += 1
-            self.admission.release(pool)
+            self.admission.release(pool, mem=mem)
             if timer is not None:
                 timer.cancel()
             if limit > 0 or aop is not None:

@@ -154,3 +154,44 @@ def test_burst_release_admits_all_waiters_promptly():
         "(should be immediate, not queue-timeout-bound)")
     ac.release("p")
     ac.release("p")
+
+
+def test_mem_based_admission_queues_and_rejects():
+    """Memory gate (admission-controller.cc mem_resources): queries admit
+    while aggregate admitted memory fits under max_mem_resources, queue
+    when it would overflow, and a query bigger than the whole pool is
+    rejected outright."""
+    ac = AdmissionController()
+    ac.configure_pool("m", max_mem_resources=1000, queue_timeout_ms=10000)
+    ac.admit("m", label="a", mem=400)
+    ac.admit("m", label="b", mem=500)  # 900/1000: fits
+    st = ac.stats("m")["m"]
+    assert st["running_mem"] == 900 and st["running_now"] == 2
+
+    # 900 + 300 > 1000: queues until a release frees memory
+    admitted = threading.Event()
+
+    def waiter():
+        ac.admit("m", label="c", mem=300)
+        admitted.set()
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    time.sleep(0.15)
+    assert not admitted.is_set()
+    ac.release("m", mem=400)
+    assert admitted.wait(timeout=10)
+    t.join(timeout=10)
+    assert ac.stats("m")["m"]["running_mem"] == 800
+
+    # larger than the pool itself: immediate reject, not a queue wait
+    t0 = time.monotonic()
+    with pytest.raises(AdmissionRejected, match="exceeds pool max mem"):
+        ac.admit("m", label="huge", mem=2000)
+    assert time.monotonic() - t0 < 1
+    # zero-mem queries bypass the memory gate but not the request cap
+    ac.admit("m", label="z", mem=0)
+    ac.release("m", mem=0)
+    ac.release("m", mem=500)
+    ac.release("m", mem=300)
+    assert ac.stats("m")["m"]["running_mem"] == 0

@@ -619,3 +619,27 @@ def test_async_cancel_releases_pool_slot(server):
         assert c.fetch_all(c.execute("SELECT 1 AS x")) == [[1]]
     finally:
         c.close()
+
+
+def test_mem_limit_admission_over_the_wire(server):
+    """SET MAX_MEM_RESOURCES + MEM_LIMIT drive memory-based admission on
+    the execute path: an over-pool MEM_LIMIT is rejected with the
+    admission error, an in-budget one runs, and running_mem drains."""
+    srv, host, port = server
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        c.execute("SET REQUEST_POOL=mem_pool")
+        c.execute("SET MAX_MEM_RESOURCES=1g")
+        c.execute("SET MEM_LIMIT=2g")
+        resp = c.call(op="execute", session=c.session, sql="SELECT 1 AS x")
+        assert not resp["ok"]
+        assert resp["error_class"] == "AdmissionRejected"
+        assert "exceeds pool max mem" in resp["error"]
+        c.execute("SET MEM_LIMIT=256m")
+        assert c.fetch_all(c.execute("SELECT 2 AS x")) == [[2]]
+        st = srv.admission.stats("mem_pool")["mem_pool"]
+        assert st["max_mem_resources"] == 1 << 30
+        assert st["running_mem"] == 0 and st["rejected"] >= 1
+    finally:
+        c.close()
