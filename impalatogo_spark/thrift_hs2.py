@@ -22,9 +22,12 @@ Implemented RPCs (the classic no-SASL HS2 surface):
   GetSchemas, GetTables, GetColumns (metadata operations returning
   operation handles fetched like query results, as HS2 specifies).
 
-Transport: raw/buffered binary Thrift (the NOSASL transport stack —
-TSocket + TBufferedTransport + TBinaryProtocol). SASL/Kerberos framing is
-an authentication layer the container cannot exercise; documented out.
+Transports: raw/buffered binary Thrift (the NOSASL stack — TSocket +
+TBufferedTransport + TBinaryProtocol) AND SASL-PLAIN (the thrift_sasl
+framing impyla/beeline default to: status+length negotiation messages,
+then length-prefixed data frames; RFC 4616 PLAIN initial response), with
+per-connection auto-detection so one port serves both. Kerberos/GSSAPI
+is environment-impossible here; documented out.
 
 Scale posture: identical to server.py — a thin driver-side codec; every
 statement runs through I2SServer's admission + async-operation core, so
@@ -494,6 +497,105 @@ def _err_status(msg: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# SASL-PLAIN transport (the public thrift_sasl framing impyla/beeline use
+# by default against HS2: negotiation messages are <status:u8><len:u32be>
+# <payload>, with START=1 OK=2 BAD=3 ERROR=4 COMPLETE=5; after COMPLETE
+# every thrift message rides in a <len:u32be><payload> frame). PLAIN's
+# initial response is authzid NUL authcid NUL password (RFC 4616).
+# ---------------------------------------------------------------------------
+
+SASL_START, SASL_OK, SASL_BAD, SASL_ERROR, SASL_COMPLETE = 1, 2, 3, 4, 5
+
+
+def _sasl_read_msg(rfile) -> tuple[int, bytes]:
+    head = rfile.read(5)
+    if len(head) < 5:
+        raise EOFError("connection closed during SASL negotiation")
+    status = head[0]
+    n = struct.unpack("!I", head[1:5])[0]
+    payload = rfile.read(n) if n else b""
+    return status, payload
+
+
+def _sasl_write_msg(wfile, status: int, payload: bytes = b"") -> None:
+    wfile.write(bytes([status]) + struct.pack("!I", len(payload)) + payload)
+    wfile.flush()
+
+
+class _FramedIO:
+    """Length-prefixed frame wrapper presenting file-like read/write over
+    the post-negotiation SASL data stream."""
+
+    def __init__(self, rfile, wfile):
+        self._rfile, self._wfile = rfile, wfile
+        self._buf = b""
+        self._out = bytearray()
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            head = self._rfile.read(4)
+            if len(head) < 4:
+                if self._buf:
+                    out, self._buf = self._buf, b""
+                    return out
+                return b""
+            size = struct.unpack("!I", head)[0]
+            self._buf += self._rfile.read(size)
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def write(self, data: bytes) -> None:
+        self._out += data
+
+    def flush(self) -> None:
+        if self._out:
+            payload = bytes(self._out)
+            self._out = bytearray()
+            self._wfile.write(struct.pack("!I", len(payload)) + payload)
+            self._wfile.flush()
+
+
+def sasl_server_handshake(rfile, wfile,
+                          check=None) -> tuple[str, str] | None:
+    """Run the server side of a SASL-PLAIN negotiation. Returns
+    (username, password) on success, None on failure (after replying
+    BAD/ERROR). `check(user, password) -> bool` is the optional
+    authenticator (default: accept all, the reference's no-auth mode)."""
+    status, mech = _sasl_read_msg(rfile)
+    if status != SASL_START or mech.upper() != b"PLAIN":
+        _sasl_write_msg(wfile, SASL_BAD,
+                        b"only the PLAIN mechanism is supported")
+        return None
+    status, initial = _sasl_read_msg(rfile)
+    if status not in (SASL_OK, SASL_COMPLETE):
+        _sasl_write_msg(wfile, SASL_BAD, b"expected PLAIN initial response")
+        return None
+    parts = initial.split(b"\0")
+    if len(parts) != 3:
+        _sasl_write_msg(wfile, SASL_ERROR, b"malformed PLAIN response")
+        return None
+    user = parts[1].decode("utf-8", errors="replace")
+    password = parts[2].decode("utf-8", errors="replace")
+    if check is not None and not check(user, password):
+        _sasl_write_msg(wfile, SASL_ERROR, b"authentication failed")
+        return None
+    _sasl_write_msg(wfile, SASL_COMPLETE)
+    return user, password
+
+
+def sasl_client_handshake(rfile, wfile, username: str,
+                          password: str) -> None:
+    _sasl_write_msg(wfile, SASL_START, b"PLAIN")
+    _sasl_write_msg(wfile, SASL_OK,
+                    b"\0" + username.encode() + b"\0" + password.encode())
+    status, payload = _sasl_read_msg(rfile)
+    if status != SASL_COMPLETE:
+        raise ConnectionError(
+            f"SASL negotiation failed (status {status}): "
+            f"{payload.decode('utf-8', errors='replace')}")
+
+
+# ---------------------------------------------------------------------------
 # server
 # ---------------------------------------------------------------------------
 
@@ -505,11 +607,14 @@ class HS2ThriftServer:
 
     def __init__(self, spark, sf_dir: str | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 core: I2SServer | None = None):
+                 core: I2SServer | None = None, sasl_check=None):
         self.core = core or I2SServer(spark, sf_dir=sf_dir)
         self._host, self._port = host, port
         self._tcp = None
         self._thread = None
+        # optional PLAIN authenticator (user, password) -> bool; None =
+        # accept-all, the reference daemon's default no-auth posture
+        self.sasl_check = sasl_check
 
     # -- lifecycle --
 
@@ -518,13 +623,27 @@ class HS2ThriftServer:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
-                r = TReader(self.rfile)
+                # transport auto-detect: a SASL negotiation opens with the
+                # START status byte (0x01); a raw binary-thrift message
+                # opens with 0x80 (strict) or a length byte (old-style) —
+                # never 0x01 (that would be a 16M+ name). One port serves
+                # both NOSASL and SASL-PLAIN clients.
+                first = self.rfile.peek(1)[:1]
+                rfile, wfile = self.rfile, self.wfile
+                if first == b"\x01":
+                    creds = sasl_server_handshake(rfile, wfile,
+                                                  check=outer.sasl_check)
+                    if creds is None:
+                        return
+                    framed = _FramedIO(rfile, wfile)
+                    rfile = wfile = framed
+                r = TReader(rfile)
                 while True:
                     try:
                         name, mtype, seqid = read_message_header(r)
                     except EOFError:
                         return
-                    outer._serve_one(r, self.wfile, name, seqid)
+                    outer._serve_one(r, wfile, name, seqid)
 
         class TCP(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -770,9 +889,15 @@ class HS2ThriftServer:
 # ---------------------------------------------------------------------------
 
 class HS2ThriftClient:
-    def __init__(self, host: str, port: int, timeout: float = 300.0):
+    def __init__(self, host: str, port: int, timeout: float = 300.0,
+                 sasl_plain: tuple[str, str] | None = None):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._rfile = self._sock.makefile("rb")
+        self._wfile = self._sock.makefile("wb")
+        if sasl_plain is not None:
+            sasl_client_handshake(self._rfile, self._wfile, *sasl_plain)
+            framed = _FramedIO(self._rfile, self._wfile)
+            self._rfile = self._wfile = framed
         self._r = TReader(self._rfile)
         self._seq = 0
         self.session_handle: dict | None = None
@@ -785,7 +910,8 @@ class HS2ThriftClient:
         w.string(method)
         w.i32(self._seq)
         w.struct_(args_fields, {"req": req})
-        self._sock.sendall(bytes(w.buf))
+        self._wfile.write(bytes(w.buf))
+        self._wfile.flush()
         name, mtype, seqid = read_message_header(self._r)
         if mtype == MSG_EXCEPTION:
             exc = self._r.struct_(APP_EXCEPTION[1])

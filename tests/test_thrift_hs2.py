@@ -423,3 +423,79 @@ def test_hs2_client_compat_rpcs(hs2):
         assert "substring" in names
     finally:
         c.close()
+
+
+def test_sasl_plain_negotiation_golden_bytes():
+    """Pin the SASL-PLAIN wire layout (public thrift_sasl framing +
+    RFC 4616): START/OK negotiation messages as <status><len:u32be>
+    <payload>, the NUL-separated initial response, and post-COMPLETE
+    length-prefixed data frames."""
+    import io
+
+    from impalatogo_spark import thrift_hs2 as t
+
+    out = io.BytesIO()
+    t._sasl_write_msg(out, t.SASL_START, b"PLAIN")
+    t._sasl_write_msg(out, t.SASL_OK, b"\0alice\0secret")
+    assert out.getvalue().hex() == (
+        "01" "00000005" + b"PLAIN".hex()
+        + "02" "0000000d" + b"\0alice\0secret".hex())
+
+    # server side consumes exactly those bytes and extracts the creds
+    inp = io.BytesIO(out.getvalue())
+    reply = io.BytesIO()
+    creds = t.sasl_server_handshake(inp, reply)
+    assert creds == ("alice", "secret")
+    assert reply.getvalue() == b"\x05\x00\x00\x00\x00"  # COMPLETE, empty
+
+    # framed data: one thrift message per length-prefixed frame
+    frame_out = io.BytesIO()
+    f = t._FramedIO(io.BytesIO(), frame_out)
+    f.write(b"abc")
+    f.write(b"def")
+    f.flush()
+    assert frame_out.getvalue() == b"\x00\x00\x00\x06abcdef"
+    r = t._FramedIO(io.BytesIO(b"\x00\x00\x00\x06abcdef"), io.BytesIO())
+    assert r.read(4) == b"abcd" and r.read(2) == b"ef"
+
+
+def test_hs2_sasl_plain_end_to_end(hs2):
+    """A SASL-PLAIN client and a NOSASL client work on the SAME port
+    (per-connection transport auto-detection), sharing sessions/engine."""
+    _, host, port = hs2
+    c = HS2ThriftClient(host, port, sasl_plain=("alice", ""))
+    try:
+        c.open_session()
+        op = c.execute("SELECT r_regionkey FROM region ORDER BY r_regionkey")
+        assert [r[0] for r in c.fetch_all(op)] == [0, 1, 2, 3, 4]
+        # a second statement exercises multi-frame request/response reuse
+        op = c.execute("SELECT count(*) AS c FROM nation")
+        assert c.fetch_all(op) == [[25]]
+    finally:
+        c.close()
+    # NOSASL on the same port right after
+    c2 = HS2ThriftClient(host, port)
+    try:
+        c2.open_session()
+        op = c2.execute("SELECT 1 AS one")
+        assert c2.fetch_all(op) == [[1]]
+    finally:
+        c2.close()
+
+
+def test_hs2_sasl_authenticator_rejects_bad_password(spark, sf_dir):
+    srv = HS2ThriftServer(spark, sf_dir=sf_dir,
+                          sasl_check=lambda u, p: p == "letmein")
+    host, port = srv.start()
+    try:
+        with pytest.raises(ConnectionError, match="authentication failed"):
+            HS2ThriftClient(host, port, sasl_plain=("bob", "wrong"))
+        c = HS2ThriftClient(host, port, sasl_plain=("bob", "letmein"))
+        try:
+            c.open_session()
+            op = c.execute("SELECT 2 AS two")
+            assert c.fetch_all(op) == [[2]]
+        finally:
+            c.close()
+    finally:
+        srv.stop()
