@@ -28,7 +28,8 @@ import uuid
 
 from .server import I2SServer, _AsyncOperation
 from .thrift_hs2 import (APP_EXCEPTION, MSG_EXCEPTION, MSG_REPLY, TReader,
-                         TWriter, T_STRUCT, _VERSION_1, read_message_header,
+                         TWriter, T_STRUCT, _VERSION_1, _FramedIO,
+                         read_message_header, sasl_server_handshake,
                          write_message)
 
 # -- beeswax.thrift structs (public Apache Hive IDL) -------------------------
@@ -95,7 +96,16 @@ class BeeswaxServer:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
-                r = TReader(self.rfile)
+                # same per-connection transport auto-detection as the HS2
+                # port: a SASL START byte (0x01) cannot open a raw thrift
+                # message, so one port serves NOSASL and SASL-PLAIN
+                rfile, wfile = self.rfile, self.wfile
+                if self.rfile.peek(1)[:1] == b"\x01":
+                    if sasl_server_handshake(rfile, wfile) is None:
+                        return
+                    framed = _FramedIO(rfile, wfile)
+                    rfile = wfile = framed
+                r = TReader(rfile)
                 sid = None
                 try:
                     while True:
@@ -106,7 +116,7 @@ class BeeswaxServer:
                         if sid is None:  # lazy per-connection session
                             sid = outer.core._dispatch(
                                 {"op": "open_session"})["session"]
-                        outer._serve_one(r, self.wfile, name, seqid, sid)
+                        outer._serve_one(r, wfile, name, seqid, sid)
                 finally:
                     if sid is not None:
                         outer.core._dispatch(
@@ -249,11 +259,20 @@ class BeeswaxClient:
     """Minimal BeeswaxService client over the shared codec (the committed
     test driver; the reference analogue is impala-shell's beeswax mode)."""
 
-    def __init__(self, host: str, port: int, timeout: float = 300.0):
+    def __init__(self, host: str, port: int, timeout: float = 300.0,
+                 sasl_plain: tuple[str, str] | None = None):
         import socket
 
+        from .thrift_hs2 import sasl_client_handshake
+
         self._sock = socket.create_connection((host, port), timeout=timeout)
-        self._r = TReader(self._sock.makefile("rb"))
+        self._rfile = self._sock.makefile("rb")
+        self._wfile = self._sock.makefile("wb")
+        if sasl_plain is not None:
+            sasl_client_handshake(self._rfile, self._wfile, *sasl_plain)
+            framed = _FramedIO(self._rfile, self._wfile)
+            self._rfile = self._wfile = framed
+        self._r = TReader(self._rfile)
         self._seq = 0
 
     def call(self, method: str, **kwargs):
@@ -264,7 +283,8 @@ class BeeswaxClient:
         w.string(method)
         w.i32(self._seq)
         w.struct_(args_fields, kwargs)
-        self._sock.sendall(bytes(w.buf))
+        self._wfile.write(bytes(w.buf))
+        self._wfile.flush()
         name, mtype, seqid = read_message_header(self._r)
         if mtype == MSG_EXCEPTION:
             exc = self._r.struct_(APP_EXCEPTION[1])

@@ -129,3 +129,24 @@ def test_beeswax_sessions_are_per_connection(beeswax):
     finally:
         c1.close()
         c2.close()
+
+
+def test_beeswax_sasl_plain_same_port(beeswax):
+    """The Beeswax port auto-detects SASL-PLAIN alongside NOSASL, like the
+    HS2 port (thrift_sasl framing; impala-shell's --auth path)."""
+    _, host, port = beeswax
+    c = BeeswaxClient(host, port, sasl_plain=("carol", ""))
+    try:
+        h = c.query("SELECT n_nationkey FROM nation "
+                    "ORDER BY n_nationkey LIMIT 3")
+        assert c.wait(h) == 4
+        assert c.fetch_all(h) == ["0", "1", "2"]
+    finally:
+        c.close()
+    c2 = BeeswaxClient(host, port)  # NOSASL immediately after
+    try:
+        h = c2.query("SELECT 1 AS one")
+        c2.wait(h)
+        assert c2.fetch_all(h) == ["1"]
+    finally:
+        c2.close()
