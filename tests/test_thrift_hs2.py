@@ -499,3 +499,115 @@ def test_hs2_sasl_authenticator_rejects_bad_password(spark, sf_dir):
             c.close()
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# seeded codec fuzz: random spec/value trees round-trip, and a reader
+# missing random fields skips them without losing stream alignment
+# ---------------------------------------------------------------------------
+
+def _rand_scalar(rng):
+    import random as _r
+
+    kind = rng.choice(["bool", "byte", "double", "i16", "i32", "i64",
+                       "str", "bin"])
+    val = {
+        "bool": lambda: rng.random() < 0.5,
+        "byte": lambda: rng.randint(-128, 127),
+        "double": lambda: rng.choice([0.0, -1.5, 3.25, 1e300, -2.0 ** 52]),
+        "i16": lambda: rng.randint(-(2 ** 15), 2 ** 15 - 1),
+        "i32": lambda: rng.randint(-(2 ** 31), 2 ** 31 - 1),
+        "i64": lambda: rng.randint(-(2 ** 63), 2 ** 63 - 1),
+        "str": lambda: "".join(rng.choice("aé☃z09\\|") for _ in
+                               range(rng.randrange(6))),
+        "bin": lambda: bytes(rng.randrange(256) for _ in
+                             range(rng.randrange(6))),
+    }[kind]()
+    return kind, val
+
+
+def _rand_spec_value(rng, depth):
+    if depth <= 0 or rng.random() < 0.4:
+        return _rand_scalar(rng)
+    kind = rng.choice(["list", "map", "struct"])
+    if kind == "list":
+        espec, _ = _rand_spec_value(rng, depth - 1)
+        vals = [_value_for(rng, espec, depth - 1)
+                for _ in range(rng.randrange(4))]
+        return ("list", espec), vals
+    if kind == "map":
+        vspec, _ = _rand_spec_value(rng, depth - 1)
+        m = {f"k{i}": _value_for(rng, vspec, depth - 1)
+             for i in range(rng.randrange(4))}
+        return ("map", "str", vspec), m
+    fields, values = {}, {}
+    fid = 0
+    for _ in range(rng.randrange(1, 5)):
+        fid += rng.randint(1, 7)
+        fspec, fval = _rand_spec_value(rng, depth - 1)
+        name = f"f{fid}"
+        fields[fid] = (name, fspec)
+        values[name] = None if rng.random() < 0.15 else fval
+    return ("struct", fields), values
+
+
+def _value_for(rng, spec, depth):
+    if isinstance(spec, tuple):
+        if spec[0] == "list":
+            return [_value_for(rng, spec[1], depth - 1)
+                    for _ in range(rng.randrange(3))]
+        if spec[0] == "map":
+            return {f"m{i}": _value_for(rng, spec[2], depth - 1)
+                    for i in range(rng.randrange(3))}
+        return {name: _value_for(rng, s, depth - 1)
+                for _, (name, s) in spec[1].items()}
+    table = {"bool": True, "byte": 7, "double": 0.5, "i16": -3, "i32": 9,
+             "i64": 2 ** 40, "str": "xé", "bin": b"\x00\xff"}
+    return table[spec]
+
+
+def _strip_nones(spec, v):
+    if isinstance(spec, tuple) and spec[0] == "struct":
+        return {name: _strip_nones(s, v[name])
+                for _, (name, s) in spec[1].items()
+                if v.get(name) is not None}
+    if isinstance(spec, tuple) and spec[0] == "list":
+        return [_strip_nones(spec[1], x) for x in v]
+    if isinstance(spec, tuple) and spec[0] == "map":
+        return {k: _strip_nones(spec[2], x) for k, x in v.items()}
+    return v
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_codec_fuzz_roundtrip_and_skip(seed):
+    import random
+
+    rng = random.Random(7_000 + seed)
+    spec, value = _rand_spec_value(rng, depth=3)
+    if not (isinstance(spec, tuple) and spec[0] == "struct"):
+        spec = ("struct", {1: ("root", spec)})
+        value = {"root": value}
+    w = TWriter()
+    w.struct_(spec[1], value)
+    data = bytes(w.buf)
+
+    got = TReader(_Buf(data)).struct_(spec[1])
+    assert got == _strip_nones(spec, value), f"seed {seed} roundtrip"
+
+    # subset reader: drop one field; the skip must keep the stream aligned
+    # (a trailing sentinel field after the struct proves alignment)
+    present = [fid for fid, (name, _) in spec[1].items()
+               if value.get(name) is not None]
+    if present:
+        drop = rng.choice(present)
+        sub = {fid: fs for fid, fs in spec[1].items() if fid != drop}
+        outer_spec = {1: ("inner", ("struct", spec[1])),
+                      2: ("sentinel", "i32")}
+        outer_sub = {1: ("inner", ("struct", sub)), 2: ("sentinel", "i32")}
+        w2 = TWriter()
+        w2.struct_(outer_spec, {"inner": value, "sentinel": 424242})
+        got2 = TReader(_Buf(bytes(w2.buf))).struct_(outer_sub)
+        expect = _strip_nones(spec, value)
+        expect.pop(spec[1][drop][0], None)
+        assert got2["sentinel"] == 424242, f"seed {seed} misaligned skip"
+        assert got2["inner"] == expect, f"seed {seed} subset"
