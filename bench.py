@@ -209,6 +209,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "ann_topk_ivf_pq_adc",
     "events_decayed_engagement",
     "split_leakage_report",
+    "text_winnow_fingerprints",
 ]
 RUNS = 3
 

@@ -1336,3 +1336,106 @@ SELECT doc_id,
            ['<extra_id_2>']), ' ')) AS targets_md5
 FROM cut ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local document-fingerprinting algorithm, public)
+# ---------------------------------------------------------------------------
+
+WINNOW_B = 131            # Rabin-Karp polynomial base
+WINNOW_M = 1_000_000_007  # modulus (products stay far under 2^63)
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprints with winnowing: every k-gram of
+    the text gets the Rabin-Karp polynomial hash
+    sum_j code(c[i+j]) * B^(k-1-j) mod M, then each sliding window of w
+    consecutive gram hashes contributes its MINIMUM — the winnowing
+    guarantee that any match of length >= w+k-1 shares a fingerprint,
+    with O(n/w) fingerprints per document. Returns the per-document
+    summary (gram count, distinct fingerprint count, min/max/sum of the
+    distinct fingerprint set — all exact integers).
+
+    The reference brief's 'document fingerprinting (rolling hash)'
+    operator: in SQL the rolling RECURRENCE is replaced by the direct
+    per-position polynomial (same values, embarrassingly parallel — the
+    recurrence is a serial optimization that a columnar engine neither
+    needs nor wants). Scale shape: scan -> per-position codegen transform
+    -> explode behind a Generate barrier -> ONE window partitioned by
+    doc_id (never partition-less) -> map-side-combined aggregate."""
+    from pyspark.sql import Window
+
+    pows = [WINNOW_B ** (k - 1 - j) for j in range(k)]
+    poly = " + ".join(
+        f"ascii(substr({text_col}, i + {j}, 1)) * {pows[j]}L"
+        for j in range(k)
+    )
+    grams = df.select(
+        id_col,
+        F.posexplode(F.expr(
+            f"CASE WHEN length({text_col}) >= {k} THEN "
+            f"transform(sequence(1, length({text_col}) - {k} + 1), "
+            f"i -> ({poly}) % {WINNOW_M}) "
+            "ELSE array() END"
+        )).alias("pos", "h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    picked = (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") >= w - 1)  # full windows only (pos is 0-based)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        picked.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+             F.min("fp").alias("fp_min"),
+             F.max("fp").alias("fp_max"),
+             F.sum("fp").alias("fp_sum"))
+        .join(counts, id_col)
+        .select(id_col, "n_grams", "n_fingerprints",
+                "fp_min", "fp_max", "fp_sum")
+        .orderBy(id_col)
+    )
+
+
+def winnow_oracle(k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of winnow_fingerprints (ord() == Spark ascii() on the
+    same text; identical window frame and full-window filter)."""
+    pows = [WINNOW_B ** (k - 1 - j) for j in range(k)]
+    poly = " + ".join(
+        f"CAST(ord(substr(text, CAST(gs.i + 1 + {j} AS INT), 1)) AS BIGINT)"
+        f" * {pows[j]}"
+        for j in range(k)
+    )
+    return f"""
+WITH grams AS (
+  SELECT doc_id, CAST(gs.i AS BIGINT) AS pos, ({poly}) % {WINNOW_M} AS h
+  FROM documents, LATERAL (SELECT unnest(range(
+    CASE WHEN length(text) >= {k} THEN length(text) - {k} + 1 ELSE 0 END))
+    AS i) gs
+),
+picked AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+               AS fp
+    FROM grams
+  ) WHERE pos >= {w - 1}
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM grams GROUP BY doc_id)
+SELECT p.doc_id, c.n_grams,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(min(fp) AS BIGINT) AS fp_min,
+       CAST(max(fp) AS BIGINT) AS fp_max,
+       CAST(sum(fp) AS BIGINT) AS fp_sum
+FROM picked p JOIN counts c ON c.doc_id = p.doc_id
+GROUP BY p.doc_id, c.n_grams
+ORDER BY p.doc_id
+"""

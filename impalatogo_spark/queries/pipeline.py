@@ -386,6 +386,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_winnow_fingerprints",
+    oracle=X.winnow_oracle(k=5, w=4),
+    tags=("text", "dedup", "fingerprint"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): Rabin-Karp polynomial hashes of every 5-gram, minimum per
+    4-gram sliding window, distinct fingerprint set per document — the
+    local fingerprinting scheme that guarantees any shared substring of
+    length >= w+k-1 shares a fingerprint while keeping O(n/w)
+    fingerprints. Exact-integer end to end; the per-doc summary
+    (counts + min/max/sum of the fingerprint set) is the registered
+    contract. See operators/text.py::winnow_fingerprints for the
+    scale shape."""
+    return X.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
 # ===========================================================================
 # Multimodal plumbing (Pandas UDF / mapInPandas path)
 # ===========================================================================
