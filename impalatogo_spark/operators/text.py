@@ -1368,20 +1368,36 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     doc_id (never partition-less) -> map-side-combined aggregate."""
     from pyspark.sql import Window
 
+    from impalatogo_spark.session import tracked_persist
+
     pows = [WINNOW_B ** (k - 1 - j) for j in range(k)]
-    poly = " + ".join(
-        f"ascii(substr({text_col}, i + {j}, 1)) * {pows[j]}L"
-        for j in range(k)
+    # code-point array materialized ONCE per doc behind a Generate barrier:
+    # substr(text, i, 1) inside the per-position lambda is O(i) on UTF-8
+    # strings (byte scan), which makes the naive form QUADRATIC in doc
+    # length; element_at on a concrete int array is O(1), keeping the whole
+    # hash pass linear. The barrier also stops CollapseProject from
+    # re-inlining the split into every element access (CLAUDE.md rule).
+    chars = df.select(
+        id_col,
+        F.explode(F.array(F.expr(
+            f"transform(split({text_col}, ''), c -> ascii(c))"
+        ))).alias("arr"),
     )
-    grams = df.select(
+    poly = " + ".join(
+        f"element_at(arr, i + {j}) * {pows[j]}L" for j in range(k)
+    )
+    # persisted: BOTH the winnow window and the gram-count aggregate
+    # consume this explode — without the persist the per-position
+    # polynomial evaluates twice (the two-consumer recompute rule)
+    grams = tracked_persist(chars.select(
         id_col,
         F.posexplode(F.expr(
-            f"CASE WHEN length({text_col}) >= {k} THEN "
-            f"transform(sequence(1, length({text_col}) - {k} + 1), "
+            f"CASE WHEN size(arr) >= {k} THEN "
+            f"transform(sequence(1, size(arr) - {k} + 1), "
             f"i -> ({poly}) % {WINNOW_M}) "
             "ELSE array() END"
         )).alias("pos", "h"),
-    )
+    ))
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
     picked = (
         grams.withColumn("fp", F.min("h").over(win))
