@@ -611,3 +611,75 @@ def test_codec_fuzz_roundtrip_and_skip(seed):
         expect.pop(spec[1][drop][0], None)
         assert got2["sentinel"] == 424242, f"seed {seed} misaligned skip"
         assert got2["inner"] == expect, f"seed {seed} subset"
+
+
+def test_all_four_doors_share_one_core(spark, sf_dir):
+    """JSON-lines, HS2 NOSASL, HS2 SASL-PLAIN and Beeswax clients run
+    concurrently against ONE serving core (shared admission + query
+    registry), each getting the exact serial answer — the full multi-door
+    daemon shape of the reference (beeswax port + hs2 port + shell)."""
+    import threading
+
+    from impalatogo_spark.beeswax import BeeswaxClient, BeeswaxServer
+    from impalatogo_spark.server import I2SClient, I2SServer
+
+    core = I2SServer(spark, sf_dir=sf_dir)
+    jhost, jport = core.start()
+    hs2 = HS2ThriftServer(spark, core=core)
+    hhost, hport = hs2.start()
+    bee = BeeswaxServer(spark, core=core)
+    bhost, bport = bee.start()
+    try:
+        results, errors = {}, []
+
+        def via_json():
+            c = I2SClient(jhost, jport)
+            c.open_session()
+            try:
+                results["json"] = c.fetch_all(
+                    c.execute("SELECT count(*) AS c FROM lineitem"))[0][0]
+            finally:
+                c.close()
+
+        def via_hs2(sasl):
+            key = "hs2_sasl" if sasl else "hs2"
+            c = HS2ThriftClient(hhost, hport,
+                                sasl_plain=("t", "") if sasl else None)
+            try:
+                c.open_session()
+                op = c.execute("SELECT count(*) AS c FROM lineitem")
+                results[key] = c.fetch_all(op)[0][0]
+            finally:
+                c.close()
+
+        def via_beeswax():
+            c = BeeswaxClient(bhost, bport)
+            try:
+                h = c.query("SELECT count(*) AS c FROM lineitem")
+                c.wait(h)
+                results["beeswax"] = int(c.fetch_all(h)[0])
+            finally:
+                c.close()
+
+        def guard(fn, *a):
+            try:
+                fn(*a)
+            except Exception as e:
+                errors.append((fn.__name__, a, repr(e)))
+
+        threads = [threading.Thread(target=guard, args=(via_json,)),
+                   threading.Thread(target=guard, args=(via_hs2, False)),
+                   threading.Thread(target=guard, args=(via_hs2, True)),
+                   threading.Thread(target=guard, args=(via_beeswax,))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        assert len(set(results.values())) == 1 and len(results) == 4
+        # one shared core saw all four statements
+        assert core.queries_completed >= 4
+    finally:
+        bee.stop()
+        hs2.stop()
+        core.stop()
