@@ -1363,13 +1363,13 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     operator: in SQL the rolling RECURRENCE is replaced by the direct
     per-position polynomial (same values, embarrassingly parallel — the
     recurrence is a serial optimization that a columnar engine neither
-    needs nor wants). Scale shape: scan -> per-position codegen transform
-    -> explode behind a Generate barrier -> ONE window partitioned by
-    doc_id (never partition-less) -> map-side-combined aggregate."""
-    from pyspark.sql import Window
-
-    from impalatogo_spark.session import tracked_persist
-
+    needs nor wants). Scale shape: the whole summary is a PURE PER-ROW
+    function of `text` — gram hashes, w-window minima, distinct set and
+    its stats are all array expressions on the document row — so the only
+    exchange in the plan is the final presentation ORDER BY over one
+    summary row per document. Zero data-sized shuffle (the prior form
+    exploded one row per gram and shuffled ~10x the corpus text bytes
+    through a doc_id window; same contract, same oracle)."""
     pows = [WINNOW_B ** (k - 1 - j) for j in range(k)]
     # code-point array materialized ONCE per doc behind a Generate barrier:
     # substr(text, i, 1) inside the per-position lambda is O(i) on UTF-8
@@ -1386,37 +1386,40 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     poly = " + ".join(
         f"element_at(arr, i + {j}) * {pows[j]}L" for j in range(k)
     )
-    # persisted: BOTH the winnow window and the gram-count aggregate
-    # consume this explode — without the persist the per-position
-    # polynomial evaluates twice (the two-consumer recompute rule)
-    grams = tracked_persist(chars.select(
+    # gram-hash array behind its OWN Generate barrier: the sliding-minimum
+    # transform below reads `h` w times per window position, and an inlined
+    # projection would re-evaluate the whole polynomial map per element
+    # (the CollapseProject rule again) — a concrete attribute keeps the
+    # minima pass O(n*w).
+    grams = chars.select(
         id_col,
-        F.posexplode(F.expr(
+        F.explode(F.array(F.expr(
             f"CASE WHEN size(arr) >= {k} THEN "
             f"transform(sequence(1, size(arr) - {k} + 1), "
             f"i -> ({poly}) % {WINNOW_M}) "
             "ELSE array() END"
-        )).alias("pos", "h"),
-    ))
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
-    picked = (
-        grams.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") >= w - 1)  # full windows only (pos is 0-based)
-        .select(id_col, "fp")
-        .distinct()
+        ))).alias("h"),
     )
-    counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    return (
-        picked.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_fingerprints"),
-             F.min("fp").alias("fp_min"),
-             F.max("fp").alias("fp_max"),
-             F.sum("fp").alias("fp_sum"))
-        .join(counts, id_col)
-        .select(id_col, "n_grams", "n_fingerprints",
-                "fp_min", "fp_max", "fp_sum")
-        .orderBy(id_col)
+    # docs with fewer than w grams yield no full window -> no fingerprints
+    # (identical to the prior window-form's pos >= w-1 filter + inner join).
+    # `fps` (the distinct fingerprint set) feeds four stats, so it too gets
+    # a Generate barrier instead of re-running minima+distinct per stat.
+    fps = grams.filter(F.expr(f"size(h) >= {w}")).select(
+        id_col,
+        F.col("h"),
+        F.explode(F.array(F.expr(
+            f"array_distinct(transform(sequence({w}, size(h)), "
+            f"i -> array_min(slice(h, i - {w} + 1, {w}))))"
+        ))).alias("fps"),
     )
+    return fps.select(
+        id_col,
+        F.expr("size(h)").cast("long").alias("n_grams"),
+        F.expr("size(fps)").cast("long").alias("n_fingerprints"),
+        F.expr("array_min(fps)").alias("fp_min"),
+        F.expr("array_max(fps)").alias("fp_max"),
+        F.expr("aggregate(fps, 0L, (a, x) -> a + x)").alias("fp_sum"),
+    ).orderBy(id_col)
 
 
 def winnow_oracle(k: int = 5, w: int = 4) -> str:
