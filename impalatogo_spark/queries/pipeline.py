@@ -1841,13 +1841,32 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage bit-for-bit; index reuse across query batches without
     re-clustering is pinned in tests/test_similarity.py."""
     import os
+    import shutil
     import tempfile
+    import time
 
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 3)
     batch = emb.filter(F.col("vec_id") % 5 == 3)
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(tempfile.gettempdir(), f"i2s_ivf_{sf_tag}")
+    # per-invocation unique dir: two sessions running this query
+    # concurrently at the same SF (multi-protocol server, or a test run
+    # next to a shell) must not race on one shared snapshot path. The
+    # snapshot must outlive this function (the returned DataFrame reads it
+    # lazily), so instead of deleting our own dir we sweep stale siblings
+    # from earlier invocations (mtime > 1h — any plan over them is long
+    # collected).
+    prefix = f"i2s_ivf_{sf_tag}_"
+    tmp = tempfile.gettempdir()
+    for d in os.listdir(tmp):
+        p = os.path.join(tmp, d)
+        try:
+            if (d.startswith(prefix) and os.path.isdir(p)
+                    and time.time() - os.path.getmtime(p) > 3600):
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    index_dir = tempfile.mkdtemp(prefix=prefix)
     snap = S.build_ivf_index(base, index_dir, k_cells=8, iters=3)
     S.ivf_index_append_batch(batch, snap, batch_id="b1")
     return S.ivf_indexed_topk(emb, snap, n_queries=5, n_probe=2, topk=5)

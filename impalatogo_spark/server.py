@@ -66,15 +66,24 @@ _ADMISSION_KEYS = ("MAX_REQUESTS", "MAX_QUEUED", "QUEUE_TIMEOUT_MS",
 
 def _parse_mem(value) -> int:
     """Impala memory-option syntax -> bytes: plain ints are bytes; b/k/m/g
-    suffixes scale (query-options.cc ParseMemValue)."""
+    suffixes scale, with an optional trailing 'b' after the multiplier so
+    '2GB'/'512MB' parse like the reference's ParseMemSpec
+    (be/src/util/parse-util.cc strips the 'B' before applying g/m/k)."""
     s = str(value or "0").strip().lower()
     if not s:
         return 0
     mult = 1
+    if s[-1] == "b" and len(s) >= 2 and s[-2] in "kmg":
+        s = s[:-1]
     if s[-1] in "bkmg":
         mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[s[-1]]
         s = s[:-1]
-    return int(float(s) * mult)
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        raise ValueError(
+            f"invalid memory specification {value!r}: expected "
+            "<number>[B|KB|MB|GB]") from None
 
 
 def _json_val(v):
@@ -508,6 +517,8 @@ class I2SServer:
                 return "set", _Operation(["option", "value"],
                                          ["string", "string"], rows)
             k, v = m.group(2).upper(), m.group(3).strip().strip("'\"")
+            if k in ("MEM_LIMIT", "MAX_MEM_RESOURCES"):
+                _parse_mem(v)  # reject bad specs at SET time, not query time
             sess.engine.set(k, v)
             if k in _ADMISSION_KEYS:
                 self._apply_admission_set(sess, k, v)
@@ -541,6 +552,11 @@ class I2SServer:
         # /queries debug registry (impala-server.cc webserver callbacks):
         # visible as in-flight from admission to completion, then moved to
         # the bounded completed-query log.
+        # parse MEM_LIMIT BEFORE registering in-flight: a bad spec (possible
+        # via open_session's config dict, which bypasses the SET-time
+        # validation above) must raise without leaking a forever-RUNNING
+        # /queries registry entry.
+        mem = _parse_mem(sess.engine.options.get("MEM_LIMIT", "0"))
         rec = {"label": label, "sql": sql[:2000], "pool": pool,
                "state": "QUEUED", "start_ts": _time.time(),
                "elapsed_s": None, "rows": None, "error": None}
@@ -558,7 +574,6 @@ class I2SServer:
         # SET MAX_MEM_RESOURCES; plan-estimate admission would require
         # planning DDL before admitting it, which this engine executes
         # eagerly, so the option-driven mode is the one implemented).
-        mem = _parse_mem(sess.engine.options.get("MEM_LIMIT", "0"))
         try:
             self.admission.admit(pool, label=label, mem=mem)
         except BaseException as e:

@@ -643,3 +643,55 @@ def test_mem_limit_admission_over_the_wire(server):
         assert st["running_mem"] == 0 and st["rejected"] >= 1
     finally:
         c.close()
+
+def test_mem_spec_reference_suffixes_and_set_time_validation(server):
+    """ADVICE r04: the reference's ParseMemSpec (be/src/util/parse-util.cc)
+    strips a trailing 'B' before applying g/m/k, so '2GB'/'512MB' are
+    valid specs; garbage must be rejected at SET time (not poison every
+    later statement) and must never leak an in-flight registry entry."""
+    from impalatogo_spark.server import _parse_mem
+
+    assert _parse_mem("2GB") == 2 << 30
+    assert _parse_mem("512MB") == 512 << 20
+    assert _parse_mem("1.5kb") == 1536
+    assert _parse_mem("100b") == 100
+    assert _parse_mem("4096") == 4096
+    with pytest.raises(ValueError):
+        _parse_mem("banana")
+
+    srv, host, port = server
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        # reference-form suffixes accepted end-to-end (both mem options)
+        c.execute("SET MAX_MEM_RESOURCES=2GB")
+        c.execute("SET MEM_LIMIT=512MB")
+        assert c.fetch_all(c.execute("SELECT 1 AS x")) == [[1]]
+        # garbage rejected AT SET TIME with a clear error
+        resp = c.call(op="execute", session=c.session, sql="SET MEM_LIMIT=lots")
+        assert not resp["ok"] and "memory specification" in resp["error"]
+        # the session keeps its previous (valid) value and stays usable
+        assert c.fetch_all(c.execute("SELECT 2 AS x")) == [[2]]
+        assert ["MEM_LIMIT", "512MB"] in c.fetch_all(c.execute("SET"))
+    finally:
+        c.close()
+
+
+def test_bad_mem_limit_via_open_session_config_leaks_no_inflight(server):
+    """A bad MEM_LIMIT smuggled through open_session's config dict (which
+    bypasses SET-time validation) must fail the statement BEFORE the
+    /queries in-flight registration — no phantom forever-RUNNING rows."""
+    srv, host, port = server
+    c = I2SClient(host, port)
+    c.open_session(config={"MEM_LIMIT": "banana"})
+    try:
+        before = dict(srv._inflight)
+        for _ in range(3):
+            resp = c.call(op="execute", session=c.session, sql="SELECT 1 AS x")
+            assert not resp["ok"] and "memory specification" in resp["error"]
+        assert srv._inflight == before  # zero leaked registry entries
+        # recoverable: a valid SET un-poisons the session
+        c.execute("SET MEM_LIMIT=64m")
+        assert c.fetch_all(c.execute("SELECT 3 AS x")) == [[3]]
+    finally:
+        c.close()
