@@ -176,7 +176,7 @@ class BeeswaxServer:
     @staticmethod
     def _finished(o):
         if isinstance(o, _AsyncOperation):
-            o.done.wait(timeout=3600)
+            o.wait_fetchable(timeout=3600)  # rows available, not EOS
         return I2SServer._finished(o)
 
     # -- handlers --
@@ -202,7 +202,7 @@ class BeeswaxServer:
         _, raw = self._op(sid, args.get("query_id"))
         o = self._finished(raw)
         if args.get("start_over"):
-            o.pos = 0
+            o.start_over()  # streaming results past the window refuse this
         start = o.pos
         n = args.get("fetch_size") or 1024
         if n < 0:
@@ -214,8 +214,7 @@ class BeeswaxServer:
 
     def _h_get_state(self, sid: str, args: dict) -> int:
         _, o = self._op(sid, args.get("handle"))
-        state = o.state if isinstance(o, _AsyncOperation) else "FINISHED"
-        return _QSTATE.get(state, 5)
+        return _QSTATE.get(I2SServer.proto_state(o), 5)
 
     def _h_get_results_metadata(self, sid: str, args: dict) -> dict:
         _, raw = self._op(sid, args.get("handle"))
@@ -234,7 +233,10 @@ class BeeswaxServer:
 
     def _h_close(self, sid: str, args: dict):
         sess = self._sess(sid)
-        sess.operations.pop((args.get("handle") or {}).get("id"), None)
+        closing = sess.operations.pop((args.get("handle") or {}).get("id"),
+                                      None)
+        if closing is not None:
+            closing.close()  # abort a still-draining stream
         return None
 
     def _h_clean(self, sid: str, args: dict):

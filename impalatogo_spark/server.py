@@ -34,10 +34,15 @@ like the reference's pool config + REQUEST_POOL option). `admission_stats`
 is the /admission debug-endpoint readout.
 
 Scale notes: the server is a thin driver-side layer — each statement runs
-on the connection's thread against the shared SparkContext, so N clients
+in its own drainer thread against the shared SparkContext, so N clients
 get Spark's normal FAIR-scheduler concurrency (see tests/test_concurrency).
-Result buffering is bounded by the client's fetch pagination, not by
-row-count materialization on the wire.
+Result memory is bounded by the CLIENT'S FETCH PACE, not by result size:
+the drainer pulls row batches from the running plan via
+`df.toLocalIterator()` into a bounded window (`fetch_window_rows`) and
+blocks when the window is full — the reference's FetchInternal /
+QueryExecState::FetchRows semantics (impala-hs2-server.cc:476,
+query-exec-state.h:91). `SELECT * FROM <huge table>` through any door
+holds at most one window + one prefetched partition on the driver.
 """
 
 from __future__ import annotations
@@ -131,9 +136,13 @@ def _sql_pattern(pat: str):
 
 
 class _Operation:
-    """A finished statement's buffered result — the QueryExecState analogue
-    (rows are materialized at execute time, like the reference coordinator's
-    result cache; fetch() paginates)."""
+    """A finished statement's fully-buffered result — used for
+    session-level statements (SET/EXPLAIN), metadata RPCs, and as the
+    replay form streaming results collapse into when they fit the fetch
+    window. fetch() paginates; start_over rewinds."""
+
+    state = "FINISHED"
+    eos = True
 
     def __init__(self, columns, types, rows, profile=""):
         self.columns = columns
@@ -142,17 +151,232 @@ class _Operation:
         self.profile = profile
         self.pos = 0
         self.elapsed = 0.0
+        self.fetchable = threading.Event()
+        self.fetchable.set()
+
+    @property
+    def total_rows(self):
+        return len(self.rows)
+
+    row_count = total_rows
 
     def fetch(self, max_rows: int):
         batch = self.rows[self.pos:self.pos + max_rows]
         self.pos += len(batch)
         return batch, self.pos < len(self.rows)
 
+    def start_over(self):
+        self.pos = 0
+
+    def cancel(self):  # already complete — nothing to stop
+        pass
+
+    close = cancel
+
 
 class OperationCancelled(Exception):
     """Raised inside a worker when a client cancelled its operation
     (CancelOperation, impala-hs2-server.cc:915 / Beeswax Cancel,
     impala-beeswax-server.cc:434)."""
+
+
+class _StreamingOperation:
+    """An in-flight statement's result, drained from the running plan at
+    the client's fetch pace with a BOUNDED buffer window — the reference's
+    incremental-fetch contract (QueryExecState::FetchRows pulls row batches
+    from the root fragment on demand, impala-hs2-server.cc:476
+    FetchInternal), so coordinator memory is bounded by fetch pace, never
+    by result size.
+
+    A drainer thread (started by I2SServer._execute_core, which also owns
+    the admission/registry/watchdog bookkeeping) push_chunk()s converted
+    rows; push blocks while the window is full. Results that reach EOS
+    within the window keep the full row list (replay mode — start_over and
+    re-pagination behave exactly like the historical eager operation);
+    larger results drop rows after delivery and refuse start_over, like
+    the reference's beeswax server. `fetchable` (window full or EOS) is
+    what the protocol doors report as FINISHED — Impala's
+    QueryState::FINISHED means "rows are available to fetch", not EOS."""
+
+    def __init__(self, columns, types, label: str = "",
+                 window_rows: int = 4096, sc=None, group: str | None = None):
+        import collections
+        import time as _time
+
+        self.columns = columns
+        self.types = types
+        self.label = label
+        self.window = max(1, int(window_rows))
+        self._sc = sc
+        self._group = group
+        self._cond = threading.Condition()
+        self._buf = collections.deque()
+        self._replay: list | None = []
+        self.pos = 0            # rows delivered to the client so far
+        self.push_count = 0     # rows produced by the plan so far
+        self.max_buffered = 0   # high-water mark: proves the window bound
+        self.eos = False
+        self.state = "RUNNING"
+        self.error: BaseException | None = None
+        self.elapsed = None
+        self._profile: str | None = None
+        self.abort = threading.Event()
+        self.fetchable = threading.Event()
+        self.done = threading.Event()
+        self.on_fetchable = None  # async-wrapper hook
+        self._last_fetch = _time.monotonic()
+
+    # -- drainer side ------------------------------------------------------
+
+    def _set_fetchable(self):
+        self.fetchable.set()
+        cb = self.on_fetchable
+        if cb is not None:
+            cb()
+
+    def push_chunk(self, rows: list, idle_timeout_s: float | None) -> None:
+        """Append produced rows, blocking while the window is full. Raises
+        OperationCancelled when the operation is aborted (close/cancel) or
+        when no client has fetched for idle_timeout_s on a full window
+        (the reference's --idle_query_timeout reap)."""
+        import time as _time
+
+        with self._cond:
+            while len(self._buf) >= self.window:
+                if self.abort.is_set():
+                    raise OperationCancelled("cancelled by client")
+                if (idle_timeout_s is not None
+                        and _time.monotonic() - self._last_fetch
+                        > idle_timeout_s):
+                    raise OperationCancelled(
+                        f"no fetch for {idle_timeout_s:g}s on a full "
+                        "result window (idle query reaped)")
+                self._cond.wait(timeout=0.2)
+            if self.abort.is_set():
+                raise OperationCancelled("cancelled by client")
+            self._buf.extend(rows)
+            self.push_count += len(rows)
+            if self._replay is not None:
+                if self.push_count <= self.window:
+                    self._replay.extend(rows)
+                else:
+                    self._replay = None  # too big to replay: stream-only
+            if len(self._buf) > self.max_buffered:
+                self.max_buffered = len(self._buf)
+            if len(self._buf) >= self.window:
+                self._set_fetchable()
+            self._cond.notify_all()
+
+    def finish(self, elapsed: float, profile: str) -> None:
+        with self._cond:
+            self.eos = True
+            self.state = "FINISHED"
+            self.elapsed = elapsed
+            self._profile = profile
+            if self._replay is not None:
+                self._buf.clear()  # replay list serves all further fetches
+            self._set_fetchable()
+            self.done.set()
+            self._cond.notify_all()
+
+    def fail(self, exc: BaseException, cancelled: bool) -> None:
+        with self._cond:
+            self.error = exc
+            self.state = "CANCELED" if cancelled else "ERROR"
+            self._set_fetchable()
+            self.done.set()
+            self._cond.notify_all()
+
+    # -- client side -------------------------------------------------------
+
+    def fetch(self, max_rows: int):
+        """Block until rows are available (or the operation settles), then
+        return (batch, has_more). Re-raises the drainer's error on
+        ERROR/CANCELED — this is where mid-stream failures surface."""
+        import time as _time
+
+        max_rows = max(1, int(max_rows))
+        with self._cond:
+            self._last_fetch = _time.monotonic()
+            # gate on `fetchable` (window full or EOS), not first-rows: a
+            # result that fits the window is never handed out before its
+            # completion bookkeeping (slot release, profile, total count)
+            # settles — the historical eager semantics clients rely on
+            while not self.done.is_set() and (
+                    not self.fetchable.is_set()
+                    or (not self._buf and not self.eos)):
+                self._cond.wait(timeout=0.2)
+                self._last_fetch = _time.monotonic()
+            if self.state == "ERROR":
+                raise self.error if isinstance(self.error, Exception) \
+                    else RuntimeError(str(self.error))
+            if self.state == "CANCELED":
+                raise RuntimeError("operation was cancelled")
+            if self.eos and self._replay is not None:
+                batch = self._replay[self.pos:self.pos + max_rows]
+                self.pos += len(batch)
+                return batch, self.pos < len(self._replay)
+            batch = []
+            while self._buf and len(batch) < max_rows:
+                batch.append(self._buf.popleft())
+            self.pos += len(batch)
+            more = bool(self._buf) or not self.eos
+            self._cond.notify_all()
+            return batch, more
+
+    def start_over(self):
+        with self._cond:
+            if not (self.eos and self._replay is not None):
+                raise ValueError(
+                    "start_over is not supported on results larger than "
+                    f"the fetch window ({self.window} rows)")
+            self.pos = 0
+
+    def cancel(self):
+        """Abort the stream: wake a window-blocked drainer AND kill the
+        statement's Spark job group (re-fired until the drainer exits —
+        a one-shot cancel loses the race with job submission)."""
+        if self.done.is_set():
+            return
+        self.abort.set()
+        with self._cond:
+            self._cond.notify_all()
+        if self._sc is not None and self._group:
+            try:
+                self._sc.cancelJobGroup(self._group)
+            except Exception:
+                return
+
+            def _reaper():
+                while not self.done.wait(timeout=0.2):
+                    try:
+                        self._sc.cancelJobGroup(self._group)
+                    except Exception:
+                        return
+
+            threading.Thread(target=_reaper, daemon=True,
+                             name=f"{self._group}-reaper").start()
+
+    close = cancel  # discarding the handle mid-stream aborts the drain
+
+    # -- readouts ----------------------------------------------------------
+
+    @property
+    def total_rows(self):
+        return self.push_count if self.eos else None
+
+    @property
+    def row_count(self):
+        """Rows produced so far (== total at EOS) — the reference reports
+        rows-fetched-so-far while a query is still executing."""
+        return self.push_count
+
+    @property
+    def profile(self):
+        if self._profile is not None:
+            return self._profile
+        return (f"Query: {self.label}\nState: {self.state}\n"
+                f"Rows produced so far: {self.push_count}\n")
 
 
 class _AsyncOperation:
@@ -171,13 +395,35 @@ class _AsyncOperation:
         self.group = f"i2s-async-{uuid.uuid4().hex[:8]}"
         self.state = "INITIALIZED"
         self.error: str | None = None
-        self.result: _Operation | None = None
+        self.exception: BaseException | None = None
+        self.result = None  # _Operation | _StreamingOperation
         self.cancel_requested = threading.Event()
         self.done = threading.Event()
+        self.fetchable = threading.Event()  # result rows can be fetched
         self._t0 = _time.monotonic()
         self._log: list[str] = []
         self._lock = threading.Lock()
         self.log_line(f"operation created: {label!r}")
+
+    def attach(self, op) -> None:
+        """Called by _execute_core as soon as the statement's result
+        operation exists (before EOS for streaming results) so clients can
+        fetch while the plan is still draining."""
+        self.result = op
+        if isinstance(op, _StreamingOperation):
+            op.on_fetchable = self.fetchable.set
+            if op.fetchable.is_set():
+                self.fetchable.set()
+            if self.cancel_requested.is_set():
+                op.cancel()
+        else:
+            self.fetchable.set()
+
+    def wait_fetchable(self, timeout: float = 3600.0) -> None:
+        """Block until rows are available or the operation settled — the
+        sync-RPC wait (the reference's sync ExecuteStatement returns when
+        the query has results to fetch, not at EOS)."""
+        self.fetchable.wait(timeout=timeout)
 
     def log_line(self, msg: str) -> None:
         import time as _time
@@ -192,14 +438,18 @@ class _AsyncOperation:
 
     def cancel(self) -> None:
         """Client-initiated cancel: flag first (so the worker maps the Spark
-        job failure to CANCELED, not ERROR), then kill the job group —
-        repeatedly, because cancelJobGroup only hits jobs ALREADY running:
-        a cancel landing between statement planning and the first job launch
-        would otherwise be lost and the statement would run to completion."""
+        job failure to CANCELED, not ERROR), then abort the stream / kill
+        the job group — repeatedly, because cancelJobGroup only hits jobs
+        ALREADY running: a cancel landing between statement planning and
+        the first job launch would otherwise be lost."""
         if self.done.is_set():
             return
         self.cancel_requested.set()
         self.log_line("cancel requested by client")
+        r = self.result
+        if isinstance(r, _StreamingOperation):
+            r.cancel()  # owns the abort flag + job-group reaper
+            return
 
         def _reaper():
             while not self.done.wait(timeout=0.2):
@@ -212,22 +462,39 @@ class _AsyncOperation:
         threading.Thread(target=_reaper, name=f"{self.group}-reaper",
                          daemon=True).start()
 
+    close = cancel
+
     def run(self, fn) -> None:
-        """Execute fn() on a worker thread; fn returns the finished
-        _Operation-shaped response dict."""
+        """Execute fn() on a worker thread; fn returns (kind, operation).
+        For streaming results fn returns as soon as the drainer starts —
+        the worker then waits for the stream to settle so state/log reflect
+        actual completion (RUNNING until EOS/cancel/error)."""
 
         def _worker():
             self.state = "RUNNING"
             self.log_line("statement started")
             try:
-                self.result = fn()
-                if self.cancel_requested.is_set():
-                    self.state = "CANCELED"
-                    self.log_line("finished after cancel request")
+                _kind, op = fn()
+                self.result = op
+                if isinstance(op, _StreamingOperation):
+                    op.done.wait()
+                    if op.state == "CANCELED":
+                        self.state = "CANCELED"
+                        self.log_line("cancelled")
+                    elif op.state == "ERROR":
+                        self.state = "ERROR"
+                        self.exception = op.error
+                        self.error = (f"{type(op.error).__name__}: "
+                                      f"{op.error}")
+                        self.log_line(f"error: {self.error}")
+                    else:
+                        self.state = "FINISHED"
+                        self.log_line(
+                            f"finished: {op.push_count} row(s) buffered")
                 else:
                     self.state = "FINISHED"
                     self.log_line(
-                        f"finished: {len(self.result.rows)} row(s) buffered")
+                        f"finished: {len(op.rows)} row(s) buffered")
             except OperationCancelled:
                 self.state = "CANCELED"
                 self.log_line("cancelled")
@@ -237,10 +504,12 @@ class _AsyncOperation:
                     self.log_line("cancelled")
                 else:
                     self.state = "ERROR"
+                    self.exception = e
                     self.error = f"{type(e).__name__}: {e}"
                     self.log_line(f"error: {self.error}")
             finally:
                 self.done.set()
+                self.fetchable.set()
 
         t = threading.Thread(
             target=_worker, name=f"i2s-op-{self.group}", daemon=True
@@ -257,13 +526,24 @@ class _Session:
         if sf_dir:
             register_tables(self.spark, sf_dir)
         self.engine = Engine(self.spark)
-        self.operations: dict[str, _Operation] = {}
+        self.operations: dict[str, object] = {}
         self.last_handle: str | None = None
         self.last_used = _time.monotonic()
 
     @property
     def pool(self) -> str:
         return self.engine.options.get("REQUEST_POOL") or "default"
+
+    def close(self) -> None:
+        """Abort every live operation so a window-blocked drainer releases
+        its admission slot (reference: closing a session unregisters its
+        in-flight queries, impala-server.cc CloseSessionInternal)."""
+        for o in list(self.operations.values()):
+            try:
+                o.close()
+            except Exception:
+                pass
+        self.operations.clear()
 
 
 class SessionExpired(Exception):
@@ -283,11 +563,17 @@ class I2SServer:
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 idle_session_timeout_s: float | None = None):
+                 idle_session_timeout_s: float | None = None,
+                 fetch_window_rows: int = 4096,
+                 fetch_idle_timeout_s: float | None = 3600.0):
         self._spark = spark
         self._sf_dir = sf_dir
         self._host = host
         self._port = port
+        # bounded result window (rows) per statement + the idle-query reap
+        # for abandoned fetches (reference --idle_query_timeout)
+        self.fetch_window_rows = int(fetch_window_rows)
+        self.fetch_idle_timeout_s = fetch_idle_timeout_s
         self._sessions: dict[str, _Session] = {}
         self._lock = threading.Lock()
         self.admission = AdmissionController()
@@ -357,6 +643,7 @@ class I2SServer:
                 now = _time.monotonic()
                 for k in [k for k, s in self._sessions.items()
                           if now - s.last_used > self.idle_session_timeout_s]:
+                    self._sessions[k].close()  # abort window-blocked drains
                     del self._sessions[k]
                     if k == sid:
                         raise SessionExpired(
@@ -387,7 +674,9 @@ class I2SServer:
                     "spark_version": self._spark.version}
         if op == "close_session":
             with self._lock:
-                self._sessions.pop(req.get("session"), None)
+                closing = self._sessions.pop(req.get("session"), None)
+            if closing is not None:
+                closing.close()
             return {"ok": True}
         if op == "admission_stats":
             return {"ok": True, "pools": self.admission.stats()}
@@ -400,17 +689,16 @@ class I2SServer:
         if op == "operation_status":
             o = self._resolve(sess, req)
             if isinstance(o, _AsyncOperation):
-                return {"ok": True, "state": o.state, "error": o.error,
-                        "row_count": (len(o.result.rows)
+                return {"ok": True, "state": self.proto_state(o),
+                        "error": o.error,
+                        "row_count": (o.result.row_count
                                       if o.result is not None else None)}
             return {"ok": True, "state": "FINISHED", "error": None,
-                    "row_count": len(o.rows)}
+                    "row_count": o.row_count}
         if op == "cancel_operation":
             o = self._resolve(sess, req)
-            if isinstance(o, _AsyncOperation):
-                o.cancel()
-                return {"ok": True, "state": o.state}
-            return {"ok": True, "state": "FINISHED"}  # already done
+            o.cancel()  # streaming results abort their drain; eager no-op
+            return {"ok": True, "state": o.state}
         if op == "get_log":
             o = self._resolve(sess, req)
             log = o.log_text if isinstance(o, _AsyncOperation) else ""
@@ -425,7 +713,9 @@ class I2SServer:
         if op == "explain":
             return {"ok": True, "plan": sess.engine.explain(req["sql"])}
         if op == "close_operation":
-            sess.operations.pop(req.get("handle"), None)
+            closing = sess.operations.pop(req.get("handle"), None)
+            if closing is not None:
+                closing.close()  # abort a still-draining stream
             return {"ok": True}
         # HS2 metadata RPCs (GetSchemas / GetTables / GetColumns —
         # TCLIService; the reference serves these from its catalog,
@@ -477,10 +767,6 @@ class I2SServer:
         self.admission.configure_pool(sess.pool, **{kwargs: v})
 
     def _execute(self, sess: _Session, req: dict) -> dict:
-        import re
-        import time as _time
-
-        sql = (req.get("sql") or "").strip().rstrip(";").strip()
         fetch = int(req.get("fetch", 1024))
         kind, o = self._execute_core(sess, req)
         if kind != "query":
@@ -491,10 +777,12 @@ class I2SServer:
         handle = uuid.uuid4().hex[:12]
         sess.operations[handle] = o
         sess.last_handle = handle
+        # blocks until rows are available or the stream settles; drain
+        # errors (timeout/cancel/runtime) re-raise here — the sync contract
         rows, more = o.fetch(fetch)
         return {"ok": True, "handle": handle, "columns": o.columns,
                 "types": o.types, "rows": rows, "has_more": more,
-                "row_count": len(o.rows), "elapsed": o.elapsed}
+                "row_count": o.total_rows, "elapsed": o.elapsed}
 
     def _execute_core(self, sess: _Session, req: dict,
                       aop: _AsyncOperation | None = None
@@ -534,7 +822,9 @@ class I2SServer:
 
         pool = sess.pool
         # REQUEST_POOL was SET on a (possibly different) connection thread;
-        # pool pinning is thread-local, so re-apply before running.
+        # pool pinning is thread-local, so re-apply before running (eager
+        # DDL executes inside engine.sql on THIS thread; the drainer pins
+        # its own thread again for the SELECT jobs).
         sess.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", pool if pool != "default" else None
         )
@@ -585,11 +875,18 @@ class I2SServer:
         rec["state"] = "RUNNING"
         if aop is not None:
             aop.log_line(f"admitted to pool {pool!r}")
+        # Phase 1 (this thread): plan the statement — and execute eager
+        # DDL/INSERT side-effects — inside the job group. Planning errors
+        # finalize the bookkeeping and raise to the caller with their
+        # original type (sync clients see AdmissionRejected/ValueError/...
+        # as before).
+        group_set = False
         try:
             if aop is not None and aop.cancel_requested.is_set():
                 raise OperationCancelled("cancelled while queued")
             if limit > 0 or aop is not None:
                 sc.setJobGroup(group, label, interruptOnCancel=True)
+                group_set = True
             if limit > 0:
 
                 def _cancel():
@@ -599,12 +896,82 @@ class I2SServer:
                 timer = threading.Timer(limit, _cancel)
                 timer.daemon = True
                 timer.start()
-            t0 = _time.perf_counter()
-            df = sess.engine.sql(sql)
             try:
-                collected = df.collect()
+                df = sess.engine.sql(sql)
             except Exception:
                 if aop is not None and aop.cancel_requested.is_set():
+                    raise OperationCancelled("cancelled by client") from None
+                if timed_out.is_set():
+                    raise TimeoutError(
+                        f"query exceeded EXEC_TIME_LIMIT_S={limit:g}s "
+                        "and was cancelled"
+                    ) from None
+                raise
+            op = _StreamingOperation(
+                list(df.columns),
+                [f.dataType.simpleString() for f in df.schema.fields],
+                label=sql[:200], window_rows=self.fetch_window_rows,
+                sc=sc, group=group,
+            )
+        except BaseException as e:
+            rec["state"] = ("CANCELED" if isinstance(e, OperationCancelled)
+                            else "ERROR")
+            if rec["state"] == "ERROR":
+                rec["error"] = f"{type(e).__name__}: {e}"
+            rec["elapsed_s"] = round(_time.time() - rec["start_ts"], 4)
+            with self._lock:
+                self._inflight.pop(qid, None)
+                self.query_log.appendleft(rec)
+                self.queries_completed += 1
+            self.admission.release(pool, mem=mem)
+            if timer is not None:
+                timer.cancel()
+            raise
+        finally:
+            if group_set:
+                sc.setJobGroup(None, None)  # never leak onto this thread
+        if aop is not None:
+            aop.attach(op)
+        # Phase 2 (drainer thread): pull row batches from the running plan
+        # at the client's fetch pace — reference FetchInternal semantics.
+        threading.Thread(
+            target=self._drain, name=f"i2s-drain-{group}", daemon=True,
+            args=(sess, op, df, rec, qid, pool, mem, limit, group, aop,
+                  timer, timed_out),
+        ).start()
+        return "query", op
+
+    def _drain(self, sess: _Session, op: _StreamingOperation, df, rec: dict,
+               qid: int, pool: str, mem: int, limit: float, group: str,
+               aop: _AsyncOperation | None, timer, timed_out) -> None:
+        """Drainer thread body: iterate the plan into the operation's
+        bounded window, then settle the operation AFTER all bookkeeping
+        (admission slot, /queries registry, watchdog) is finalized, so a
+        client unblocked by completion observes a consistent server."""
+        import time as _time
+
+        sc = sess.spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool",
+                            pool if pool != "default" else None)
+        sc.setJobGroup(group, op.label, interruptOnCancel=True)
+        t0 = _time.perf_counter()
+        settle = None  # ("finish", elapsed, profile) | ("cancel"|"error", e)
+        CHUNK = 256
+        try:
+            try:
+                chunk = []
+                for row in df.toLocalIterator(prefetchPartitions=True):
+                    chunk.append([_json_val(v) for v in tuple(row)])
+                    if len(chunk) >= CHUNK:
+                        op.push_chunk(chunk, self.fetch_idle_timeout_s)
+                        chunk = []
+                if chunk:
+                    op.push_chunk(chunk, self.fetch_idle_timeout_s)
+            except OperationCancelled:
+                raise
+            except Exception:
+                if op.abort.is_set() or (
+                        aop is not None and aop.cancel_requested.is_set()):
                     raise OperationCancelled("cancelled by client") from None
                 if timed_out.is_set():
                     raise TimeoutError(
@@ -617,39 +984,41 @@ class I2SServer:
 
             try:
                 profile = (
-                    f"Query: {sql}\nRows: {len(collected)}\n"
+                    f"Query: {rec['sql']}\nRows: {op.push_count}\n"
                     f"Elapsed: {elapsed:.3f}s\n" + profile_text(df)
                 )
             except Exception:
-                profile = f"Query: {sql}\nRows: {len(collected)}\n"
-            o = _Operation(
-                list(df.columns),
-                [f.dataType.simpleString() for f in df.schema.fields],
-                [[_json_val(v) for v in tuple(r)] for r in collected],
-                profile,
-            )
-            o.elapsed = round(elapsed, 4)
-            rec.update(state="FINISHED", rows=len(collected),
+                profile = f"Query: {rec['sql']}\nRows: {op.push_count}\n"
+            rec.update(state="FINISHED", rows=op.push_count,
                        elapsed_s=round(elapsed, 4))
+            settle = ("finish", round(elapsed, 4), profile)
         except OperationCancelled:
             rec["state"] = "CANCELED"
-            raise
+            settle = ("cancel", RuntimeError("operation was cancelled"))
         except BaseException as e:
             rec.update(state="ERROR", error=f"{type(e).__name__}: {e}")
-            raise
+            settle = ("error", e)
         finally:
-            rec["elapsed_s"] = rec["elapsed_s"] or round(
-                _time.time() - rec["start_ts"], 4)
-            with self._lock:
-                self._inflight.pop(qid, None)
-                self.query_log.appendleft(rec)
-                self.queries_completed += 1
-            self.admission.release(pool, mem=mem)
-            if timer is not None:
-                timer.cancel()
-            if limit > 0 or aop is not None:
+            try:
+                rec["elapsed_s"] = rec["elapsed_s"] or round(
+                    _time.time() - rec["start_ts"], 4)
+                with self._lock:
+                    self._inflight.pop(qid, None)
+                    self.query_log.appendleft(rec)
+                    self.queries_completed += 1
+                self.admission.release(pool, mem=mem)
+                if timer is not None:
+                    timer.cancel()
                 sc.setJobGroup(None, None)
-        return "query", o
+            finally:
+                # settle LAST — fetchers must never unblock before the
+                # slot is released and the watchdog disarmed
+                if settle is None:
+                    op.fail(RuntimeError("drainer died"), cancelled=False)
+                elif settle[0] == "finish":
+                    op.finish(settle[1], settle[2])
+                else:
+                    op.fail(settle[1], cancelled=settle[0] == "cancel")
 
     # -- async operation lifecycle (GetOperationStatus / Cancel / GetLog) -----
 
@@ -660,7 +1029,7 @@ class I2SServer:
         handle = uuid.uuid4().hex[:12]
         sess.operations[handle] = aop
         sess.last_handle = handle
-        aop.run(lambda: self._execute_core(sess, req, aop=aop)[1])
+        aop.run(lambda: self._execute_core(sess, req, aop=aop))
         return {"ok": True, "handle": handle, "state": aop.state}
 
     @staticmethod
@@ -672,17 +1041,34 @@ class I2SServer:
 
     @staticmethod
     def _finished(o):
-        """Unwrap an async operation to its buffered result (or raise if it
-        is still running / failed / was cancelled)."""
+        """Unwrap an async operation to its result operation. A streaming
+        result is returned as soon as it exists — rows may still be
+        arriving (the incremental-fetch contract); its fetch() raises on a
+        mid-stream cancel/error."""
         if isinstance(o, _AsyncOperation):
-            if o.state in ("INITIALIZED", "RUNNING"):
-                raise RuntimeError(f"operation still executing ({o.state})")
             if o.state == "CANCELED":
                 raise RuntimeError("operation was cancelled")
             if o.state == "ERROR":
                 raise RuntimeError(o.error or "operation failed")
-            return o.result
+            if o.result is not None:
+                return o.result
+            raise RuntimeError(f"operation still executing ({o.state})")
         return o
+
+    @staticmethod
+    def proto_state(o) -> str:
+        """Protocol-facing operation state: the reference reports FINISHED
+        once rows are AVAILABLE to fetch (QueryState::FINISHED), not at
+        end-of-stream — a client of a window-filling result must be told
+        to start fetching, or neither side ever advances."""
+        if isinstance(o, _AsyncOperation):
+            st = o.state
+            r = o.result
+            if (st == "RUNNING" and isinstance(r, _StreamingOperation)
+                    and r.fetchable.is_set() and r.state == "RUNNING"):
+                return "FINISHED"
+            return st
+        return "FINISHED"
 
 
 class I2SClient:

@@ -705,8 +705,11 @@ class HS2ThriftServer:
 
     @staticmethod
     def _wait_done(o, timeout: float = 3600.0):
+        # waits until rows are AVAILABLE (window full or EOS) or the
+        # operation settled — blocking to end-of-stream would deadlock
+        # against a result larger than the bounded fetch window
         if isinstance(o, _AsyncOperation):
-            o.done.wait(timeout=timeout)
+            o.wait_fetchable(timeout=timeout)
 
     # -- RPC handlers --
 
@@ -744,7 +747,7 @@ class HS2ThriftServer:
     def _h_GetOperationStatus(self, req: dict) -> dict:
         _, _, o = self._op(req["operationHandle"])
         if isinstance(o, _AsyncOperation):
-            state, err = o.state, o.error
+            state, err = I2SServer.proto_state(o), o.error
         else:
             state, err = "FINISHED", None
         out = {"status": _ok_status(), "operationState": OP_STATE[state]}
@@ -761,7 +764,9 @@ class HS2ThriftServer:
 
     def _h_CloseOperation(self, req: dict) -> dict:
         sess, opid, _ = self._op(req["operationHandle"])
-        sess.operations.pop(opid, None)
+        closing = sess.operations.pop(opid, None)
+        if closing is not None:
+            closing.close()  # abort a still-draining stream
         return {"status": _ok_status()}
 
     def _h_GetLog(self, req: dict) -> dict:

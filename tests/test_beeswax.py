@@ -150,3 +150,31 @@ def test_beeswax_sasl_plain_same_port(beeswax):
         assert c2.fetch_all(h) == ["1"]
     finally:
         c2.close()
+
+def test_beeswax_large_result_streams_and_refuses_start_over(spark, sf_dir):
+    """A beeswax client paging a result larger than the fetch window gets
+    every row exactly once; start_over on such a result is refused (the
+    reference's beeswax server does not support start-over on streamed
+    results either)."""
+    from impalatogo_spark.beeswax import BeeswaxClient, BeeswaxServer
+    from impalatogo_spark.server import I2SServer
+
+    core = I2SServer(spark, sf_dir=sf_dir, fetch_window_rows=64)
+    srv = BeeswaxServer(spark, sf_dir=sf_dir, core=core)
+    host, port = srv.start()
+    c = BeeswaxClient(host, port)
+    try:
+        n_total = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        h = c.call("executeAndWait",
+                   query={"query": "SELECT l_orderkey FROM lineitem "
+                                   "ORDER BY l_orderkey"},
+                   clientCtx="big")
+        rows = c.fetch_all(h, fetch_size=100)
+        assert len(rows) == n_total
+        keys = [int(r) for r in rows]
+        assert keys == sorted(keys)
+        with pytest.raises(RuntimeError, match="start_over"):
+            c.call("fetch", query_id=h, start_over=True, fetch_size=10)
+    finally:
+        c.close()
+        srv.stop()

@@ -695,3 +695,143 @@ def test_bad_mem_limit_via_open_session_config_leaks_no_inflight(server):
         assert c.fetch_all(c.execute("SELECT 3 AS x")) == [[3]]
     finally:
         c.close()
+
+# ---------------------------------------------------------------------------
+# bounded-memory incremental fetch (VERDICT r04 #2 — FetchInternal semantics)
+# ---------------------------------------------------------------------------
+
+def test_bounded_window_streams_large_result(spark, sf_dir):
+    """A result much larger than the fetch window must stream at the
+    client's pace: the drainer's buffer high-water mark stays bounded by
+    window + one push chunk (driver memory is NOT O(result size)), total
+    row count appears only at EOS, and every row arrives once, in order
+    (reference: QueryExecState::FetchRows, impala-hs2-server.cc:476)."""
+    from impalatogo_spark.server import I2SServer, _StreamingOperation
+
+    srv = I2SServer(spark, sf_dir=sf_dir, fetch_window_rows=64)
+    host, port = srv.start()
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        n_total = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        assert n_total > 1000  # the test is vacuous otherwise
+        resp = c.execute(
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber", fetch=50)
+        assert resp["has_more"]
+        # total unknown while the plan is still draining
+        assert resp["row_count"] is None
+        op = srv._sessions[c.session].operations[resp["handle"]]
+        assert isinstance(op, _StreamingOperation)
+        rows = c.fetch_all(resp, max_rows=50)
+        assert len(rows) == n_total
+        keys = [(r[0], r[1]) for r in rows]
+        assert keys == sorted(keys)
+        # no dup/drop across window boundaries: exact multiset parity with
+        # a direct collect (the synthetic lineitem has duplicate keys)
+        expect = sorted(
+            (r[0], r[1]) for r in spark.read.parquet(
+                f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_linenumber").collect())
+        assert keys == expect
+        # the memory bound: never more than window + one drainer chunk
+        assert op.max_buffered <= 64 + 256, op.max_buffered
+        assert op.total_rows == n_total and op.eos
+        # start_over is refused once the result outgrew the window
+        with pytest.raises(ValueError, match="start_over"):
+            op.start_over()
+    finally:
+        c.close()
+        srv.stop()
+
+
+def test_small_result_replay_is_eager_equivalent(spark, sf_dir):
+    """Results that reach EOS inside the window keep the historical eager
+    behavior: exact row_count/elapsed in the execute response, start_over
+    replay, and repeated pagination."""
+    from impalatogo_spark.server import I2SServer
+
+    srv = I2SServer(spark, sf_dir=sf_dir, fetch_window_rows=64)
+    host, port = srv.start()
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        resp = c.execute("SELECT n_nationkey FROM nation "
+                         "ORDER BY n_nationkey", fetch=10)
+        assert resp["row_count"] == 25 and resp["elapsed"] is not None
+        op = srv._sessions[c.session].operations[resp["handle"]]
+        assert c.fetch_all(resp, max_rows=10) == [[i] for i in range(25)]
+        op.start_over()
+        batch, more = op.fetch(25)
+        assert [r[0] for r in batch] == list(range(25)) and not more
+    finally:
+        c.close()
+        srv.stop()
+
+
+def test_cancel_mid_fetch_releases_admission_slot(spark, sf_dir):
+    """A client that cancels (or closes) a half-fetched streaming result
+    must free its admission slot — the drainer is blocked on the full
+    window, so the abort has to wake it, not just kill Spark jobs."""
+    from impalatogo_spark.server import I2SServer
+
+    srv = I2SServer(spark, sf_dir=sf_dir, fetch_window_rows=16)
+    host, port = srv.start()
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        c.execute("SET REQUEST_POOL=stream_pool")
+        c.execute("SET MAX_REQUESTS=1")
+        resp = c.execute("SELECT l_orderkey FROM lineitem", fetch=8)
+        assert resp["has_more"]
+        # mid-fetch: the slot is held while the plan drains (reference
+        # semantics — resources released at unregistration, not execute)
+        st = srv.admission.stats("stream_pool")["stream_pool"]
+        assert st["running_now"] == 1
+        cr = c.call(op="cancel_operation", session=c.session,
+                    handle=resp["handle"])
+        assert cr["ok"]
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if srv.admission.stats("stream_pool")["stream_pool"][
+                    "running_now"] == 0:
+                break
+            time.sleep(0.02)
+        assert srv.admission.stats("stream_pool")["stream_pool"][
+            "running_now"] == 0
+        bad = c.call(op="fetch", session=c.session, handle=resp["handle"])
+        assert not bad["ok"] and "cancelled" in bad["error"]
+        # the pool is healthy for the next statement
+        assert c.fetch_all(c.execute("SELECT 1 AS x")) == [[1]]
+    finally:
+        c.close()
+        srv.stop()
+
+
+def test_close_session_aborts_streaming_drain(spark, sf_dir):
+    """close_session with a half-fetched result aborts the drain and
+    releases the slot (the Beeswax door closes its per-connection session
+    on disconnect — a Ctrl-C'd impala-shell must not leak a slot)."""
+    from impalatogo_spark.server import I2SServer
+
+    srv = I2SServer(spark, sf_dir=sf_dir, fetch_window_rows=16)
+    host, port = srv.start()
+    c = I2SClient(host, port)
+    c.open_session()
+    try:
+        c.execute("SET REQUEST_POOL=abandon_pool")
+        resp = c.execute("SELECT l_orderkey FROM lineitem", fetch=8)
+        assert resp["has_more"]
+        assert srv.admission.stats("abandon_pool")["abandon_pool"][
+            "running_now"] == 1
+    finally:
+        c.close()  # close_session on the way out
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if srv.admission.stats("abandon_pool")["abandon_pool"][
+                "running_now"] == 0:
+            break
+        time.sleep(0.02)
+    assert srv.admission.stats("abandon_pool")["abandon_pool"][
+        "running_now"] == 0
+    srv.stop()

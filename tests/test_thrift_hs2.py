@@ -683,3 +683,33 @@ def test_all_four_doors_share_one_core(spark, sf_dir):
         bee.stop()
         hs2.stop()
         core.stop()
+
+def test_hs2_streams_large_result_bounded_window(spark, sf_dir):
+    """The HS2 door drains a result much larger than the fetch window at
+    the client's pace over real thrift frames — FetchResults pages the
+    STREAM (bounded driver buffer), not a pre-collected list (reference
+    FetchInternal, impala-hs2-server.cc:476)."""
+    from impalatogo_spark.server import I2SServer, _StreamingOperation
+
+    core = I2SServer(spark, sf_dir=sf_dir, fetch_window_rows=64)
+    srv = HS2ThriftServer(spark, sf_dir=sf_dir, core=core)
+    host, port = srv.start()
+    c = HS2ThriftClient(host, port)
+    c.open_session()
+    try:
+        n_total = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        op = c.execute("SELECT l_orderkey FROM lineitem ORDER BY l_orderkey")
+        rows = c.fetch_all(op, max_rows=100)
+        assert len(rows) == n_total
+        keys = [r[0] for r in rows]
+        assert keys == sorted(keys)
+        sess = next(iter(core._sessions.values()))
+        sop = next(o.result for o in sess.operations.values()
+                   if getattr(o, "result", None) is not None
+                   and isinstance(o.result, _StreamingOperation))
+        assert sop.max_buffered <= 64 + 256, sop.max_buffered
+        assert sop.total_rows == n_total
+        c.close_operation(op)
+    finally:
+        c.close()
+        srv.stop()
