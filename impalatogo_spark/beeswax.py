@@ -27,8 +27,9 @@ import threading
 import uuid
 
 from .server import I2SServer, _AsyncOperation
-from .thrift_hs2 import (APP_EXCEPTION, MSG_EXCEPTION, MSG_REPLY, TReader,
-                         TWriter, T_STRUCT, _VERSION_1, _FramedIO,
+from .thrift_hs2 import (APP_EXCEPTION, EXEC_SUMMARY, IMPALA_T_STATUS,
+                         MSG_EXCEPTION, MSG_REPLY, TReader, TWriter,
+                         T_STRUCT, _VERSION_1, _FramedIO,
                          read_message_header, sasl_server_handshake,
                          write_message)
 
@@ -49,6 +50,14 @@ SCHEMA = ("struct", {1: ("fieldSchemas", ("list", FIELD_SCHEMA)),
                      2: ("properties", ("map", "str", "str"))})
 RESULTS_METADATA = ("struct", {1: ("schema", SCHEMA), 2: ("table_dir", "str"),
                                3: ("in_tablename", "str"), 4: ("delim", "str")})
+CONFIG_VARIABLE = ("struct", {1: ("key", "str"), 2: ("value", "str"),
+                              3: ("description", "str")})
+# ImpalaService.thrift TInsertResult / Status.thrift TStatus; the
+# ExecStats.thrift summary structs are shared with the HS2 door
+INSERT_RESULT = ("struct", {1: ("rows_appended", ("map", "str", "i64"))})
+T_STATUS = IMPALA_T_STATUS
+RESET_TABLE_REQ = ("struct", {1: ("db_name", "str"),
+                              2: ("table_name", "str")})
 # QueryState enum (beeswax.thrift): CREATED=0 INITIALIZED=1 COMPILED=2
 # RUNNING=3 FINISHED=4 EXCEPTION=5
 _QSTATE = {"INITIALIZED": 1, "RUNNING": 3, "FINISHED": 4, "CANCELED": 5,
@@ -68,11 +77,19 @@ METHODS = {
     "get_log": ({1: ("context", "str")}, "str"),
     "close": ({1: ("handle", QUERY_HANDLE)}, None),
     "clean": ({1: ("log_context", "str")}, None),
+    # the connect-time RPC the stock impala-shell cannot finish a session
+    # without (shell/impala_client.py:84 build_default_query_options_dict)
+    "get_default_configuration": ({1: ("include_hadoop", "bool")},
+                                  ("list", CONFIG_VARIABLE)),
+    "dump_config": ({}, "str"),
     # ImpalaService extensions (ImpalaService.thrift)
-    "Cancel": ({1: ("query_id", QUERY_HANDLE)},
-               ("struct", {1: ("status_code", "i32")})),
+    "Cancel": ({1: ("query_id", QUERY_HANDLE)}, T_STATUS),
+    "ResetCatalog": ({}, T_STATUS),
+    "ResetTable": ({1: ("request", RESET_TABLE_REQ)}, T_STATUS),
     "GetRuntimeProfile": ({1: ("query_id", QUERY_HANDLE)}, "str"),
+    "CloseInsert": ({1: ("handle", QUERY_HANDLE)}, INSERT_RESULT),
     "PingImpalaService": ({}, None),
+    "GetExecSummary": ({1: ("handle", QUERY_HANDLE)}, EXEC_SUMMARY),
 }
 
 
@@ -225,6 +242,64 @@ class BeeswaxServer:
 
     def _h_echo(self, sid: str, args: dict) -> str:
         return args.get("s") or ""
+
+    def _h_get_default_configuration(self, sid: str, args: dict) -> list:
+        """beeswax.thrift get_default_configuration — the stock
+        impala-shell calls this during connect to seed its query-option
+        table; without it the shell cannot finish connecting."""
+        sess = self._sess(sid)
+        return [{"key": k, "value": v, "description": d}
+                for k, v, d in sess.engine.default_configuration()]
+
+    def _h_dump_config(self, sid: str, args: dict) -> str:
+        return self._sess(sid).engine.dump_config()
+
+    def _h_ResetCatalog(self, sid: str, args: dict) -> dict:
+        """ImpalaService.ResetCatalog (deprecated alias of INVALIDATE
+        METADATA, impala-beeswax-server.cc:503)."""
+        self._sess(sid).engine.sql("INVALIDATE METADATA")
+        return {"status_code": 0}
+
+    def _h_ResetTable(self, sid: str, args: dict) -> dict:
+        """ImpalaService.ResetTable (deprecated alias of REFRESH <table>,
+        impala-beeswax-server.cc:507)."""
+        req = args.get("request") or {}
+        db, tbl = req.get("db_name") or "", req.get("table_name") or ""
+        name = f"{db}.{tbl}" if db and db != "default" else tbl
+        if not tbl:
+            raise ValueError("ResetTable requires a table name")
+        self._sess(sid).engine.sql(f"REFRESH {name}")
+        return {"status_code": 0}
+
+    def _h_CloseInsert(self, sid: str, args: dict) -> dict:
+        """ImpalaService.CloseInsert (impala-beeswax-server.cc:446): close
+        the DML handle and return TInsertResult.rows_appended. Spark's
+        write command reports the total written row count (per-partition
+        counters aren't exposed), keyed by the root partition '' exactly as
+        the reference does for unpartitioned sinks — the shell sums the
+        map's values either way."""
+        sess = self._sess(sid)
+        handle = (args.get("handle") or {}).get("id")
+        raw = sess.operations.get(handle)
+        if raw is None:
+            raise ValueError("unknown query handle")
+        o = self._finished(raw)
+        done = getattr(o, "done", None)
+        if done is not None:  # streaming: the write count lands at EOS
+            done.wait(timeout=3600)
+        rows = getattr(o, "dml_rows", None)
+        sess.operations.pop(handle, None)
+        return {"rows_appended": {"": int(rows or 0)}}
+
+    def _h_GetExecSummary(self, sid: str, args: dict) -> dict:
+        """ImpalaService.GetExecSummary (impala-beeswax-server.cc:481) —
+        the per-operator TExecSummary tree the shell's `summary` command
+        renders, built from the executed plan's metric registry."""
+        from .server import exec_summary
+
+        _, raw = self._op(sid, args.get("handle"))
+        o = self._finished(raw)
+        return exec_summary(o)
 
     def _h_get_log(self, sid: str, args: dict) -> str:
         sess = self._sess(sid)

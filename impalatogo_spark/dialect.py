@@ -237,6 +237,36 @@ def translate(sql: str) -> str:
     m = re.match(r"COMPUTE\s+(INCREMENTAL\s+)?STATS\s+(\S+)", text, re.IGNORECASE)
     if m:
         return f"ANALYZE TABLE {m.group(2)} COMPUTE STATISTICS FOR ALL COLUMNS"
+    # CREATE TABLE ... STORED AS <fmt> (sql-parser.y file_format_create_
+    # table_params_val): Impala's Hive-style DDL -> Spark's USING form.
+    # Hive-style typed partition columns are appended to the column list
+    # and PARTITIONED BY keeps only the names (Spark declares partition
+    # columns inside the schema). Only formats Spark writes natively are
+    # rewritten; rcfile/seqfile fall through to their dedicated readers.
+    m = re.match(
+        r"(?is)^CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([\w.`]+)\s*(\((?:[^()]|\([^()]*\))*\))?\s*"
+        r"(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*"
+        r"STORED\s+AS\s+(\w+)(\s+LOCATION\s+'[^']+')?\s*$", text)
+    if m:
+        ine, name, cols, parts, fmt, loc = m.groups()
+        fmt = {"textfile": "csv", "parquetfile": "parquet"}.get(
+            fmt.lower(), fmt.lower())
+        if fmt in ("parquet", "orc", "avro", "csv", "json"):
+            cols_inner = cols[1:-1].strip() if cols else ""
+            part_clause = ""
+            if parts:
+                entries = [p.strip() for p in parts.split(",") if p.strip()]
+                names = [e.split()[0] for e in entries]
+                typed = [e for e in entries if len(e.split()) > 1]
+                if typed:
+                    cols_inner = ", ".join(
+                        x for x in ([cols_inner] if cols_inner else [])
+                        + typed)
+                part_clause = f" PARTITIONED BY ({', '.join(names)})"
+            col_clause = f" ({cols_inner})" if cols_inner else ""
+            return (f"CREATE TABLE {ine or ''}{name}{col_clause} "
+                    f"USING {fmt}{part_clause}{loc or ''}")
 
     # token-level rewrites with literals/comments masked ---------------------
     chunk, stash = _mask_literals(text)

@@ -360,6 +360,32 @@ class Engine:
         if conf and conf in self._conf_saved:
             self._restore_conf(conf)
 
+    def default_configuration(self) -> list[tuple[str, str, str]]:
+        """The engine's query-option table as (key, value, description)
+        rows — the beeswax get_default_configuration payload the stock
+        impala-shell calls during connect (shell/impala_client.py:84) to
+        seed its option completion/defaults. Covers the full
+        TImpalaQueryOptions switch plus the session's current overrides."""
+        rows = []
+        for key in sorted(set(_SPARK_CONF_OPTIONS) | set(self.options)):
+            conf = _SPARK_CONF_OPTIONS.get(key)
+            value = self.options.get(key)
+            if value is None and conf:
+                try:
+                    value = self.spark.conf.get(conf)
+                except Exception:
+                    value = ""
+            desc = f"maps to {conf}" if conf else \
+                "advisory (accepted and stored)"
+            rows.append((key, value or "0", desc))
+        return rows
+
+    def dump_config(self) -> str:
+        """beeswax.thrift dump_config: a debugging string of the effective
+        configuration — session options over their Spark conf levers."""
+        return "\n".join(f"{k}={v}  # {d}"
+                         for k, v, d in self.default_configuration())
+
     # -- EXPLAIN -------------------------------------------------------------
 
     # EXPLAIN_LEVEL accepts numbers OR names (query-options.cc ParseUtil:

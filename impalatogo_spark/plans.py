@@ -93,6 +93,16 @@ def executed_metrics(df: DataFrame) -> list[tuple[int, str, dict]]:
         if "AdaptiveSparkPlan" in name:
             walk(node.executedPlan(), depth)
             return
+        if name == "CommandResult":
+            # DML/DDL: the write command's physical plan (with the
+            # InsertIntoHadoopFsRelationCommand write metrics — rows
+            # written, files, dynamic partitions) hangs off the result
+            # node, not children()
+            try:
+                walk(node.commandPhysicalPlan(), depth)
+                return
+            except Exception:
+                pass
         vals = {}
         it = node.metrics().iterator()
         while it.hasNext():
@@ -118,6 +128,17 @@ def shuffle_write_bytes(df: DataFrame) -> int:
     shuffle-write explosion). Call after an action."""
     return sum(int(vals.get("shuffle bytes written", 0) or 0)
                for _, _, vals in executed_metrics(df))
+
+
+def dml_rows_appended(metrics_rows) -> int | None:
+    """Rows written by a DML statement, read from the executed write
+    command's metrics (the reference's TInsertResult.rows_appended source,
+    be/src/exec/hdfs-table-sink.cc per-partition counters). None when the
+    plan has no write command node."""
+    for _, name, vals in metrics_rows:
+        if name.startswith("Execute ") and "number of output rows" in vals:
+            return int(vals["number of output rows"] or 0)
+    return None
 
 
 def scan_input_bytes(df: DataFrame) -> int:

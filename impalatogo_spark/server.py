@@ -180,6 +180,47 @@ class OperationCancelled(Exception):
     impala-beeswax-server.cc:434)."""
 
 
+def exec_summary(o) -> dict:
+    """Render an operation's executed-metrics snapshot as a TExecSummary
+    dict (ExecStats.thrift) — what the stock impala-shell's `summary`
+    command prints via GetExecSummary (impala-hs2-server.cc:1082,
+    impala-beeswax-server.cc:481). One TPlanNodeExecSummary per executed
+    Spark operator, with num_children reconstructed from the pre-order
+    depth sequence so the shell's recursive tree printer walks correctly;
+    exec_stats carry cardinality (rows), peak memory, and codegen duration
+    from the Spark metric registry."""
+    tree = getattr(o, "metrics_tree", None) or []
+    eos = bool(getattr(o, "eos", True))
+    depths = [d for d, _, _ in tree]
+    nodes = []
+    for i, (d, name, vals) in enumerate(tree):
+        nch = 0
+        for j in range(i + 1, len(tree)):
+            if depths[j] <= d:
+                break
+            if depths[j] == d + 1:
+                nch += 1
+        lat_ns = int(vals.get("duration", 0) or 0) * 1_000_000  # ms -> ns
+        stats = {"latency_ns": lat_ns, "cpu_time_ns": lat_ns,
+                 "cardinality": int(vals.get("number of output rows", 0)
+                                    or 0),
+                 "memory_used": int(vals.get("peak memory", 0) or 0)}
+        detail = ", ".join(
+            f"{k}={v:,}" for k, v in sorted(vals.items())
+            if isinstance(v, int) and v)[:160]
+        nodes.append({
+            "node_id": i, "fragment_id": 0,
+            "label": f"{i:02d}:{name.upper()}",
+            "label_detail": detail, "num_children": nch,
+            "estimated_stats": {"latency_ns": 0, "cpu_time_ns": 0,
+                                "cardinality": 0, "memory_used": 0},
+            "exec_stats": [stats], "is_active": [not eos],
+            "is_broadcast": "Broadcast" in name,
+        })
+    # TExecState (ExecStats.thrift): RUNNING=3 FINISHED=4
+    return {"state": 4 if eos else 3, "nodes": nodes}
+
+
 class _StreamingOperation:
     """An in-flight statement's result, drained from the running plan at
     the client's fetch pace with a BOUNDED buffer window — the reference's
@@ -225,6 +266,8 @@ class _StreamingOperation:
         self.done = threading.Event()
         self.on_fetchable = None  # async-wrapper hook
         self._last_fetch = _time.monotonic()
+        self.metrics_tree: list = []   # executed_metrics snapshot at EOS
+        self.dml_rows: int | None = None  # rows written, for CloseInsert
 
     # -- drainer side ------------------------------------------------------
 
@@ -267,12 +310,15 @@ class _StreamingOperation:
                 self._set_fetchable()
             self._cond.notify_all()
 
-    def finish(self, elapsed: float, profile: str) -> None:
+    def finish(self, elapsed: float, profile: str,
+               metrics_tree=None, dml_rows=None) -> None:
         with self._cond:
             self.eos = True
             self.state = "FINISHED"
             self.elapsed = elapsed
             self._profile = profile
+            self.metrics_tree = metrics_tree or []
+            self.dml_rows = dml_rows
             if self._replay is not None:
                 self._buf.clear()  # replay list serves all further fetches
             self._set_fetchable()
@@ -980,18 +1026,25 @@ class I2SServer:
                     ) from None
                 raise
             elapsed = _time.perf_counter() - t0
-            from .plans import profile_text
+            from .plans import (dml_rows_appended, executed_metrics,
+                                profile_text)
 
+            tree, dml_rows = [], None
             try:
+                tree = executed_metrics(df)
                 profile = (
                     f"Query: {rec['sql']}\nRows: {op.push_count}\n"
                     f"Elapsed: {elapsed:.3f}s\n" + profile_text(df)
                 )
+                import re as _re
+
+                if _re.match(r"(?is)^\s*INSERT\b", rec["sql"]):
+                    dml_rows = dml_rows_appended(tree)
             except Exception:
                 profile = f"Query: {rec['sql']}\nRows: {op.push_count}\n"
             rec.update(state="FINISHED", rows=op.push_count,
                        elapsed_s=round(elapsed, 4))
-            settle = ("finish", round(elapsed, 4), profile)
+            settle = ("finish", round(elapsed, 4), profile, tree, dml_rows)
         except OperationCancelled:
             rec["state"] = "CANCELED"
             settle = ("cancel", RuntimeError("operation was cancelled"))
@@ -1016,7 +1069,8 @@ class I2SServer:
                 if settle is None:
                     op.fail(RuntimeError("drainer died"), cancelled=False)
                 elif settle[0] == "finish":
-                    op.finish(settle[1], settle[2])
+                    op.finish(settle[1], settle[2], metrics_tree=settle[3],
+                              dml_rows=settle[4])
                 else:
                     op.fail(settle[1], cancelled=settle[0] == "cancel")
 

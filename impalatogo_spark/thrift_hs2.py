@@ -400,6 +400,35 @@ GET_INFO_RESP = ("struct", {1: ("status", STATUS),
 # TGetInfoType codes (public ODBC-derived enum in TCLIService.thrift)
 INFO_CLI_SERVER_NAME, INFO_CLI_DBMS_NAME, INFO_CLI_DBMS_VER = 13, 17, 18
 
+# -- ImpalaHiveServer2Service extensions (ImpalaService.thrift:234-262) +
+#    the ExecStats.thrift summary structs shared with the Beeswax door --
+IMPALA_T_STATUS = ("struct", {1: ("status_code", "i32"),
+                              2: ("error_msgs", ("list", "str"))})
+EXEC_STATS = ("struct", {1: ("latency_ns", "i64"), 2: ("cpu_time_ns", "i64"),
+                         3: ("cardinality", "i64"),
+                         4: ("memory_used", "i64")})
+PLAN_NODE_EXEC_SUMMARY = ("struct", {
+    1: ("node_id", "i32"), 2: ("fragment_id", "i32"), 3: ("label", "str"),
+    4: ("label_detail", "str"), 5: ("num_children", "i32"),
+    6: ("estimated_stats", EXEC_STATS),
+    7: ("exec_stats", ("list", EXEC_STATS)),
+    8: ("is_active", ("list", "bool")), 9: ("is_broadcast", "bool")})
+EXEC_SUMMARY = ("struct", {
+    1: ("state", "i32"), 2: ("status", IMPALA_T_STATUS),
+    3: ("nodes", ("list", PLAN_NODE_EXEC_SUMMARY)),
+    4: ("exch_to_sender_map", ("map", "i32", "i32")),
+    5: ("error_logs", ("list", "str"))})
+GET_EXEC_SUMMARY_REQ = ("struct", {
+    1: ("operationHandle", OPERATION_HANDLE),
+    2: ("sessionHandle", SESSION_HANDLE)})
+GET_EXEC_SUMMARY_RESP = ("struct", {1: ("status", STATUS),
+                                    2: ("summary", EXEC_SUMMARY)})
+GET_RUNTIME_PROFILE_REQ = ("struct", {
+    1: ("operationHandle", OPERATION_HANDLE),
+    2: ("sessionHandle", SESSION_HANDLE)})
+GET_RUNTIME_PROFILE_RESP = ("struct", {1: ("status", STATUS),
+                                       2: ("profile", "str")})
+
 # method name -> (args spec {fid: (name, spec)}, result spec for `success`)
 METHODS = {
     "OpenSession": ({1: ("req", OPEN_SESSION_REQ)}, OPEN_SESSION_RESP),
@@ -419,6 +448,11 @@ METHODS = {
     "GetTableTypes": ({1: ("req", SESSION_ONLY_REQ)}, OPHANDLE_RESP),
     "GetTypeInfo": ({1: ("req", SESSION_ONLY_REQ)}, OPHANDLE_RESP),
     "GetInfo": ({1: ("req", GET_INFO_REQ)}, GET_INFO_RESP),
+    # ImpalaHiveServer2Service extensions (ImpalaService.thrift:260-262)
+    "GetExecSummary": ({1: ("req", GET_EXEC_SUMMARY_REQ)},
+                       GET_EXEC_SUMMARY_RESP),
+    "GetRuntimeProfile": ({1: ("req", GET_RUNTIME_PROFILE_REQ)},
+                          GET_RUNTIME_PROFILE_RESP),
 }
 
 APP_EXCEPTION = ("struct", {1: ("message", "str"), 2: ("type", "i32")})
@@ -773,6 +807,25 @@ class HS2ThriftServer:
         _, _, o = self._op(req["operationHandle"])
         log = o.log_text if isinstance(o, _AsyncOperation) else ""
         return {"status": _ok_status(), "log": log}
+
+    def _h_GetExecSummary(self, req: dict) -> dict:
+        """ImpalaHiveServer2Service.GetExecSummary
+        (impala-hs2-server.cc:1082): the per-operator TExecSummary tree,
+        rendered from the executed plan's metric registry."""
+        from .server import exec_summary
+
+        _, _, raw = self._op(req["operationHandle"])
+        self._wait_done(raw)
+        o = I2SServer._finished(raw)
+        return {"status": _ok_status(), "summary": exec_summary(o)}
+
+    def _h_GetRuntimeProfile(self, req: dict) -> dict:
+        """ImpalaHiveServer2Service.GetRuntimeProfile — the profile text
+        the shell's `profile` command prints, via the HS2 door."""
+        _, _, raw = self._op(req["operationHandle"])
+        self._wait_done(raw)
+        o = I2SServer._finished(raw)
+        return {"status": _ok_status(), "profile": o.profile}
 
     def _finished_op(self, handle: dict) -> _Operation:
         _, _, o = self._op(handle)

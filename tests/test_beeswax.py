@@ -178,3 +178,72 @@ def test_beeswax_large_result_streams_and_refuses_start_over(spark, sf_dir):
     finally:
         c.close()
         srv.stop()
+
+def test_beeswax_stock_shell_rpc_sequence(beeswax, spark):
+    """VERDICT r04 #1: the full RPC sequence the stock impala-shell issues
+    over one connection — get_default_configuration at connect
+    (impala_client.py:84; without it the shell cannot finish connecting),
+    SET, query, get_state poll, fetch, GetExecSummary (the `summary`
+    command), GetRuntimeProfile (the `profile` command), INSERT +
+    CloseInsert (impala_client.py:331), dump_config, ResetCatalog and
+    ResetTable — all over real thrift frames against a live daemon."""
+    c = _client(beeswax)
+    spark.sql("DROP TABLE IF EXISTS bw_shell_ins")
+    try:
+        # connect: the shell seeds its option table from this RPC
+        opts = c.call("get_default_configuration", include_hadoop=False)
+        byname = {o["key"]: o for o in opts}
+        assert "MEM_LIMIT" in byname and "NUM_NODES" in byname
+        assert all("key" in o and "value" in o for o in opts)
+        # dump_config is the shell's config debug surface
+        assert "NUM_NODES" in c.call("dump_config")
+
+        # set + query + poll + fetch (the shell's execute loop)
+        h = c.call("query", query={
+            "query": "SELECT r_regionkey FROM region ORDER BY r_regionkey",
+            "configuration": ["DEFAULT_ORDER_BY_LIMIT=3"]})
+        assert c.wait(h) == 4
+        assert c.fetch_all(h) == ["0", "1", "2", "3", "4"]
+
+        # summary: per-operator TExecSummary tree from executed metrics
+        summ = c.call("GetExecSummary", handle=h)
+        assert summ["state"] == 4  # FINISHED
+        nodes = summ["nodes"]
+        assert nodes, "summary must contain executed plan nodes"
+        assert any("SCAN" in n["label"] or "PARQUET" in n["label"]
+                   for n in nodes)
+        # the scan produced the table's rows; exec_stats are well-formed
+        assert all(len(n["exec_stats"]) == 1 for n in nodes)
+        assert any(n["exec_stats"][0]["cardinality"] >= 5 for n in nodes)
+        # num_children reconstructs a single-rooted tree over the flat list
+        assert sum(n["num_children"] for n in nodes) == len(nodes) - 1
+        prof = c.call("GetRuntimeProfile", query_id=h)
+        assert "Rows: 5" in prof
+        c.call("close", handle=h)
+
+        # DML: INSERT then CloseInsert returns TInsertResult.rows_appended
+        h = c.call("executeAndWait", query={
+            "query": "CREATE TABLE bw_shell_ins (k INT) STORED AS PARQUET"},
+            clientCtx="ddl")
+        c.call("close", handle=h)
+        h = c.call("executeAndWait", query={
+            "query": "INSERT INTO bw_shell_ins "
+                     "SELECT r_regionkey FROM region"}, clientCtx="ins")
+        res = c.call("CloseInsert", handle=h)
+        assert sum(res["rows_appended"].values()) == 5
+        # CloseInsert closed the handle (reference contract)
+        with pytest.raises(RuntimeError, match="unknown query handle"):
+            c.call("fetch", query_id=h, start_over=False, fetch_size=1)
+        h = c.call("executeAndWait", query={
+            "query": "SELECT count(*) AS c FROM bw_shell_ins"},
+            clientCtx="chk")
+        assert c.fetch_all(h) == ["5"]
+
+        # catalog reset RPCs (deprecated aliases the shell still exposes)
+        assert c.call("ResetCatalog")["status_code"] == 0
+        assert c.call("ResetTable", request={
+            "db_name": "default", "table_name": "bw_shell_ins"})[
+                "status_code"] == 0
+    finally:
+        c.close()
+        spark.sql("DROP TABLE IF EXISTS bw_shell_ins")

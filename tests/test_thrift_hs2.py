@@ -713,3 +713,29 @@ def test_hs2_streams_large_result_bounded_window(spark, sf_dir):
     finally:
         c.close()
         srv.stop()
+
+def test_hs2_exec_summary_and_runtime_profile(hs2):
+    """ImpalaHiveServer2Service extensions (ImpalaService.thrift:260-262):
+    GetExecSummary returns the per-operator TExecSummary tree and
+    GetRuntimeProfile the profile text, both over the HS2 door
+    (impala-hs2-server.cc:1082)."""
+    c = _client(hs2)
+    try:
+        op = c.execute("SELECT n_regionkey, count(*) AS c FROM nation "
+                       "GROUP BY n_regionkey ORDER BY n_regionkey")
+        rows = c.fetch_all(op)
+        assert len(rows) == 5
+        resp = c.call("GetExecSummary", {"operationHandle": op})
+        summ = resp["summary"]
+        assert summ["state"] == 4  # TExecState FINISHED
+        nodes = summ["nodes"]
+        assert nodes and any("AGGREGATE" in n["label"].upper()
+                             or "HASHAGGREGATE" in n["label"].upper()
+                             for n in nodes)
+        assert sum(n["num_children"] for n in nodes) == len(nodes) - 1
+        assert any(n["exec_stats"][0]["cardinality"] == 25 for n in nodes)
+        prof = c.call("GetRuntimeProfile", {"operationHandle": op})
+        assert "Rows: 5" in prof["profile"]
+        c.close_operation(op)
+    finally:
+        c.close()
