@@ -360,8 +360,20 @@ COLUMN = ("struct", {1: ("boolVal", _typed_col("bool")),
                      6: ("doubleVal", _typed_col("double")),
                      7: ("stringVal", _typed_col("str")),
                      8: ("binaryVal", _typed_col("bin"))})
-# row-based TRow kept only to emit the required-but-empty `rows` list
-COLUMN_VALUE = ("struct", {})
+# row-oriented TRow/TColumnValue (TCLIService.thrift:319-332): what
+# pre-V6 clients fetch; V6+ sessions get the required-but-empty `rows`
+# list next to the columnar slots
+def _opt_val(t):
+    return ("struct", {1: ("value", t)})
+
+
+COLUMN_VALUE = ("struct", {1: ("boolVal", _opt_val("bool")),
+                           2: ("byteVal", _opt_val("byte")),
+                           3: ("i16Val", _opt_val("i16")),
+                           4: ("i32Val", _opt_val("i32")),
+                           5: ("i64Val", _opt_val("i64")),
+                           6: ("doubleVal", _opt_val("double")),
+                           7: ("stringVal", _opt_val("str"))})
 ROW = ("struct", {1: ("colVals", ("list", COLUMN_VALUE))})
 ROWSET = ("struct", {1: ("startRowOffset", "i64"),
                      2: ("rows", ("list", ROW)),
@@ -503,6 +515,30 @@ def _encode_column(simple: str, values: list) -> dict:
         else:
             out.append(v)
     return {slot: {"values": out, "nulls": bytes(nulls)}}
+
+
+def _encode_value(simple: str, v) -> dict:
+    """One cell -> TColumnValue union (pre-V6 row-oriented FetchResults).
+    NULL is the type's slot with its optional value unset, per the IDL."""
+    slot, _ = _WIRE_SLOT.get(simple.split("(")[0], ("stringVal", ""))
+    if v is None:
+        return {slot: {}}
+    if slot == "stringVal":
+        return {slot: {"value": v if isinstance(v, str) else json.dumps(v)}}
+    if slot == "doubleVal":
+        return {slot: {"value": float(v)}}
+    if slot == "boolVal":
+        return {slot: {"value": bool(v)}}
+    return {slot: {"value": int(v)}}
+
+
+def decode_value(cv: dict) -> object:
+    """TColumnValue -> python value (committed pre-V6 client side)."""
+    for slot in ("boolVal", "byteVal", "i16Val", "i32Val", "i64Val",
+                 "doubleVal", "stringVal"):
+        if cv.get(slot) is not None:
+            return cv[slot].get("value")
+    return None
 
 
 def decode_column(col: dict) -> list:
@@ -649,6 +685,8 @@ class HS2ThriftServer:
         # optional PLAIN authenticator (user, password) -> bool; None =
         # accept-all, the reference daemon's default no-auth posture
         self.sasl_check = sasl_check
+        # per-session negotiated HS2 protocol version (OpenSession)
+        self._proto: dict[str, int] = {}
 
     # -- lifecycle --
 
@@ -750,16 +788,20 @@ class HS2ThriftServer:
     def _h_OpenSession(self, req: dict) -> dict:
         resp = self.core._dispatch({"op": "open_session",
                                     "config": req.get("configuration") or {}})
+        # negotiate min(server, client) and HONOR it: pre-V6 sessions get
+        # row-oriented TRows from FetchResults (a V1-V5 client that trusted
+        # the negotiated version cannot parse columnar V6 frames)
+        ver = min(PROTOCOL_V6, req.get("client_protocol", PROTOCOL_V6))
+        self._proto[resp["session"]] = ver
         return {"status": _ok_status(),
-                "serverProtocolVersion": min(PROTOCOL_V6,
-                                             req.get("client_protocol",
-                                                     PROTOCOL_V6)),
+                "serverProtocolVersion": ver,
                 "sessionHandle": {"sessionId": {
                     "guid": _guid(resp["session"]), "secret": b"\0" * 16}}}
 
     def _h_CloseSession(self, req: dict) -> dict:
         sid = _unguid(req["sessionHandle"]["sessionId"]["guid"])
         self.core._dispatch({"op": "close_session", "session": sid})
+        self._proto.pop(sid, None)
         return {"status": _ok_status()}
 
     def _h_ExecuteStatement(self, req: dict) -> dict:
@@ -853,6 +895,15 @@ class HS2ThriftServer:
         o = I2SServer._finished(raw)
         start = o.pos
         batch, more = o.fetch(int(req.get("maxRows", 1024)))
+        sid = _unguid(req["operationHandle"]["operationId"]["secret"])
+        if self._proto.get(sid, PROTOCOL_V6) < PROTOCOL_V6:
+            # pre-V6: row-oriented TRows (TCLIService.thrift:330), no
+            # columnar slots — what the negotiated version promises
+            rows = [{"colVals": [_encode_value(t, row[i])
+                                 for i, t in enumerate(o.types)]}
+                    for row in batch]
+            return {"status": _ok_status(), "hasMoreRows": more,
+                    "results": {"startRowOffset": start, "rows": rows}}
         cols = [_encode_column(t, [row[i] for row in batch])
                 for i, t in enumerate(o.types)]
         return {"status": _ok_status(), "hasMoreRows": more,
@@ -983,9 +1034,10 @@ class HS2ThriftClient:
 
     # -- convenience surface mirroring a stock HS2 client --
 
-    def open_session(self, configuration: dict | None = None) -> dict:
+    def open_session(self, configuration: dict | None = None,
+                     client_protocol: int = PROTOCOL_V6) -> dict:
         resp = self.call("OpenSession", {
-            "client_protocol": PROTOCOL_V6, "username": "pytest",
+            "client_protocol": client_protocol, "username": "pytest",
             "password": "", "configuration": configuration or {}})
         self.session_handle = resp["sessionHandle"]
         return resp

