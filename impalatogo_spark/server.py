@@ -978,6 +978,8 @@ class I2SServer:
                 sc.setJobGroup(None, None)  # never leak onto this thread
         if aop is not None:
             aop.attach(op)
+        rec["_op"] = op  # webui /query detail page (underscore keys are
+        # stripped from the /queries listings)
         # Phase 2 (drainer thread): pull row batches from the running plan
         # at the client's fetch pace — reference FetchInternal semantics.
         threading.Thread(

@@ -59,13 +59,52 @@ class WebUI:
     def queries(self) -> dict:
         core = self.core
         with core._lock:
-            inflight = [dict(r) for r in core._inflight.values()]
-            completed = [dict(r) for r in core.query_log]
+            inflight = [{k: v for k, v in r.items()
+                         if not k.startswith("_")}
+                        for r in core._inflight.values()]
+            completed = [{k: v for k, v in r.items()
+                          if not k.startswith("_")}
+                         for r in core.query_log]
         for r in inflight:
             r["elapsed_s"] = round(time.time() - r["start_ts"], 3)
         return {"in_flight": inflight, "completed": completed,
                 "num_in_flight": len(inflight),
                 "num_completed": core.queries_completed}
+
+    def query_detail(self, qid: int) -> dict | None:
+        """Per-query detail page (www/query_detail_tabs.tmpl /
+        query_profile.tmpl equivalents): statement, state, runtime profile
+        text, and the executed-metrics operator tree — for completed AND
+        in-flight queries (an in-flight one shows rows produced so far)."""
+        core = self.core
+        with core._lock:
+            rec = core._inflight.get(qid)
+            if rec is None:
+                rec = next((r for r in core.query_log
+                            if r.get("id") == qid), None)
+            rec = dict(rec) if rec is not None else None
+        if rec is None:
+            return None
+        op = rec.pop("_op", None)
+        out = {k: v for k, v in rec.items() if not k.startswith("_")}
+        if rec.get("state") == "RUNNING":
+            out["elapsed_s"] = round(time.time() - rec["start_ts"], 3)
+        if op is not None:
+            out["rows_produced"] = op.push_count
+            out["rows_fetched"] = op.pos
+            out["profile"] = op.profile
+            out["operators"] = [
+                {"operator": name, "depth": depth,
+                 "rows": vals.get("number of output rows"),
+                 "peak_memory": vals.get("peak memory"),
+                 "duration_ms": vals.get("duration"),
+                 "detail": ", ".join(
+                     f"{k}={v:,}" for k, v in sorted(vals.items())
+                     if isinstance(v, int) and v
+                     and k not in ("number of output rows", "peak memory",
+                                   "duration"))[:200]}
+                for depth, name, vals in (op.metrics_tree or [])]
+        return out
 
     def sessions(self) -> dict:
         import time as _time
@@ -146,6 +185,46 @@ class WebUI:
                                     for p in _PAGES)
                     self._send(200, f"<h1>i2s-server debug</h1><ul>{links}"
                                "</ul>", "text/html")
+                    return
+                if page == "query":
+                    try:
+                        qid = int(parse_qs(parsed.query).get("id", [""])[0])
+                    except (ValueError, IndexError):
+                        self._send(400, json.dumps(
+                            {"error": "missing or bad id"}),
+                            "application/json")
+                        return
+                    data = ui.query_detail(qid)
+                    if data is None:
+                        self._send(404, json.dumps(
+                            {"error": f"unknown query id {qid}"}),
+                            "application/json")
+                        return
+                    if as_json:
+                        self._send(200, json.dumps(data, default=str),
+                                   "application/json")
+                        return
+                    parts = [f"<h1>query {qid}</h1>"]
+                    parts.append("<pre>"
+                                 + html.escape(data.get("sql") or "")
+                                 + "</pre>")
+                    for key in ("state", "pool", "elapsed_s", "rows",
+                                "rows_produced", "rows_fetched", "error"):
+                        if data.get(key) is not None:
+                            parts.append(
+                                f"<p>{key}: "
+                                f"{html.escape(str(data[key]))}</p>")
+                    ops = data.get("operators") or []
+                    if ops:
+                        rows = [{**o, "operator":
+                                 " " * (2 * o["depth"]) + o["operator"]}
+                                for o in ops]
+                        parts.append(_table(rows, "operators"))
+                    if data.get("profile"):
+                        parts.append("<h2>profile</h2><pre>"
+                                     + html.escape(data["profile"])
+                                     + "</pre>")
+                    self._send(200, "".join(parts), "text/html")
                     return
                 if page not in _PAGES:
                     self._send(404, json.dumps({"error": "not found"}),

@@ -185,3 +185,63 @@ def test_memz_readout(stack):
     assert m["persistent_rdds"] >= 0
     ctype, body = _get(base + "/memz")
     assert ctype.startswith("text/html") and "jvm_heap_used_mb" in body
+
+def test_query_detail_page_completed_and_inflight(stack):
+    """VERDICT r04 #6: /query?id= renders statement, state, and the
+    executed-metrics operator tree for a COMPLETED query, and live
+    rows-produced progress for an IN-FLIGHT one (query_detail_tabs.tmpl /
+    query_profile.tmpl equivalents)."""
+    core, (chost, cport), base = stack
+    c = I2SClient(chost, cport)
+    c.open_session()
+    try:
+        # completed query: full detail with operator tree + profile
+        c.execute("SELECT n_regionkey, count(*) AS c FROM nation "
+                  "GROUP BY n_regionkey ORDER BY n_regionkey",
+                  fetch=100)
+        q = _get_json(base + "/queries")
+        rec = next(r for r in q["completed"]
+                   if r["state"] == "FINISHED"
+                   and "n_regionkey" in r["sql"])
+        d = _get_json(base + f"/query?id={rec['id']}")
+        assert d["state"] == "FINISHED" and d["rows"] == 5
+        assert "n_regionkey" in d["sql"]
+        assert d["rows_produced"] == 5
+        ops = d["operators"]
+        assert ops and any("number of output rows" in (o["detail"] or "")
+                           or o["rows"] is not None for o in ops)
+        assert any("Aggregate" in o["operator"] for o in ops)
+        assert "Rows: 5" in d["profile"]
+        # HTML rendering: statement + operator table + profile
+        ctype, body = _get(base + f"/query?id={rec['id']}")
+        assert ctype.startswith("text/html")
+        assert "n_regionkey" in body and "operators" in body \
+            and "profile" in body
+
+        # in-flight query: visible with live progress, no operator tree yet
+        resp = c.call(op="execute_async", session=c.session,
+                      sql="SELECT count(*) AS c FROM lineitem a, "
+                          "lineitem b, orders o, customer cu",
+                      label="detail_inflight_probe")
+        h = resp["handle"]
+        deadline = time.time() + 60
+        det = None
+        while time.time() < deadline:
+            q = _get_json(base + "/queries")
+            mine = [r for r in q["in_flight"]
+                    if r["label"] == "detail_inflight_probe"]
+            if mine:
+                det = _get_json(base + f"/query?id={mine[0]['id']}")
+                if det.get("state") == "RUNNING":
+                    break
+            time.sleep(0.05)
+        assert det is not None and det["state"] == "RUNNING"
+        assert det["rows_produced"] == 0  # the product hasn't emitted yet
+        assert "State: RUNNING" in det["profile"]
+        c.call(op="cancel_operation", session=c.session, handle=h)
+
+        # unknown id -> 404
+        with pytest.raises(urllib.error.HTTPError):
+            _get(base + "/query?id=999999")
+    finally:
+        c.close()
