@@ -210,6 +210,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_decayed_engagement",
     "split_leakage_report",
     "text_winnow_fingerprints",
+    # round 5: the reference TPC-H workload's 23rd file — the write path
+    # (insert_parquet.test: partitioned INSERT OVERWRITE + re-read verify)
+    "insert_parquet_roundtrip",
 ]
 RUNS = 3
 

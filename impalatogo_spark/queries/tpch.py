@@ -2295,3 +2295,74 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write path: the reference TPC-H workload's 23rd file is a parquet-insert
+# test (testdata/workloads/tpch/queries/insert_parquet.test: CREATE TABLE
+# LIKE + INSERT OVERWRITE + verification SELECTs over the written table).
+# ---------------------------------------------------------------------------
+@register(
+    "insert_parquet_roundtrip",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)                                  AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT)                AS n_orders,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT)                                           AS sum_price_cents,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT)              AS n_flags,
+       strftime(min(l_shipdate), '%Y-%m-%d')                     AS min_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d')                     AS max_ship
+FROM lineitem
+""",
+    tags=("tpch", "write"),
+)
+def insert_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path benchmark (insert_parquet.test shape): INSERT OVERWRITE
+    the full lineitem into a parquet table partitioned by l_returnflag
+    (dynamic-partition overwrite — the Impala INSERT OVERWRITE semantics
+    pinned in session confs), then verify by RE-READING the written files
+    and aggregating: row count, distinct orders, exact money sum in
+    integer cents, partition count, date range. The oracle computes the
+    same aggregates from the source table — overwrite is an exact copy,
+    so any write-path row loss/duplication/corruption breaks the hash
+    match. Money stays integer cents on both sides; dates format to
+    strings on both sides (driver-contract rules).
+
+    Scale shape: partitionBy on a 3-value flag adds no shuffle (the
+    writer sorts within tasks); the verification pass is one scan of the
+    written files with a multi-distinct aggregate (Expand x2) — at 100 TB
+    the write parallelism is the scan parallelism, the reference's
+    HdfsTableSink per-node writer model (hdfs-table-sink.cc)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    li = _t(spark, sf_dir, "lineitem")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # fixed path per (sf, pid): mode=overwrite makes re-runs idempotent
+    # without accumulating lineitem copies across bench passes; stale
+    # sibling dirs from dead processes are swept (same recipe as the IVF
+    # snapshot dirs)
+    prefix = "i2s_insert_parquet_"
+    tmp = tempfile.gettempdir()
+    for d in os.listdir(tmp):
+        p = os.path.join(tmp, d)
+        try:
+            if (d.startswith(prefix) and os.path.isdir(p)
+                    and time.time() - os.path.getmtime(p) > 3600):
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    out = os.path.join(tmp, f"{prefix}{sf_tag}_{os.getpid()}")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("sum_price_cents"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        _fmt_date(F.min("l_shipdate")).alias("min_ship"),
+        _fmt_date(F.max("l_shipdate")).alias("max_ship"),
+    )
