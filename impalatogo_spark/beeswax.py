@@ -167,6 +167,7 @@ class BeeswaxServer:
             return
         args_fields, result_spec = spec
         args = r.struct_(args_fields)
+        self.core.count_rpc(f"beeswax.{name}")
         try:
             resp = handler(sid, args)
         except Exception as e:

@@ -68,6 +68,16 @@ from .session import ensure_session_confs, register_tables
 _ADMISSION_KEYS = ("MAX_REQUESTS", "MAX_QUEUED", "QUEUE_TIMEOUT_MS",
                    "MAX_MEM_RESOURCES")
 
+# Engine-level catalog DDL (objects living in per-engine registries, not
+# Spark's shared catalog): recorded in the core's local catalog log and,
+# when statestore-attached, published on the catalog-update topic — the
+# catalogd propagation path (catalog-server; JniCatalog.thrift objects).
+import re as _re
+
+_CATALOG_DDL_RE = _re.compile(
+    r"(?is)^\s*(?:(?:CREATE|DROP)\s+(?:DATA\s+SOURCE|(?:AGGREGATE\s+)?"
+    r"FUNCTION|ROLE)\b|(?:GRANT|REVOKE)\b)")
+
 
 def _parse_mem(value) -> int:
     """Impala memory-option syntax -> bytes: plain ints are bytes; b/k/m/g
@@ -635,6 +645,42 @@ class I2SServer:
         self._inflight: dict[int, dict] = {}
         self._query_seq = 0
         self.queries_completed = 0
+        # /rpcz per-method call counters (impala's rpcz debug page); the
+        # thrift doors count into the same registry with a door prefix
+        self.rpc_counts: dict[str, int] = {}
+        # cluster control plane (statestore.py attach_statestore): known
+        # members from the transient membership topic, and the local
+        # catalog log (ordered engine-level DDL statements — data sources,
+        # functions, grants) that every NEW session replays, the reference
+        # impalad's local catalog cache fed by the catalog-update topic
+        self.cluster_membership: dict[str, str] = {}
+        self.local_catalog: list[str] = []
+        self._catalog_version = 0
+        self.statestore_subscriber = None
+        self.statestore_subscriber_id: str | None = None
+
+    def count_rpc(self, name: str) -> None:
+        with self._lock:
+            self.rpc_counts[name] = self.rpc_counts.get(name, 0) + 1
+
+    def apply_catalog_update(self, stmt: str, publish: bool = True) -> None:
+        """Record an engine-level catalog DDL statement in the local
+        catalog log (replayed into new sessions) and, when this daemon is
+        statestore-attached and the statement originated locally, publish
+        it on the catalog-update topic (the catalogd role)."""
+        with self._lock:
+            self._catalog_version += 1
+            version = self._catalog_version
+            self.local_catalog.append(stmt)
+        sub = self.statestore_subscriber
+        if publish and sub is not None:
+            import json as _json
+
+            from .statestore import CATALOG_TOPIC
+
+            sub.publish(CATALOG_TOPIC, entries=[{
+                "key": f"{self.statestore_subscriber_id}/ddl-{version}",
+                "value": _json.dumps({"stmt": stmt, "version": version})}])
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -705,12 +751,25 @@ class I2SServer:
 
     def _dispatch(self, req: dict) -> dict:
         op = req.get("op")
+        if op:
+            self.count_rpc(f"json.{op}")
         if op == "ping":
             return {"ok": True, "server": "i2s-server",
                     "spark_version": self._spark.version,
                     "sessions": len(self._sessions)}
         if op == "open_session":
             sess = _Session(self._spark, req.get("sf_dir") or self._sf_dir)
+            # replay the local catalog log (impalad local catalog cache):
+            # engine-level objects — data sources, functions, grants — are
+            # per-engine registries, so a new session materializes them
+            # from the log the statestore keeps in sync across daemons
+            with self._lock:
+                catalog_stmts = list(self.local_catalog)
+            for stmt in catalog_stmts:
+                try:
+                    sess.engine.sql(stmt)
+                except Exception:
+                    pass  # e.g. re-CREATE after a later DROP in the log
             for k, v in (req.get("config") or {}).items():
                 sess.engine.set(k, v)
             sid = uuid.uuid4().hex[:12]
@@ -756,6 +815,9 @@ class I2SServer:
         if op == "profile":
             o = self._finished(self._resolve(sess, req))
             return {"ok": True, "profile": o.profile}
+        if op == "exec_summary":
+            o = self._finished(self._resolve(sess, req))
+            return {"ok": True, "summary": exec_summary(o)}
         if op == "explain":
             return {"ok": True, "plan": sess.engine.explain(req["sql"])}
         if op == "close_operation":
@@ -953,6 +1015,10 @@ class I2SServer:
                         "and was cancelled"
                     ) from None
                 raise
+            if _CATALOG_DDL_RE.match(sql):
+                # executed eagerly inside engine.sql just above; record +
+                # propagate (catalogd role) now that it succeeded
+                self.apply_catalog_update(sql)
             op = _StreamingOperation(
                 list(df.columns),
                 [f.dataType.simpleString() for f in df.schema.fields],

@@ -746,6 +746,7 @@ class HS2ThriftServer:
         args_fields, result_spec = spec
         args = r.struct_(args_fields)
         req = args.get("req") or {}
+        self.core.count_rpc(f"hs2.{name}")
         try:
             resp = getattr(self, f"_h_{name}")(req)
         except Exception as e:  # map to TStatus ERROR, keep connection alive

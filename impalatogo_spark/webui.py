@@ -25,7 +25,8 @@ from urllib.parse import parse_qs, urlparse
 
 from .server import I2SServer, _AsyncOperation
 
-_PAGES = ("queries", "sessions", "admission", "metrics", "memz")
+_PAGES = ("queries", "sessions", "admission", "metrics", "memz",
+          "rpcz", "threadz", "catalog")
 
 
 def _table(rows: list[dict], title: str) -> str:
@@ -138,6 +139,9 @@ class WebUI:
             "num_queries_in_flight": q["num_in_flight"],
             "num_queries_completed": q["num_completed"],
             "admission_pools": self.core.admission.stats(),
+            # statestore membership topic (empty unless cluster-attached)
+            "cluster_membership": dict(self.core.cluster_membership),
+            "catalog_version": self.core._catalog_version,
         }
 
     def memz(self) -> dict:
@@ -164,6 +168,53 @@ class WebUI:
             "python_rss_mb": round(rss_kb / 1024, 1) if rss_kb else None,
             "persistent_rdds": rdds.size(),
         }
+
+    def rpcz(self) -> dict:
+        """Per-method RPC call counters across all protocol doors
+        (impala's /rpcz debug page)."""
+        core = self.core
+        with core._lock:
+            counts = dict(sorted(core.rpc_counts.items()))
+        return {"rpcs": [{"method": k, "calls": v}
+                         for k, v in counts.items()],
+                "total_calls": sum(counts.values())}
+
+    def threadz(self) -> dict:
+        """Live server threads (impala's /threadz thread-group listing):
+        connection handlers, statement drainers, watchdogs, reapers."""
+        rows = [{"name": t.name, "ident": t.ident, "daemon": t.daemon,
+                 "alive": t.is_alive()}
+                for t in sorted(threading.enumerate(),
+                                key=lambda t: t.name)]
+        groups: dict[str, int] = {}
+        for r in rows:
+            key = r["name"].rstrip("0123456789-_abcdef")
+            groups[key] = groups.get(key, 0) + 1
+        return {"threads": rows, "num_threads": len(rows),
+                "groups": [{"group": k, "count": v}
+                           for k, v in sorted(groups.items())]}
+
+    def catalog(self) -> dict:
+        """Catalog listing (catalogd's /catalog page, www/catalog.tmpl):
+        databases and persistent tables from the shared catalog, plus each
+        live session's temp-view count (session-local objects are not in
+        the shared catalog — the HS2 per-session contract)."""
+        spark = self.core._spark
+        dbs = [d.name for d in spark.catalog.listDatabases()]
+        tables = [{"database": t.namespace[0] if t.namespace else "",
+                   "table": t.name,
+                   "type": ("VIEW" if t.tableType in ("TEMPORARY", "VIEW")
+                            else "TABLE")}
+                  for t in spark.catalog.listTables()]
+        with self.core._lock:
+            sess = [{"session": sid,
+                     "temp_views": sum(
+                         1 for t in s.spark.catalog.listTables()
+                         if t.tableType == "TEMPORARY")}
+                    for sid, s in self.core._sessions.items()]
+        return {"databases": [{"database": d} for d in dbs],
+                "tables": tables, "session_views": sess,
+                "num_tables": len(tables)}
 
     # -- http plumbing --
 

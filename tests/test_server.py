@@ -131,6 +131,10 @@ def test_explain_and_profile(server):
         c.execute("SELECT count(*) AS c FROM nation")
         prof = c.call(op="profile", session=c.session)
         assert prof["ok"] and "Rows: 1" in prof["profile"]
+        summ = c.call(op="exec_summary", session=c.session)
+        assert summ["ok"] and summ["summary"]["state"] == 4
+        nodes = summ["summary"]["nodes"]
+        assert nodes and any("AGGREGATE" in n["label"] for n in nodes)
     finally:
         c.close()
 

@@ -245,3 +245,35 @@ def test_query_detail_page_completed_and_inflight(stack):
             _get(base + "/query?id=999999")
     finally:
         c.close()
+
+def test_rpcz_threadz_catalog(stack):
+    """The remaining reference debug pages: /rpcz per-method call counts
+    across protocol doors, /threadz live thread listing, /catalog
+    database/table listing (impala-server.cc RegisterWebserverCallbacks;
+    www/catalog.tmpl)."""
+    core, (chost, cport), base = stack
+    c = I2SClient(chost, cport)
+    c.open_session()
+    try:
+        c.execute("SELECT 1 AS x")
+        r = _get_json(base + "/rpcz")
+        methods = {row["method"]: row["calls"] for row in r["rpcs"]}
+        assert methods.get("json.execute", 0) >= 1
+        assert methods.get("json.open_session", 0) >= 1
+        assert r["total_calls"] >= 2
+
+        t = _get_json(base + "/threadz")
+        assert t["num_threads"] >= 2
+        assert any(row["name"] == "i2s-server" for row in t["threads"])
+        assert any(g["count"] >= 1 for g in t["groups"])
+
+        cat = _get_json(base + "/catalog")
+        assert any(d["database"] == "default" for d in cat["databases"])
+        # each live session registered the testdata tables as temp views
+        assert any(s["temp_views"] >= 5 for s in cat["session_views"])
+        # HTML renderings work for all three
+        for page in ("/rpcz", "/threadz", "/catalog"):
+            ctype, body = _get(base + page)
+            assert ctype.startswith("text/html")
+    finally:
+        c.close()

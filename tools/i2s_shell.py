@@ -209,6 +209,22 @@ class RemoteShell:
             resp = self.client.call(op="profile", session=self.client.session)
             return resp.get("profile") or "(no previous query)" \
                 if resp.get("ok") else f"ERROR: {resp.get('error')}"
+        if low == "summary":
+            # impala-shell `summary`: per-operator table (GetExecSummary)
+            resp = self.client.call(op="exec_summary",
+                                    session=self.client.session)
+            if not resp.get("ok"):
+                return f"ERROR: {resp.get('error')}"
+            nodes = (resp.get("summary") or {}).get("nodes") or []
+            if not nodes:
+                return "(no previous query)"
+            rows = [(n["label"],
+                     str(n["exec_stats"][0]["cardinality"]),
+                     str(n["exec_stats"][0]["memory_used"]),
+                     (n.get("label_detail") or "")[:60])
+                    for n in nodes]
+            return _fmt_table(["Operator", "#Rows", "Peak Mem", "Detail"],
+                              rows)
         if low.startswith("rerun ") or stmt.startswith("@"):
             self.history.pop()
             arg = stmt[1:] if stmt.startswith("@") else stmt.split(None, 1)[1]
