@@ -193,3 +193,23 @@ def ntile_from_rank(rank_col, n_total_col, n: int):
         .otherwise(rem + ceil_div(rank_col - head, F.when(b > 0, b)))
         .cast("int")
     )
+
+
+def parallelize_small_scan(df: DataFrame, min_partitions: int | None = None
+                           ) -> DataFrame:
+    """Spread an under-split scan across the cluster before CPU-heavy
+    per-row work (array-expression text kernels, Pandas UDF batches).
+
+    A small corpus often arrives as ONE parquet split, which serializes
+    compute-bound per-row operators onto a single core while the rest of
+    the cluster idles. At real scale (100 TB -> thousands of input splits)
+    the scan is already wider than the cluster and this is a NO-OP — the
+    repartition only fires when the source has fewer splits than cores,
+    and then it shuffles the input exactly once (1:1 bytes, the price of
+    waking the other cores). getNumPartitions() reads the planned scan's
+    split count without running a job."""
+    spark = df.sparkSession
+    target = int(min_partitions or spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

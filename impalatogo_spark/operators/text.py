@@ -1370,6 +1370,8 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     summary row per document. Zero data-sized shuffle (the prior form
     exploded one row per gram and shuffled ~10x the corpus text bytes
     through a doc_id window; same contract, same oracle)."""
+    from impalatogo_spark.operators.scale import parallelize_small_scan
+
     pows = [WINNOW_B ** (k - 1 - j) for j in range(k)]
     # code-point array materialized ONCE per doc behind a Generate barrier:
     # substr(text, i, 1) inside the per-position lambda is O(i) on UTF-8
@@ -1377,7 +1379,10 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     # length; element_at on a concrete int array is O(1), keeping the whole
     # hash pass linear. The barrier also stops CollapseProject from
     # re-inlining the split into every element access (CLAUDE.md rule).
-    chars = df.select(
+    # parallelize_small_scan: the per-row kernel is CPU-bound interpreted
+    # HOF evaluation — an under-split corpus must not run it on one core
+    # (no-op at real scale where the scan is already wide).
+    chars = parallelize_small_scan(df.select(id_col, text_col)).select(
         id_col,
         F.explode(F.array(F.expr(
             f"transform(split({text_col}, ''), c -> ascii(c))"
@@ -1404,12 +1409,18 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     # (identical to the prior window-form's pos >= w-1 filter + inner join).
     # `fps` (the distinct fingerprint set) feeds four stats, so it too gets
     # a Generate barrier instead of re-running minima+distinct per stat.
+    # least(element_at...) instead of array_min(slice(...)): the slice form
+    # allocates a w-element array PER POSITION inside the interpreted
+    # lambda; least() is w O(1) lookups with no allocation.
+    window_min = "least(" + ", ".join(
+        f"element_at(h, i - {j})" for j in range(w)) + ")" \
+        if w > 1 else "element_at(h, i)"
     fps = grams.filter(F.expr(f"size(h) >= {w}")).select(
         id_col,
         F.col("h"),
         F.explode(F.array(F.expr(
             f"array_distinct(transform(sequence({w}, size(h)), "
-            f"i -> array_min(slice(h, i - {w} + 1, {w}))))"
+            f"i -> {window_min}))"
         ))).alias("fps"),
     )
     return fps.select(

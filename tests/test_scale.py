@@ -361,3 +361,18 @@ def test_global_row_number_plan_has_no_partitionless_window(spark, sf_dir):
     assert window_lines, "expected Window nodes in the plan"
     for ln in window_lines:
         assert ln.count("], [") == 2, f"partition-less window: {ln[:120]}"
+
+
+def test_parallelize_small_scan(spark, sf_dir):
+    """An under-split scan is spread to defaultParallelism before a
+    CPU-bound kernel; an already-wide input passes through untouched."""
+    from impalatogo_spark.operators.scale import parallelize_small_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.rdd.getNumPartitions() < 32
+    wide = parallelize_small_scan(docs, min_partitions=8)
+    assert wide.rdd.getNumPartitions() == 8
+    assert wide.count() == docs.count()
+    # already wide: no-op (same plan object, no extra exchange)
+    again = parallelize_small_scan(wide.repartition(16), min_partitions=8)
+    assert again.rdd.getNumPartitions() == 16
