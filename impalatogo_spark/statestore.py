@@ -324,6 +324,122 @@ class StatestoreSubscriber:
 
 
 # ---------------------------------------------------------------------------
+# TCP transport: the reference statestored CALLS BACK into each
+# subscriber's StatestoreSubscriber thrift service (statestore-subscriber.h
+# registers a server port; statestore.cc opens update/heartbeat client
+# connections to it). Here the subscriber exposes its endpoint surface
+# over newline-delimited JSON on a listening socket, and the statestore
+# side holds a connecting proxy — registration passes "host:port" instead
+# of an in-process object.
+# ---------------------------------------------------------------------------
+
+
+class SubscriberTcpServer:
+    """Serve a StatestoreSubscriber's update_state/heartbeat endpoint over
+    TCP (JSON-lines, one request/response per line)."""
+
+    def __init__(self, subscriber: StatestoreSubscriber,
+                 host: str = "127.0.0.1", port: int = 0):
+        import json
+        import socketserver
+
+        sub = subscriber
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for raw in self.rfile:
+                    line = raw.decode("utf-8", errors="replace").strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                        if req.get("op") == "update_state":
+                            resp = sub.update_state(
+                                req.get("registration_id"),
+                                req.get("deltas") or {})
+                        elif req.get("op") == "heartbeat":
+                            resp = {"ok": sub.heartbeat(
+                                req.get("registration_id"))}
+                        else:
+                            resp = {"error": f"unknown op {req.get('op')!r}"}
+                    except Exception as e:
+                        resp = {"error": f"{type(e).__name__}: {e}"}
+                    self.wfile.write(
+                        (json.dumps(resp) + "\n").encode("utf-8"))
+                    self.wfile.flush()
+
+        class TCP(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._tcp = TCP((host, port), Handler)
+        self.address = "%s:%d" % self._tcp.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._tcp.serve_forever,
+            name=f"statestore-sub-{subscriber.subscriber_id}", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()
+
+
+class SubscriberTcpProxy:
+    """Statestore-side endpoint proxy: connects to a subscriber's TCP
+    server and forwards update_state/heartbeat over the wire. A transport
+    error surfaces as a missed heartbeat / skipped update, exactly how the
+    reference treats an unreachable subscriber."""
+
+    def __init__(self, address: str, timeout: float = 10.0):
+        self._host, port = address.rsplit(":", 1)
+        self._port = int(port)
+        self._timeout = timeout
+        self._lock = threading.Lock()
+        self._sock = None
+        self._rfile = None
+
+    def _call(self, req: dict) -> dict:
+        import json
+        import socket
+
+        with self._lock:
+            if self._sock is None:
+                self._sock = socket.create_connection(
+                    (self._host, self._port), timeout=self._timeout)
+                self._rfile = self._sock.makefile("rb")
+            try:
+                self._sock.sendall(
+                    (json.dumps(req) + "\n").encode("utf-8"))
+                line = self._rfile.readline()
+            except OSError:
+                self.close()
+                raise
+            if not line:
+                self.close()
+                raise ConnectionError("subscriber closed the connection")
+            return json.loads(line.decode("utf-8"))
+
+    def update_state(self, registration_id: str, deltas: dict) -> dict:
+        return self._call({"op": "update_state",
+                           "registration_id": registration_id,
+                           "deltas": deltas})
+
+    def heartbeat(self, registration_id: str) -> bool:
+        return bool(self._call({"op": "heartbeat",
+                                "registration_id": registration_id})
+                    .get("ok"))
+
+    def close(self) -> None:
+        try:
+            if self._sock is not None:
+                self._sock.close()
+        except OSError:
+            pass
+        self._sock = None
+        self._rfile = None
+
+
+# ---------------------------------------------------------------------------
 # Serving-core glue: membership + catalog-update propagation
 # ---------------------------------------------------------------------------
 

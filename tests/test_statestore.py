@@ -211,3 +211,51 @@ def test_background_loop_propagates_without_manual_cycles(spark, sf_dir):
             raise AssertionError("membership never propagated")
     finally:
         ss.stop()
+
+def test_tcp_transport_update_heartbeat_and_failure():
+    """The subscriber's endpoint over real TCP (JSON-lines): the statestore
+    registers a connecting proxy, updates and publishes flow over the
+    wire, and killing the subscriber's server surfaces as missed
+    heartbeats -> failure + transient shedding (an unreachable subscriber
+    and a dead one are indistinguishable, as in the reference)."""
+    from impalatogo_spark.statestore import (SubscriberTcpProxy,
+                                             SubscriberTcpServer)
+
+    ss = Statestore(max_missed_heartbeats=2)
+    a, b = StatestoreSubscriber("a"), StatestoreSubscriber("b")
+    got_b = []
+    b.subscribe(MEMBERSHIP_TOPIC, lambda d: got_b.append(d))
+    srv_a = SubscriberTcpServer(a)
+    srv_b = SubscriberTcpServer(b)
+    try:
+        # register with wire proxies instead of in-process objects
+        proxy_a = SubscriberTcpProxy(srv_a.address)
+        a.registration_id = ss.register_subscriber(
+            "a", proxy_a,
+            [{"topic_name": MEMBERSHIP_TOPIC, "is_transient": True}])
+        b.registration_id = ss.register_subscriber(
+            "b", SubscriberTcpProxy(srv_b.address),
+            [{"topic_name": MEMBERSHIP_TOPIC, "is_transient": True}])
+        a.publish(MEMBERSHIP_TOPIC, entries=[{"key": "a", "value": "ha:1"}])
+        for _ in range(2):
+            ss.run_update_cycle()
+        assert any(i["key"] == "a" for d in got_b
+                   for i in d["topic_entries"])
+        ss.run_heartbeat_cycle()
+        assert "a" in ss.subscribers and "b" in ss.subscribers
+
+        # subscriber A's endpoint dies: stop accepting AND sever the
+        # established connection (reconnect now refuses)
+        srv_a.stop()
+        proxy_a.close()
+        for _ in range(2):
+            ss.run_heartbeat_cycle()
+        assert "a" not in ss.subscribers  # 2 missed beats = failed
+        ss.run_update_cycle()
+        assert any("a" in d["topic_deletions"] for d in got_b)
+    finally:
+        try:
+            srv_a.stop()
+        except Exception:
+            pass
+        srv_b.stop()
