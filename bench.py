@@ -212,7 +212,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "text_winnow_fingerprints",
     # round 5: the reference TPC-H workload's 23rd file — the write path
     # (insert_parquet.test: partitioned INSERT OVERWRITE + re-read verify)
+    # + attribute-filtered exact vector search
     "insert_parquet_roundtrip",
+    "ann_topk_filtered",
 ]
 RUNS = 3
 

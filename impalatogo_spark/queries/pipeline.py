@@ -283,6 +283,60 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_filtered",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+      FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, vec_id,
+         round(list_dot_product(q_emb, emb)
+               / (sqrt(list_dot_product(q_emb, q_emb))
+                  * sqrt(list_dot_product(emb, emb))),
+               4) AS cos_sim
+  FROM q JOIN e ON q_id <> vec_id AND e.label = q.q_label
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+""",
+    tags=("similarity", "filtered"),
+)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED exact vector search (the FAISS IDSelector /
+    vector-store payload-filter shape): each query's top-5 is computed
+    ONLY over corpus vectors sharing the query's label — the metadata
+    predicate prunes candidates BEFORE any scoring (pre-filtering), so
+    scored work shrinks by the filter's selectivity instead of
+    post-filtering an oversized unfiltered top-k (which can return < k
+    valid hits). Same broadcast-queries + per-query window recipe as
+    ann_topk_bruteforce; at 100 TB a label-partitioned corpus layout turns
+    the same predicate into partition pruning at the scan."""
+    from pyspark.sql import Window as W
+
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"))
+    joined = e.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("vec_id"))
+        & (F.col("label") == F.col("q_label")))
+    scored = joined.select(
+        "q_id", "vec_id",
+        F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 4)
+        .alias("cos_sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("q_id", "vec_id", "cos_sim", "rnk"))
+
+
+@register(
     "ann_topk_lsh",
     oracle=None,  # approximate by construction; recall vs brute force asserted in tests/test_similarity.py
     tags=("similarity", "approx"),
