@@ -51,6 +51,7 @@ import base64
 import datetime
 import decimal
 import json
+import logging
 import socket
 import socketserver
 import threading
@@ -77,6 +78,10 @@ import re as _re
 _CATALOG_DDL_RE = _re.compile(
     r"(?is)^\s*(?:(?:CREATE|DROP)\s+(?:DATA\s+SOURCE|(?:AGGREGATE\s+)?"
     r"FUNCTION|ROLE)\b|(?:GRANT|REVOKE)\b)")
+
+# the daemon's INFO log (the reference's glog stream tailed by /logs);
+# handlers are installed by webui.install_log_ring or the embedding app
+_LOG = logging.getLogger("impalatogo_spark.server")
 
 
 def _parse_mem(value) -> int:
@@ -775,6 +780,7 @@ class I2SServer:
             sid = uuid.uuid4().hex[:12]
             with self._lock:
                 self._sessions[sid] = sess
+            _LOG.info("session %s opened (pool=%s)", sid, sess.pool)
             return {"ok": True, "session": sid,
                     "spark_version": self._spark.version}
         if op == "close_session":
@@ -782,6 +788,7 @@ class I2SServer:
                 closing = self._sessions.pop(req.get("session"), None)
             if closing is not None:
                 closing.close()
+                _LOG.info("session %s closed", req.get("session"))
             return {"ok": True}
         if op == "admission_stats":
             return {"ok": True, "pools": self.admission.stats()}
@@ -976,6 +983,8 @@ class I2SServer:
             self.admission.admit(pool, label=label, mem=mem)
         except BaseException as e:
             rec.update(state="REJECTED", error=str(e))
+            _LOG.warning("query %s REJECTED by admission (pool=%s): %s",
+                         qid, pool, e)
             with self._lock:
                 self._inflight.pop(qid, None)
                 self.query_log.appendleft(rec)
@@ -1112,12 +1121,17 @@ class I2SServer:
                 profile = f"Query: {rec['sql']}\nRows: {op.push_count}\n"
             rec.update(state="FINISHED", rows=op.push_count,
                        elapsed_s=round(elapsed, 4))
+            _LOG.info("query %s FINISHED: %d row(s) in %.3fs (pool=%s)",
+                      qid, op.push_count, elapsed, pool)
             settle = ("finish", round(elapsed, 4), profile, tree, dml_rows)
         except OperationCancelled:
             rec["state"] = "CANCELED"
+            _LOG.info("query %s CANCELED (pool=%s)", qid, pool)
             settle = ("cancel", RuntimeError("operation was cancelled"))
         except BaseException as e:
             rec.update(state="ERROR", error=f"{type(e).__name__}: {e}")
+            _LOG.warning("query %s ERROR: %s: %s (pool=%s)",
+                         qid, type(e).__name__, e, pool)
             settle = ("error", e)
         finally:
             try:

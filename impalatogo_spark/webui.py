@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import html
 import json
+import logging
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -26,12 +27,47 @@ from urllib.parse import parse_qs, urlparse
 from .server import I2SServer, _AsyncOperation
 
 _PAGES = ("queries", "sessions", "admission", "metrics", "memz",
-          "rpcz", "threadz", "catalog")
+          "rpcz", "threadz", "catalog", "logs")
 
 
-def _table(rows: list[dict], title: str) -> str:
+class _RingHandler(logging.Handler):
+    """Bounded in-memory log ring — what /logs tails (the reference's
+    /logs page tails the daemon's glog INFO file)."""
+
+    def __init__(self, capacity: int = 500):
+        super().__init__(level=logging.INFO)
+        import collections
+
+        self.ring = collections.deque(maxlen=capacity)
+        self.setFormatter(logging.Formatter(
+            "%(asctime)s %(levelname).1s %(name)s] %(message)s",
+            datefmt="%H:%M:%S"))
+
+    def emit(self, record):
+        try:
+            self.ring.append(self.format(record))
+        except Exception:
+            pass
+
+
+def install_log_ring(capacity: int = 500) -> _RingHandler:
+    """Attach (once) a ring handler to the package logger; idempotent."""
+    logger = logging.getLogger("impalatogo_spark")
+    for h in logger.handlers:
+        if isinstance(h, _RingHandler):
+            return h
+    h = _RingHandler(capacity)
+    logger.addHandler(h)
+    logger.setLevel(logging.INFO)
+    return h
+
+
+def _table(rows: list, title: str) -> str:
     if not rows:
         return f"<h2>{html.escape(title)}</h2><p>(none)</p>"
+    if not isinstance(rows[0], dict):  # plain lines (e.g. /logs) -> <pre>
+        body = html.escape("\n".join(str(r) for r in rows))
+        return f"<h2>{html.escape(title)}</h2><pre>{body}</pre>"
     cols = list(rows[0].keys())
     head = "".join(f"<th>{html.escape(str(c))}</th>" for c in cols)
     body = "".join(
@@ -54,6 +90,7 @@ class WebUI:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._started = time.time()
+        self._log_ring = install_log_ring()
 
     # -- data readouts (shared by JSON and HTML renderings) --
 
@@ -215,6 +252,12 @@ class WebUI:
         return {"databases": [{"database": d} for d in dbs],
                 "tables": tables, "session_views": sess,
                 "num_tables": len(tables)}
+
+    def logs(self) -> dict:
+        """Tail of the daemon's INFO log (the reference /logs page tails
+        the glog stream): session/query lifecycle, admission decisions."""
+        lines = list(self._log_ring.ring)
+        return {"lines": lines, "num_lines": len(lines)}
 
     # -- http plumbing --
 

@@ -277,3 +277,22 @@ def test_rpcz_threadz_catalog(stack):
             assert ctype.startswith("text/html")
     finally:
         c.close()
+
+def test_logs_page_tails_daemon_log(stack):
+    """/logs tails the daemon's INFO log ring (the reference tails glog):
+    session open/close and query completion lines appear after activity."""
+    core, (chost, cport), base = stack
+    c = I2SClient(chost, cport)
+    c.open_session()
+    sid = c.session
+    try:
+        c.execute("SELECT 42 AS x")
+    finally:
+        c.close()
+    d = _get_json(base + "/logs")
+    text = "\n".join(d["lines"])
+    assert f"session {sid} opened" in text
+    assert f"session {sid} closed" in text
+    assert "FINISHED: 1 row(s)" in text
+    ctype, body = _get(base + "/logs")
+    assert ctype.startswith("text/html") and "FINISHED" in body
