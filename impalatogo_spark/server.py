@@ -716,6 +716,38 @@ class I2SServer:
             allow_reuse_address = True
             daemon_threads = True
 
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                self._conns: set = set()
+                self._conns_lock = threading.Lock()
+
+            def process_request(self, request, client_address):
+                with self._conns_lock:
+                    self._conns.add(request)
+                super().process_request(request, client_address)
+
+            def shutdown_request(self, request):
+                with self._conns_lock:
+                    self._conns.discard(request)
+                super().shutdown_request(request)
+
+            def close_all_connections(self):
+                """A stopping daemon severs live client connections (a
+                killed impalad drops its TCP sessions — what failover
+                clients detect), instead of leaving handler threads
+                serving a half-dead server."""
+                with self._conns_lock:
+                    conns = list(self._conns)
+                for s in conns:
+                    try:
+                        s.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+                    try:
+                        s.close()
+                    except OSError:
+                        pass
+
         self._tcp = TCP((self._host, self._port), Handler)
         self._thread = threading.Thread(
             target=self._tcp.serve_forever, name="i2s-server", daemon=True
@@ -726,6 +758,7 @@ class I2SServer:
     def stop(self) -> None:
         if self._tcp is not None:
             self._tcp.shutdown()
+            self._tcp.close_all_connections()
             self._tcp.server_close()
             self._tcp = None
 
@@ -1257,3 +1290,64 @@ class I2SClient:
                 self._sock.close()
             except OSError:
                 pass
+
+
+class FailoverClient:
+    """A cluster-aware client: connects to ANY daemon from a member list
+    (the impala-shell pattern of reconnecting to another impalad when one
+    dies — membership comes from the statestore's transient topic, so a
+    dead daemon leaves the list by itself). A connection failure marks the
+    member down and retries the next one; the session is re-opened on the
+    new daemon (sessions are daemon-local, exactly the reference's
+    semantics — catalog state follows via the catalog-update topic)."""
+
+    def __init__(self, members: list[str], sf_dir: str | None = None,
+                 timeout: float = 120.0):
+        if not members:
+            raise ValueError("no cluster members")
+        self.members = list(members)  # "host:port" strings
+        self._sf_dir = sf_dir
+        self._timeout = timeout
+        self._client: I2SClient | None = None
+        self.connected_to: str | None = None
+        self.failovers = 0
+        self._connect()
+
+    def _connect(self) -> None:
+        last_err: Exception | None = None
+        for addr in list(self.members):
+            host, port = addr.rsplit(":", 1)
+            try:
+                c = I2SClient(host, int(port), timeout=self._timeout)
+                c.open_session(sf_dir=self._sf_dir)
+            except OSError as e:
+                last_err = e
+                self.members.remove(addr)  # mark down; statestore would
+                self.members.append(addr)  # retry it last next time
+                continue
+            self._client = c
+            self.connected_to = addr
+            return
+        raise ConnectionError(
+            f"no cluster member reachable (last error: {last_err})")
+
+    def execute(self, sql: str, fetch: int = 1024) -> dict:
+        """Execute with one transparent failover: a TRANSPORT failure
+        (daemon died) reconnects to the next member and retries the
+        statement; server-side SQL errors raise normally."""
+        try:
+            return self._client.execute(sql, fetch=fetch)
+        except (ConnectionError, OSError):
+            dead = self.connected_to
+            if dead in self.members:
+                self.members.remove(dead)
+            self.failovers += 1
+            self._connect()
+            return self._client.execute(sql, fetch=fetch)
+
+    def fetch_all(self, resp: dict, max_rows: int = 1024) -> list:
+        return self._client.fetch_all(resp, max_rows=max_rows)
+
+    def close(self) -> None:
+        if self._client is not None:
+            self._client.close()

@@ -259,3 +259,48 @@ def test_tcp_transport_update_heartbeat_and_failure():
         except Exception:
             pass
         srv_b.stop()
+
+def test_failover_client_survives_daemon_death(spark, sf_dir):
+    """FailoverClient (the impala-shell reconnect pattern): statements run
+    against one cluster member; killing that daemon severs the connection
+    and the NEXT statement transparently reconnects to a surviving member
+    and succeeds — catalog state already propagated via the statestore."""
+    from impalatogo_spark.server import FailoverClient, I2SServer
+    from impalatogo_spark.statestore import attach_statestore
+
+    ss = Statestore()
+    core_a = I2SServer(spark, sf_dir=sf_dir)
+    core_b = I2SServer(spark, sf_dir=sf_dir)
+    ha, pa = core_a.start()
+    hb, pb = core_b.start()
+    attach_statestore(core_a, ss, subscriber_id="fo-a", address=f"{ha}:{pa}")
+    attach_statestore(core_b, ss, subscriber_id="fo-b", address=f"{hb}:{pb}")
+    fc = None
+    try:
+        for _ in range(3):
+            ss.run_update_cycle()
+        # the member list IS the membership topic's values
+        members = sorted(core_a.cluster_membership.values())
+        assert members == sorted([f"{ha}:{pa}", f"{hb}:{pb}"])
+        fc = FailoverClient(members, sf_dir=sf_dir)
+        first = fc.connected_to
+        assert fc.fetch_all(fc.execute("SELECT 1 AS x")) == [[1]]
+        # kill the daemon the client is talking to
+        (core_a if first == f"{ha}:{pa}" else core_b).stop()
+        resp = fc.execute("SELECT r_regionkey FROM region "
+                          "ORDER BY r_regionkey")
+        assert [r[0] for r in fc.fetch_all(resp)] == [0, 1, 2, 3, 4]
+        assert fc.failovers == 1 and fc.connected_to != first
+        # a server-side SQL error still raises (no bogus failover)
+        before = fc.failovers
+        with pytest.raises(RuntimeError):
+            fc.execute("SELECT * FROM definitely_missing_table")
+        assert fc.failovers == before
+    finally:
+        if fc is not None:
+            try:
+                fc.close()
+            except Exception:
+                pass
+        core_a.stop()
+        core_b.stop()
