@@ -215,6 +215,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     # + attribute-filtered exact vector search
     "insert_parquet_roundtrip",
     "ann_topk_filtered",
+    "embedding_matryoshka_fidelity",
 ]
 RUNS = 3
 

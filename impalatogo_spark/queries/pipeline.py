@@ -337,6 +337,89 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_matryoshka_fidelity",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, emb[1:16] AS q_emb16
+      FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, vec_id,
+         round(list_dot_product(q_emb, emb)
+               / (sqrt(list_dot_product(q_emb, q_emb))
+                  * sqrt(list_dot_product(emb, emb))), 4) AS cos_full,
+         round(list_dot_product(q_emb16, emb[1:16])
+               / (sqrt(list_dot_product(q_emb16, q_emb16))
+                  * sqrt(list_dot_product(emb[1:16], emb[1:16]))),
+               4) AS cos_trunc
+  FROM q JOIN e ON q_id <> vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_full DESC, vec_id) AS rnk_full,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_trunc DESC, vec_id) AS rnk_trunc
+  FROM scored
+)
+SELECT q_id,
+       CAST(count(*) FILTER (WHERE rnk_full <= 5 AND rnk_trunc <= 5)
+            AS BIGINT)                                      AS n_overlap_at_5,
+       CAST(max(CASE WHEN rnk_full = 1 THEN vec_id END)
+            AS BIGINT)                                      AS full_top1,
+       CAST(max(CASE WHEN rnk_trunc = 1 THEN vec_id END)
+            AS BIGINT)                                      AS trunc_top1,
+       CAST(max(CASE WHEN rnk_full = 1 THEN rnk_trunc END)
+            AS BIGINT)                                      AS trunc_rank_of_top1
+FROM ranked GROUP BY q_id ORDER BY q_id
+""",
+    tags=("similarity", "embedding"),
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Matryoshka / dimension-truncation fidelity audit (Kusupati et al.
+    2022 MRL, public): how well the FIRST 16 of 64 embedding dims preserve
+    the full-width nearest-neighbor structure — per query: top-5 overlap
+    between full and truncated rankings, both top-1 ids, and where the
+    true top-1 lands under truncation. The go/no-go diagnostic before
+    shrinking a 100 TB vector corpus 4x by prefix truncation. Exactly the
+    brute-force recipe twice over one scored pass (two windows share the
+    q_id partition — ONE shuffle); integer outputs, 4dp-rounded cosine
+    with vec_id tie-breaks for cross-engine determinism."""
+    from pyspark.sql import Window as W
+
+    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.slice(F.col("embedding"), 1, 16).alias("q_emb16"))
+    pairs = e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "q_id", "vec_id",
+        F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 4)
+        .alias("cos_full"),
+        F.round(S.cosine(F.col("q_emb16"),
+                         F.slice(F.col("embedding"), 1, 16)), 4)
+        .alias("cos_trunc"))
+    wf = W.partitionBy("q_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wt = W.partitionBy("q_id").orderBy(F.desc("cos_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "q_id", "vec_id",
+        F.row_number().over(wf).alias("rnk_full"),
+        F.row_number().over(wt).alias("rnk_trunc"))
+    return (ranked.groupBy("q_id").agg(
+        F.count(F.when((F.col("rnk_full") <= 5)
+                       & (F.col("rnk_trunc") <= 5), 1))
+        .alias("n_overlap_at_5"),
+        F.max(F.when(F.col("rnk_full") == 1, F.col("vec_id")))
+        .alias("full_top1"),
+        F.max(F.when(F.col("rnk_trunc") == 1, F.col("vec_id")))
+        .alias("trunc_top1"),
+        F.max(F.when(F.col("rnk_full") == 1, F.col("rnk_trunc")))
+        .cast("long").alias("trunc_rank_of_top1"))
+        .orderBy("q_id"))
+
+
+@register(
     "ann_topk_lsh",
     oracle=None,  # approximate by construction; recall vs brute force asserted in tests/test_similarity.py
     tags=("similarity", "approx"),
