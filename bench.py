@@ -216,6 +216,10 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "insert_parquet_roundtrip",
     "ann_topk_filtered",
     "embedding_matryoshka_fidelity",
+    # round 5 (session 2): mergeable sketches — per-shard HLL registers
+    # merged associatively, KMV bottom-k set-operation estimates
+    "sketch_hll_mergeable",
+    "sketch_kmv_intersection",
 ]
 RUNS = 3
 

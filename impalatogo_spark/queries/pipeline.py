@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from impalatogo_spark.operators import dedup as D
 from impalatogo_spark.operators import multimodal as M
 from impalatogo_spark.operators import similarity as S
+from impalatogo_spark.operators import sketches as K
 from impalatogo_spark.operators import text as X
 from impalatogo_spark.queries import register
 from impalatogo_spark.session import register_tables, table, tracked_persist
@@ -4193,4 +4194,178 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return r.filter(F.col("rnk") <= F.expr("n DIV 10")).select(
         "label", "vec_id", "dist2", "rnk"
+    )
+
+
+# ===========================================================================
+# Mergeable sketches (operators/sketches.py) — per-shard state, associative
+# merge; the distinct-counting shape that scales past exact DISTINCT.
+# ===========================================================================
+
+_HLL_EST_SQL = K.hll_estimate_case_sql()
+
+
+@register(
+    "sketch_hll_mergeable",
+    oracle=f"""
+WITH hashed AS (
+  SELECT event_type AS shard, {K.hash48_sql('user_id')} AS h FROM events
+),
+regs AS (
+  SELECT shard, h % {K.HLL_M} AS bucket,
+         max(least(1 + bit_count(((h // {K.HLL_M}) & -(h // {K.HLL_M})) - 1),
+                   {K.HASH_BITS - 5 + 1})) AS m_rho
+  FROM hashed GROUP BY shard, h % {K.HLL_M}
+),
+allregs AS (
+  SELECT shard, bucket, m_rho FROM regs
+  UNION ALL
+  SELECT 'ALL' AS shard, bucket, max(m_rho) AS m_rho FROM regs GROUP BY bucket
+),
+aggd AS (
+  SELECT shard, sum(1.0 / (1::BIGINT << m_rho)) AS s_inv, count(*) AS cnt
+  FROM allregs GROUP BY shard
+),
+est AS (
+  SELECT shard, {_HLL_EST_SQL} AS hll_est FROM aggd
+),
+exact AS (
+  SELECT event_type AS shard, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'ALL' AS shard, count(DISTINCT user_id) FROM events
+)
+SELECT est.shard AS shard, hll_est, exact_distinct
+FROM est JOIN exact ON est.shard = exact.shard
+ORDER BY shard
+""",
+    tags=("sketch", "scale"),
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard HyperLogLog registers merged into a global estimate.
+
+    Each event_type shard builds its 32-register HLL independently (ONE
+    map-side-combined groupBy — shuffle is O(shards x 32) rows regardless of
+    input size), and the 'ALL' row is produced by MERGING the per-shard
+    registers (associative max per bucket), never by rescanning the data:
+    the pattern that replaces exact COUNT(DISTINCT) re-aggregation at 100 TB.
+    md5-based hashing keeps registers — and thus estimates — bit-identical
+    to the DuckDB oracle; exact_distinct is carried for honest error
+    inspection. Reference parity: the mergeable-state form of the
+    reference's ndv()/distinctpc sketch family
+    (be/src/exprs/aggregate-functions.cc)."""
+    ev = _t(spark, sf_dir, "events")
+    regs = tracked_persist(K.hll_registers(ev, "user_id", "event_type"))
+    merged_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .select(F.lit("ALL").alias("shard"), "bucket", "m_rho")
+    )
+    est = K.hll_estimate(regs.unionByName(merged_regs), ["shard"])
+    exact = (
+        ev.groupBy(F.col("event_type").alias("shard"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+            .select(F.lit("ALL").alias("shard"), "exact_distinct")
+        )
+    )
+    return est.join(exact, "shard").orderBy("shard")
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle=f"""
+WITH sa AS ({K.kmv_sketch_sql("user_id", "events WHERE event_type = 'click'")}),
+sb AS ({K.kmv_sketch_sql("user_id", "events WHERE event_type = 'purchase'")}),
+u AS (
+  SELECT h, k FROM (SELECT h, k FROM sa UNION SELECT h, k FROM sb)
+  ORDER BY h, k LIMIT {K.KMV_K}
+),
+ustats AS (SELECT count(*) AS cnt_u, max(h) AS hk FROM u),
+m AS (
+  SELECT count(*) AS matches FROM
+  (SELECT h FROM u INTERSECT SELECT h FROM sa INTERSECT SELECT h FROM sb)
+),
+exact AS (
+  SELECT count(*) AS exact_union,
+         sum(CASE WHEN ha AND hb THEN 1 ELSE 0 END) AS exact_inter
+  FROM (SELECT user_id, bool_or(event_type = 'click') AS ha,
+               bool_or(event_type = 'purchase') AS hb
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id)
+)
+SELECT {K.KMV_K} AS sketch_k, cnt_u AS union_sketch_size,
+  round(CASE WHEN cnt_u < {K.KMV_K} THEN CAST(cnt_u AS DOUBLE)
+             ELSE {K.KMV_K - 1}e0 * {K.HASH_SPACE} / hk END, 2) AS union_est,
+  round(CASE WHEN cnt_u < {K.KMV_K} THEN CAST(matches AS DOUBLE)
+             ELSE CAST(matches AS DOUBLE)
+                  * ({K.KMV_K - 1}e0 * {K.HASH_SPACE} / hk)
+                  / {K.KMV_K} END, 2) AS inter_est,
+  CAST(exact_union AS BIGINT) AS exact_union,
+  CAST(exact_inter AS BIGINT) AS exact_inter
+FROM ustats, m, exact
+""",
+    tags=("sketch", "scale"),
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) set-operation estimates (Beyer et al., SIGMOD 2007):
+    union and intersection cardinality of click-users vs purchase-users from
+    two 64-hash sketches, never from the raw sets.
+
+    Union sketch = k smallest of the two sketches' hash union (a TopN, not a
+    sort); |union| est = (k-1) * 2^48 / h_(k); intersection est = match-rate
+    of the triple intersection scaled by the union estimate. Sketches
+    smaller than k ARE their sets, so both estimators switch to exact mode
+    (the sf0.001 path). exact_union/exact_inter carried for error
+    inspection. All arithmetic integer until one mirrored float division."""
+    ev = _t(spark, sf_dir, "events")
+    sa = tracked_persist(
+        K.kmv_sketch(ev.filter(F.col("event_type") == "click"), "user_id")
+    )
+    sb = tracked_persist(
+        K.kmv_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id")
+    )
+    u = tracked_persist(
+        sa.select("h", "k").union(sb.select("h", "k")).distinct()
+        .orderBy("h", "k").limit(K.KMV_K)
+    )
+    ustats = u.agg(
+        F.count(F.lit(1)).alias("cnt_u"), F.max("h").alias("hk")
+    )
+    m = (
+        u.select("h").intersect(sa.select("h")).intersect(sb.select("h"))
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("ha"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("hb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.expr("CASE WHEN ha = 1 AND hb = 1 THEN 1 ELSE 0 END"))
+            .alias("exact_inter"),
+        )
+    )
+    k = K.KMV_K
+    return (
+        ustats.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).alias("sketch_k"),
+            F.col("cnt_u").alias("union_sketch_size"),
+            F.expr(
+                f"round(CASE WHEN cnt_u < {k} THEN CAST(cnt_u AS DOUBLE) "
+                f"ELSE {k - 1}e0 * {K.HASH_SPACE} / hk END, 2)"
+            ).alias("union_est"),
+            F.expr(
+                f"round(CASE WHEN cnt_u < {k} THEN CAST(matches AS DOUBLE) "
+                f"ELSE CAST(matches AS DOUBLE) "
+                f"* ({k - 1}e0 * {K.HASH_SPACE} / hk) / {k} END, 2)"
+            ).alias("inter_est"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+        )
     )

@@ -1,0 +1,79 @@
+"""Mergeable-sketch properties (operators/sketches.py): HLL register
+mergeability + estimate error bounds, KMV exact-below-k mode and estimate
+error, and determinism of both. The DuckDB value-parity of the registered
+queries is covered by test_correctness.py; these tests pin the *algorithmic*
+contracts a value-diff can't express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from impalatogo_spark.operators import sketches as K
+from impalatogo_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def test_hll_registers_merge_equals_direct_build(spark, events):
+    """max-merging per-shard registers == building one sketch over the whole
+    set: the associativity that makes shard-local building correct."""
+    sharded = K.hll_registers(events, "user_id", "event_type")
+    merged = {
+        (r["bucket"],): r["m"]
+        for r in sharded.groupBy("bucket")
+        .agg(F.max("m_rho").alias("m"))
+        .collect()
+    }
+    direct = {
+        (r["bucket"],): r["m_rho"]
+        for r in K.hll_registers(
+            events.withColumn("one", F.lit("x")), "user_id", "one"
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_error_bound(spark, events):
+    """Raw HLL with m=32 has sigma ~ 1.04/sqrt(32) ~ 18.4%; assert the
+    merged estimate lands within 3.5 sigma of exact (works at sf0.001's
+    n=15 too — small-n bias stays well inside this envelope for md5)."""
+    regs = K.hll_registers(
+        events.withColumn("one", F.lit("ALL")), "user_id", "one"
+    )
+    est = K.hll_estimate(regs, ["shard"]).collect()[0]["hll_est"]
+    exact = events.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 3.5 * 1.04 / math.sqrt(K.HLL_M)
+
+
+def test_kmv_exact_mode_below_k(spark):
+    """A set smaller than k is carried exactly: the sketch IS the set."""
+    df = spark.range(20).select(F.col("id").alias("u"))
+    sk = K.kmv_sketch(df, "u", k=K.KMV_K)
+    assert sk.count() == 20
+    assert {r["k"] for r in sk.collect()} == set(range(20))
+
+
+def test_kmv_union_estimate_error(spark):
+    """(k-1)*2^48/h_(k) over 2000 md5-hashed keys: sigma ~ 1/sqrt(k-2);
+    assert within 4 sigma."""
+    n, k = 2000, K.KMV_K
+    df = spark.range(n).select(F.col("id").alias("u"))
+    sk = K.kmv_sketch(df, "u", k=k).orderBy("h")
+    hk = sk.collect()[-1]["h"]
+    est = (k - 1) * K.HASH_SPACE / hk
+    assert abs(est - n) / n < 4.0 / math.sqrt(k - 2)
+
+
+def test_sketches_deterministic_across_runs(spark, events):
+    a = sorted(map(tuple, K.kmv_sketch(events, "user_id").collect()))
+    b = sorted(map(tuple, K.kmv_sketch(events, "user_id").collect()))
+    assert a == b
+    ra = sorted(map(tuple, K.hll_registers(events, "user_id", "event_type").collect()))
+    rb = sorted(map(tuple, K.hll_registers(events, "user_id", "event_type").collect()))
+    assert ra == rb
