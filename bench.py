@@ -220,6 +220,8 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     # merged associatively, KMV bottom-k set-operation estimates
     "sketch_hll_mergeable",
     "sketch_kmv_intersection",
+    # round 5 (session 2, cont.): quantified Z-order layout pruning
+    "layout_zorder_pruning",
 ]
 RUNS = 3
 

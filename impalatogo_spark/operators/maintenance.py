@@ -98,6 +98,19 @@ def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
     return code
 
 
+def morton_code_sql(a: str, b: str, bits: int = 16) -> str:
+    """The identical Morton interleave as portable SQL text (for DuckDB
+    oracles): for non-negative ints, ((x >> i) & 1) << k == ((x div 2^i)
+    mod 2) * 2^k, so this mirrors morton_code() bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        # each term fully parenthesized: SQL gives << LOWER precedence
+        # than +, so an unwrapped chain accumulates the shifts
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def zorder_write(df: DataFrame, path: str, col_a: str, col_b: str,
                  n_files: int = 8, bits: int = 8) -> None:
     """Write `df` Z-ordered on (col_a, col_b): normalize each key to the

@@ -89,13 +89,25 @@ def _with_range_pid(df: DataFrame, order_cols, num_partitions: int | None):
     """Range-partition df by the global order and stamp the partition id.
     The pid is monotone across the order (range partitioning invariant),
     so per-pid local scans + per-pid offsets compose to the exact global
-    scan. Partition boundaries come from Spark's reservoir sample and may
-    vary run-to-run — the derived ranks/prefix sums do NOT (they depend
-    only on the total order, which callers must make strict)."""
+    scan.
+
+    The stamped frame is localCheckpoint'd (tracked, so harnesses release
+    it): its two consumers (the local-rank branch and the per-pid counts
+    branch) MUST see the identical pid assignment, and without the
+    checkpoint that only holds when Catalyst's ReuseExchange dedups the two
+    range exchanges. Over some inputs (a checkpointed upstream, where
+    DeduplicateRelations re-ids one branch) reuse does NOT fire, each
+    exchange samples its own boundaries, and the composed ranks silently
+    duplicate/skip values. Materializing the exchange once makes the
+    invariant hold by construction; the cost is one write of the relation
+    to executor-local storage — the same price any MPP engine pays to pin
+    a consistent global order."""
+    from impalatogo_spark.session import tracked_persist
+
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
     d = df.repartitionByRange(int(n), *cols)
-    return d.withColumn("__pid", F.spark_partition_id())
+    return tracked_persist(d.withColumn("__pid", F.spark_partition_id()))
 
 
 def global_row_number(

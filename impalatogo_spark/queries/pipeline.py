@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from impalatogo_spark.operators import dedup as D
+from impalatogo_spark.operators import maintenance as MT
 from impalatogo_spark.operators import multimodal as M
+from impalatogo_spark.operators import scale as SC
 from impalatogo_spark.operators import similarity as S
 from impalatogo_spark.operators import sketches as K
 from impalatogo_spark.operators import text as X
@@ -4369,3 +4371,129 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_inter").cast("long").alias("exact_inter"),
         )
     )
+
+
+_Z_BITS = 12
+_Z_FILES = 32
+_Z_XLO, _Z_XHI = 10, 40
+
+
+@register(
+    "layout_zorder_pruning",
+    oracle=f"""
+WITH t AS (
+  SELECT event_id, user_id % 4096 AS x,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tt
+  FROM events
+),
+b AS (SELECT min(tt) AS t0, max(tt) AS t1,
+             min(x) AS x0, max(x) AS x1, count(*) AS n FROM t),
+z AS (
+  SELECT event_id, x, tt,
+         {MT.morton_code_sql('(x - x0) * 4096 // (x1 - x0 + 1)',
+                             '(tt - t0) * 4096 // (t1 - t0 + 1)', _Z_BITS)} AS zv
+  FROM t, b
+),
+box AS (
+  SELECT {_Z_XLO} AS xlo, {_Z_XHI} AS xhi,
+         t0 + (t1 - t0) // 3 AS tlo, t0 + 2 * (t1 - t0) // 3 AS thi
+  FROM b
+),
+nat AS (SELECT x, tt, ntile({_Z_FILES}) OVER (ORDER BY tt, event_id) AS f FROM z),
+zord AS (SELECT x, tt, ntile({_Z_FILES}) OVER (ORDER BY zv, event_id) AS f FROM z),
+natf AS (SELECT f, min(x) AS mnx, max(x) AS mxx, min(tt) AS mnt, max(tt) AS mxt
+         FROM nat GROUP BY f),
+zf AS (SELECT f, min(x) AS mnx, max(x) AS mxx, min(tt) AS mnt, max(tt) AS mxt
+       FROM zord GROUP BY f),
+scans AS (
+  SELECT 'natural' AS layout, count(*) AS files_total,
+         CAST(sum(CASE WHEN mnx <= xhi AND mxx >= xlo
+                        AND mnt <= thi AND mxt >= tlo THEN 1 ELSE 0 END)
+              AS BIGINT) AS files_scanned
+  FROM natf, box
+  UNION ALL
+  SELECT 'zorder' AS layout, count(*) AS files_total,
+         CAST(sum(CASE WHEN mnx <= xhi AND mxx >= xlo
+                        AND mnt <= thi AND mxt >= tlo THEN 1 ELSE 0 END)
+              AS BIGINT) AS files_scanned
+  FROM zf, box
+),
+m AS (
+  SELECT count(*) AS rows_matched FROM z, box
+  WHERE x BETWEEN xlo AND xhi AND tt BETWEEN tlo AND thi
+)
+SELECT layout, files_total, files_scanned, rows_matched
+FROM scans, m ORDER BY layout
+""",
+    tags=("layout", "scale"),
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified Z-order layout win: lay events out into {_Z_FILES} files
+    two ways — natural (time-append) order vs Morton-interleaved
+    (user_id, time) — and count how many files a min/max-footer-pruning
+    reader must touch for one user-range x time-range box predicate.
+
+    The layout machinery is operators/maintenance.py::morton_code (the
+    zorder_write pass); the file split is the sanctioned two-level
+    global rank (operators/scale.py::global_row_number + ntile_from_rank),
+    never a partition-less window. BOTH dims are range-bucketed to 12 bits
+    before interleaving — interleaving raw values lets the wider-range key
+    own every varying high bit and gives the narrow key no clustering at
+    all (the normalization note on zorder_write; measured here: without it
+    the zorder layout scanned exactly as many files as natural). All arithmetic is integer, so the DuckDB oracle
+    reproduces the file assignment bit-for-bit. rows_matched is carried to
+    show both layouts answer the same query — only the I/O differs.
+    Reference parity: the reference leaves layout to LOAD DATA +
+    PARQUET_FILE_SIZE (be/src/service/query-options.cc); at 100 TB layout
+    IS the scan-cost knob."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 4096).alias("x"),
+        F.unix_timestamp("ts").alias("tt"),
+    )
+    bounds = ev.agg(
+        F.min("tt").alias("t0"), F.max("tt").alias("t1"),
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    base = tracked_persist(
+        ev.crossJoin(F.broadcast(bounds)).select(
+            "event_id", "x", "tt", "n",
+            MT.morton_code(
+                F.expr("(x - x0) * 4096 div (x1 - x0 + 1)"),
+                F.expr("(tt - t0) * 4096 div (t1 - t0 + 1)"),
+                _Z_BITS,
+            ).alias("zv"),
+            F.expr("t0 + (t1 - t0) div 3").alias("tlo"),
+            F.expr("t0 + 2 * (t1 - t0) div 3").alias("thi"),
+        )
+    )
+
+    def layout_scan(name: str, order_cols: list) -> DataFrame:
+        r = SC.global_row_number(base, order_cols, out="rn")
+        f = r.select(
+            SC.ntile_from_rank(F.col("rn"), F.col("n"), _Z_FILES).alias("f"),
+            "x", "tt", "tlo", "thi",
+        )
+        files = f.groupBy("f").agg(
+            F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+            F.min("tt").alias("mnt"), F.max("tt").alias("mxt"),
+            F.min("tlo").alias("tlo"), F.min("thi").alias("thi"),
+        )
+        hit = (
+            (F.col("mnx") <= _Z_XHI) & (F.col("mxx") >= _Z_XLO)
+            & (F.col("mnt") <= F.col("thi")) & (F.col("mxt") >= F.col("tlo"))
+        )
+        return files.agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(hit.cast("int")).cast("long").alias("files_scanned"),
+        ).select(F.lit(name).alias("layout"), "files_total", "files_scanned")
+
+    scans = layout_scan("natural", ["tt", "event_id"]).unionByName(
+        layout_scan("zorder", ["zv", "event_id"])
+    )
+    matched = base.filter(
+        F.col("x").between(_Z_XLO, _Z_XHI)
+        & (F.col("tt") >= F.col("tlo")) & (F.col("tt") <= F.col("thi"))
+    ).agg(F.count(F.lit(1)).alias("rows_matched"))
+    return scans.crossJoin(F.broadcast(matched)).orderBy("layout")

@@ -376,3 +376,30 @@ def test_parallelize_small_scan(spark, sf_dir):
     # already wide: no-op (same plan object, no extra exchange)
     again = parallelize_small_scan(wide.repartition(16), min_partitions=8)
     assert again.rdd.getNumPartitions() == 16
+
+
+def test_global_row_number_permutation_over_checkpointed_input(spark, sf_dir):
+    """Regression: global_row_number's local-rank and per-pid-counts
+    branches consume the range-stamped frame twice. Over a checkpointed
+    upstream (tracked_persist), DeduplicateRelations re-ids one branch,
+    ReuseExchange does NOT dedup the two range exchanges, and each sampled
+    its own boundaries — composed ranks silently duplicated/skipped values
+    (observed: 9,945 distinct over 10,000 rows). _with_range_pid now
+    checkpoints the stamped frame so the pid assignment is materialized
+    once, by construction."""
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.operators.scale import global_row_number
+    from impalatogo_spark.session import release_persisted, table, tracked_persist
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("tt")
+    )
+    bounds = ev.agg(F.count(F.lit(1)).alias("n"))
+    base = tracked_persist(ev.crossJoin(F.broadcast(bounds)))
+    n = base.count()
+    for _ in range(2):  # twice: boundary sampling is per-instantiation
+        r = global_row_number(base, ["tt", "event_id"], out="rn")
+        rns = [x["rn"] for x in r.select("rn").collect()]
+        assert len(set(rns)) == n and max(rns) == n and min(rns) == 1
+    release_persisted()
