@@ -220,8 +220,11 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     # merged associatively, KMV bottom-k set-operation estimates
     "sketch_hll_mergeable",
     "sketch_kmv_intersection",
-    # round 5 (session 2, cont.): quantified Z-order layout pruning
+    # round 5 (session 2, cont.): quantified Z-order layout pruning,
+    # distributed PCA (integer-exact covariance + driver-eig projection)
     "layout_zorder_pruning",
+    "embedding_covariance_topk",
+    "embedding_pca_project",
 ]
 RUNS = 3
 

@@ -4497,3 +4497,43 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tt") >= F.col("tlo")) & (F.col("tt") <= F.col("thi"))
     ).agg(F.count(F.lit(1)).alias("rows_matched"))
     return scans.crossJoin(F.broadcast(matched)).orderBy("layout")
+
+
+@register(
+    "embedding_covariance_topk",
+    oracle=S.gram_oracle_sql() + """
+ORDER BY abs(CAST(sum(p) AS BIGINT)) DESC, i, j LIMIT 40
+""",
+    tags=("embedding", "pca"),
+)
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment (covariance) matrix of the embedding
+    corpus — the first stage of PCA/whitening — via integer-exact Gram
+    partials: each Arrow batch contributes Q^T Q (BLAS) as 2,080
+    upper-triangle rows, so the shuffle is O(batches x dims^2) and NEVER
+    O(rows) — the plan that still works when the corpus is 100 TB (at that
+    scale promote the final sum to decimal(38,0)). Quantization
+    floor(f64(x) * 2^20) keeps both engines bit-identical (the float-width
+    rule: cast to double BEFORE arithmetic on both sides). Top-40 entries
+    by |covariance| with (i, j) tie-breaks."""
+    return (
+        S.covariance_matrix(_t(spark, sf_dir, "embeddings"))
+        .orderBy(F.abs(F.col("cov_q")).desc(), "i", "j")
+        .limit(40)
+    )
+
+
+@register(
+    "embedding_pca_project",
+    tags=("embedding", "pca"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PCA pipeline: distributed integer-exact covariance ->
+    driver-side eigh over the 2,080 collected scalars (bounded by contract)
+    -> broadcast the 8 principal axes back as a tiny DataFrame -> one
+    zip_with/aggregate projection per (row, component), pivoted to pc0..pc7
+    via conditional aggregates. Rows-only at the driver gate (eigenvectors
+    are not SQL-expressible); tests/test_pca.py cross-checks coordinates,
+    orthonormality, and explained-variance ordering against numpy on the
+    collected corpus."""
+    return S.pca_project(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
