@@ -225,6 +225,10 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "layout_zorder_pruning",
     "embedding_covariance_topk",
     "embedding_pca_project",
+    # round 5 (session 2, cont.): IR-quality eval harness, similarity-based
+    # corpus reordering (compression-locality audit)
+    "retrieval_eval_metrics",
+    "corpus_similarity_ordering",
 ]
 RUNS = 3
 

@@ -4537,3 +4537,254 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     orthonormality, and explained-variance ordering against numpy on the
     collected corpus."""
     return S.pca_project(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+# IR-quality gains as shared integer literals: round(1e6 / log2(r+1)) for
+# ranks 1..10 plus ideal-DCG prefix sums — computed ONCE driver-side so
+# neither engine evaluates log2 (libm last-ulp behavior is not pinned),
+# and integer sums are order-independent.
+_IR_K = 10
+
+
+def _ir_gains() -> tuple[dict, dict]:
+    import math
+
+    g = {r: round(1e6 / math.log2(r + 1)) for r in range(1, _IR_K + 1)}
+    idcg = {k: sum(g[r] for r in range(1, k + 1)) for k in range(1, _IR_K + 1)}
+    return g, idcg
+
+
+def _ir_gain_case(rank_col: str) -> str:
+    g, _ = _ir_gains()
+    whens = " ".join(f"WHEN {r} THEN {g[r]}" for r in g)
+    return f"(CASE {rank_col} {whens} ELSE 0 END)"
+
+
+def _ir_idcg_case(k_col: str) -> str:
+    _, idcg = _ir_gains()
+    whens = " ".join(f"WHEN {k} THEN {idcg[k]}" for k in idcg)
+    return f"(CASE {k_col} {whens} END)"
+
+
+_IR_DOT = " + ".join(f"(q.qv[{d}] * c.qv[{d}])" for d in range(1, 65))
+
+
+@register(
+    "retrieval_eval_metrics",
+    oracle=f"""
+WITH cq AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 65536) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id >= 20
+),
+qq AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 65536) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 20
+),
+nrel AS (
+  SELECT q.vec_id AS qid, count(*) AS n_rel
+  FROM qq q JOIN cq c ON c.label = q.label GROUP BY q.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY ({_IR_DOT}) DESC, c.vec_id) AS rnk
+  FROM qq q, cq c
+),
+agg AS (
+  SELECT s.qid, max(n.n_rel) AS n_rel, sum(s.rel) AS hits,
+         min(CASE WHEN s.rel = 1 THEN s.rnk END) AS frank,
+         sum(s.rel * {_ir_gain_case('s.rnk')}) AS dcg
+  FROM scored s JOIN nrel n ON n.qid = s.qid
+  WHERE s.rnk <= {_IR_K}
+  GROUP BY s.qid
+)
+SELECT qid, n_rel,
+  round(CAST(hits AS DOUBLE) / least({_IR_K}, n_rel), 4) AS recall10,
+  round(CASE WHEN frank IS NULL THEN CAST(0 AS DOUBLE)
+             ELSE CAST(1 AS DOUBLE) / frank END, 4) AS mrr,
+  round(CAST(dcg AS DOUBLE) / {_ir_idcg_case(f'least({_IR_K}, n_rel)')}, 4)
+    AS ndcg
+FROM agg ORDER BY qid
+""",
+    tags=("retrieval", "eval"),
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: recall@10, MRR, and nDCG@10
+    of exact inner-product search, with label agreement as graded
+    relevance — the offline gate run before shipping an ANN index or an
+    embedding model swap.
+
+    Determinism recipe: scores are INTEGER dot products of floor(f64 * 2^16)
+    quantized vectors (exact, order-independent); DCG gains and ideal-DCG
+    denominators are integer literal tables computed once driver-side
+    (neither engine evaluates log2); each metric ends in ONE mirrored float
+    division. Ranking ties break on corpus vec_id. The broadcast 20-query
+    side + per-query TopN window is the same shape as brute_force_topk —
+    corpus-parallel, no all-pairs blowup beyond the intended q x corpus
+    scoring."""
+    e = _t(spark, sf_dir, "embeddings")
+    quant = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        "v -> CAST(floor(v * 65536) AS BIGINT))"
+    )
+    corpus = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("clabel"),
+        F.explode(F.array(F.expr(quant))).alias("cqv"),
+    )
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.explode(F.array(F.expr(quant))).alias("qqv"),
+    )
+    nrel = (
+        queries.join(
+            corpus.groupBy("clabel").agg(F.count(F.lit(1)).alias("n_rel")),
+            queries.qlabel == F.col("clabel"),
+        ).select("qid", "n_rel")
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("cqv"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid", "cid",
+        (F.col("qlabel") == F.col("clabel")).cast("int").alias("rel"),
+        score.alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    )
+    top = scored.select("qid", "rel", rnk.alias("rnk")).filter(
+        F.col("rnk") <= _IR_K
+    )
+    agg = (
+        top.join(F.broadcast(nrel), "qid")
+        .groupBy("qid")
+        .agg(
+            F.max("n_rel").alias("n_rel"),
+            F.sum("rel").alias("hits"),
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("frank"),
+            F.sum(F.col("rel") * F.expr(_ir_gain_case("rnk"))).alias("dcg"),
+        )
+    )
+    return agg.select(
+        "qid", "n_rel",
+        F.expr(f"round(CAST(hits AS DOUBLE) / least({_IR_K}, n_rel), 4)")
+        .alias("recall10"),
+        F.expr(
+            "round(CASE WHEN frank IS NULL THEN CAST(0 AS DOUBLE) "
+            "ELSE CAST(1 AS DOUBLE) / frank END, 4)"
+        ).alias("mrr"),
+        F.expr(
+            f"round(CAST(dcg AS DOUBLE) / "
+            f"{_ir_idcg_case(f'least({_IR_K}, n_rel)')}, 4)"
+        ).alias("ndcg"),
+    ).orderBy("qid")
+
+
+@register(
+    "corpus_similarity_ordering",
+    oracle=f"""
+WITH sh AS ({D.word_shingles_oracle()}),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+hashed AS (
+  SELECT id, ({K._hex_poly_sql('hx', 8)}) AS h
+  FROM (SELECT id, md5(g) AS hx FROM sh)
+),
+sig AS (
+  SELECT id, min(({D._MH_A[0]} * h + {D._MH_B[0]}) % {D.P_MERSENNE}) AS mh0
+  FROM hashed GROUP BY id
+),
+keyed AS (SELECT s.id, s.mh0, z.n FROM sig s JOIN sizes z USING (id)),
+rnat AS (SELECT id, n, row_number() OVER (ORDER BY id) AS rn FROM keyed),
+rmh AS (SELECT id, n, row_number() OVER (ORDER BY mh0, id) AS rn FROM keyed),
+pnat AS (SELECT a.id AS aid, b.id AS bid, a.n AS na, b.n AS nb
+         FROM rnat a JOIN rnat b ON b.rn = a.rn + 1),
+pmh AS (SELECT a.id AS aid, b.id AS bid, a.n AS na, b.n AS nb
+        FROM rmh a JOIN rmh b ON b.rn = a.rn + 1),
+inat AS (SELECT p.aid, p.bid, count(*) AS inter
+         FROM pnat p JOIN sh sa ON sa.id = p.aid
+                     JOIN sh sb ON sb.id = p.bid AND sb.g = sa.g
+         GROUP BY p.aid, p.bid),
+imh AS (SELECT p.aid, p.bid, count(*) AS inter
+        FROM pmh p JOIN sh sa ON sa.id = p.aid
+                   JOIN sh sb ON sb.id = p.bid AND sb.g = sa.g
+        GROUP BY p.aid, p.bid),
+m AS (
+  SELECT 'natural' AS layout, count(*) AS pairs,
+         sum((coalesce(i.inter, 0) * 1000000)
+             // (p.na + p.nb - coalesce(i.inter, 0))) AS s
+  FROM pnat p LEFT JOIN inat i ON i.aid = p.aid AND i.bid = p.bid
+  UNION ALL
+  SELECT 'minhash' AS layout, count(*) AS pairs,
+         sum((coalesce(i.inter, 0) * 1000000)
+             // (p.na + p.nb - coalesce(i.inter, 0))) AS s
+  FROM pmh p LEFT JOIN imh i ON i.aid = p.aid AND i.bid = p.bid
+)
+SELECT layout, pairs, CAST(s // pairs AS BIGINT) AS mean_adj_jaccard_ppm
+FROM m ORDER BY layout
+""",
+    tags=("dedup", "layout", "scale"),
+)
+def corpus_similarity_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-based corpus reordering audit: rewrite order documents by
+    their first MinHash (similar docs become neighbors) and measure the
+    mean adjacent-pair Jaccard versus the natural doc_id order. Higher
+    adjacent similarity is the storage lever: general-purpose compressors
+    see redundant shingles inside one window, so a similarity-ordered
+    100 TB corpus packs measurably smaller with zero information loss.
+
+    All-integer contract (mean in ppm via integer division — no float
+    anywhere), so the DuckDB oracle is exact. The orderings ride the
+    two-level global rank (never a partition-less window); adjacency is a
+    rank self-join with explicit aliases (same-lineage rule); per-pair
+    intersections join the shingle stream against the O(N) adjacent-pair
+    map — never an all-pairs product."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = tracked_persist(D.word_shingles(docs))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sig = D.minhash_signatures(sh).select("id", "mh0")
+    keyed = tracked_persist(sig.join(sizes, "id"))
+
+    def layout_mean(name: str, order_cols: list) -> DataFrame:
+        r = SC.global_row_number(keyed, order_cols, out="rn").select(
+            "id", "n", "rn"
+        )
+        a, b = r.alias("a"), r.alias("b")
+        pairs = a.join(b, F.col("b.rn") == F.col("a.rn") + 1).select(
+            F.col("a.id").alias("aid"), F.col("b.id").alias("bid"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        nxt = pairs.select("aid", "bid")
+        inter = (
+            sh.join(nxt, sh.id == nxt.aid)
+            .select("bid", "g")
+            .join(
+                sh.select(F.col("id").alias("bid2"), F.col("g").alias("g2")),
+                (F.col("bid") == F.col("bid2")) & (F.col("g") == F.col("g2")),
+            )
+            .groupBy("bid")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        scored = pairs.join(inter, "bid", "left").select(
+            F.expr(
+                "(coalesce(inter, 0) * 1000000)"
+                " div (na + nb - coalesce(inter, 0))"
+            ).alias("jppm")
+        )
+        return scored.agg(
+            F.count(F.lit(1)).alias("pairs"), F.sum("jppm").alias("s")
+        ).select(
+            F.lit(name).alias("layout"), "pairs",
+            F.expr("s div pairs").alias("mean_adj_jaccard_ppm"),
+        )
+
+    return layout_mean("natural", ["id"]).unionByName(
+        layout_mean("minhash", ["mh0", "id"])
+    ).orderBy("layout")
