@@ -465,6 +465,24 @@ METHODS = {
                        GET_EXEC_SUMMARY_RESP),
     "GetRuntimeProfile": ({1: ("req", GET_RUNTIME_PROFILE_REQ)},
                           GET_RUNTIME_PROFILE_RESP),
+    # Delegation-token trio (TCLIService.thrift): answered, not supported —
+    # HiveServer2 itself rejects these outside kerberos deployments, and a
+    # client that probes them must get a well-formed ERROR_STATUS frame,
+    # never an unknown-method exception that kills the transport.
+    "GetDelegationToken": (
+        {1: ("req", ("struct", {1: ("sessionHandle", SESSION_HANDLE),
+                                2: ("owner", "str"),
+                                3: ("renewer", "str")}))},
+        ("struct", {1: ("status", STATUS),
+                    2: ("delegationToken", "str")})),
+    "CancelDelegationToken": (
+        {1: ("req", ("struct", {1: ("sessionHandle", SESSION_HANDLE),
+                                2: ("delegationToken", "str")}))},
+        STATUS_RESP),
+    "RenewDelegationToken": (
+        {1: ("req", ("struct", {1: ("sessionHandle", SESSION_HANDLE),
+                                2: ("delegationToken", "str")}))},
+        STATUS_RESP),
 }
 
 APP_EXCEPTION = ("struct", {1: ("message", "str"), 2: ("type", "i32")})
@@ -869,6 +887,19 @@ class HS2ThriftServer:
         self._wait_done(raw)
         o = I2SServer._finished(raw)
         return {"status": _ok_status(), "profile": o.profile}
+
+    _DELEGATION_MSG = ("Delegation tokens are not supported: this daemon "
+                       "does not run kerberized (HiveServer2 rejects these "
+                       "calls outside kerberos deployments too)")
+
+    def _h_GetDelegationToken(self, req: dict) -> dict:
+        return {"status": _err_status(self._DELEGATION_MSG)}
+
+    def _h_CancelDelegationToken(self, req: dict) -> dict:
+        return {"status": _err_status(self._DELEGATION_MSG)}
+
+    def _h_RenewDelegationToken(self, req: dict) -> dict:
+        return {"status": _err_status(self._DELEGATION_MSG)}
 
     def _finished_op(self, handle: dict) -> _Operation:
         _, _, o = self._op(handle)

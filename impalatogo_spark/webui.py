@@ -27,7 +27,7 @@ from urllib.parse import parse_qs, urlparse
 from .server import I2SServer, _AsyncOperation
 
 _PAGES = ("queries", "sessions", "admission", "metrics", "memz",
-          "rpcz", "threadz", "catalog", "logs")
+          "rpcz", "threadz", "catalog", "logs", "varz")
 
 
 class _RingHandler(logging.Handler):
@@ -258,6 +258,41 @@ class WebUI:
         the glog stream): session/query lifecycle, admission decisions."""
         lines = list(self._log_ring.ring)
         return {"lines": lines, "num_lines": len(lines)}
+
+    def varz(self) -> dict:
+        """Process configuration dump (the reference /varz page prints the
+        daemon's gflags, www/common-header: impala-server.cc flag registry):
+        serving-core knobs, the engine's full query-option table with
+        defaults + docs, and the Spark session confs this engine pins."""
+        from .engine import Engine
+
+        core = self.core
+        flags = {
+            "host": core._host, "port": core._port,
+            "sf_dir": core._sf_dir,
+            "fetch_window_rows": core.fetch_window_rows,
+            "fetch_idle_timeout_s": core.fetch_idle_timeout_s,
+            "idle_session_timeout_s": core.idle_session_timeout_s,
+        }
+        opts = [
+            {"option": k, "default": v, "doc": d}
+            for k, v, d in Engine(core._spark).default_configuration()
+        ]
+        pinned = (
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "spark.sql.session.timeZone",
+            "spark.sql.ansi.enabled",
+            "spark.sql.python.filterPushdown.enabled",
+            "spark.sql.sources.partitionOverwriteMode",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+        confs = [
+            {"conf": k, "value": core._spark.conf.get(k, "<unset>")}
+            for k in pinned
+        ]
+        return {"flags": flags, "query_options": opts,
+                "pinned_spark_confs": confs}
 
     # -- http plumbing --
 

@@ -805,3 +805,25 @@ def _fetch_v5_rows(host, port, sql):
         return out
     finally:
         c.close()
+
+
+def test_delegation_token_trio_well_formed_errors(hs2):
+    """GetDelegationToken / CancelDelegationToken / RenewDelegationToken
+    (TCLIService.thrift): answered with a well-formed ERROR_STATUS (code 3)
+    — HiveServer2 rejects these outside kerberos too — and the transport
+    survives (a plain query works on the same connection afterwards)."""
+    c = _client(hs2)
+    try:
+        sess = {"sessionHandle": c.session_handle}
+        # the committed client surfaces ERROR_STATUS as RuntimeError — the
+        # frame itself is well-formed (not a TApplicationException)
+        with pytest.raises(RuntimeError, match="not supported"):
+            c.call("GetDelegationToken",
+                   {**sess, "owner": "u", "renewer": "u"})
+        for m in ("CancelDelegationToken", "RenewDelegationToken"):
+            with pytest.raises(RuntimeError, match="not supported"):
+                c.call(m, {**sess, "delegationToken": "tok"})
+        op = c.execute("SELECT 1 AS one")
+        assert c.fetch_all(op) == [[1]]
+    finally:
+        c.close()

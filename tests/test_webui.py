@@ -296,3 +296,20 @@ def test_logs_page_tails_daemon_log(stack):
     assert "FINISHED: 1 row(s)" in text
     ctype, body = _get(base + "/logs")
     assert ctype.startswith("text/html") and "FINISHED" in body
+
+
+def test_varz_flags_and_option_table(stack):
+    """/varz (the reference's gflags dump, impala-server.cc flag registry):
+    serving-core knobs, the engine's query-option table with defaults, and
+    the pinned Spark session confs."""
+    core, (chost, cport), base = stack
+    v = _get_json(base + "/varz")
+    assert v["flags"]["fetch_window_rows"] == core.fetch_window_rows
+    opts = {row["option"]: row for row in v["query_options"]}
+    assert "MEM_LIMIT" in opts and "MAX_ERRORS" in opts
+    confs = {row["conf"]: row["value"] for row in v["pinned_spark_confs"]}
+    assert confs["spark.sql.session.timeZone"] == "UTC"
+    assert confs["spark.sql.ansi.enabled"] == "false"
+    assert confs["spark.sql.sources.partitionOverwriteMode"].lower() == "dynamic"
+    ctype, body = _get(base + "/varz")
+    assert ctype.startswith("text/html") and "MEM_LIMIT" in body
