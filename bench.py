@@ -229,6 +229,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     # corpus reordering (compression-locality audit)
     "retrieval_eval_metrics",
     "corpus_similarity_ordering",
+    "sketch_cms_heavy_hitters",
 ]
 RUNS = 3
 

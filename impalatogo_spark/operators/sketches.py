@@ -193,3 +193,50 @@ def kmv_sketch_sql(key_expr: str, from_clause: str, k: int = KMV_K) -> str:
 SELECT {h} AS h, k
 FROM (SELECT DISTINCT {key_expr} AS k FROM {from_clause})
 ORDER BY 1, 2 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency state
+# ---------------------------------------------------------------------------
+
+CMS_D = 4   # hash rows
+CMS_W = 64  # counters per row
+
+
+def cms_cells(df: DataFrame, key_col: str, shard_col: str) -> DataFrame:
+    """Per-shard Count-Min cells (shard, j, col, cnt): every input row
+    increments d counters, one per salted hash row j. The explode emits d
+    rows per input, but the map-side-combined groupBy collapses them to at
+    most shards * d * w cells on the wire — mergeable frequency state the
+    way hll_registers is mergeable distinct state (merge = cell-wise SUM).
+    """
+    cells = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (hash48(F.concat_ws("|", F.lit(str(j)), F.col(key_col).cast("string")))
+             % CMS_W).alias("col"),
+        )
+        for j in range(CMS_D)
+    ])
+    return (
+        df.select(F.col(shard_col).alias("shard"), F.explode(cells).alias("c"))
+        .groupBy("shard", F.col("c.j").alias("j"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_hash_sql(j: int, key_expr: str) -> str:
+    """DuckDB twin of one salted CMS hash column index."""
+    h = hash48_sql(f"'{j}' || '|' || CAST({key_expr} AS VARCHAR)")
+    return f"({h} % {CMS_W})"
+
+
+def cms_cells_sql(key_expr: str, shard_expr: str, from_clause: str) -> str:
+    """DuckDB twin of cms_cells (a UNION ALL over the d hash rows)."""
+    parts = " UNION ALL ".join(
+        f"SELECT {shard_expr} AS shard, {j} AS j, "
+        f"{cms_hash_sql(j, key_expr)} AS col FROM {from_clause}"
+        for j in range(CMS_D)
+    )
+    return (f"SELECT shard, j, col, count(*) AS cnt FROM ({parts}) "
+            f"GROUP BY shard, j, col")

@@ -4788,3 +4788,63 @@ def corpus_similarity_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_mean("natural", ["id"]).unionByName(
         layout_mean("minhash", ["mh0", "id"])
     ).orderBy("layout")
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+WITH cells AS ({K.cms_cells_sql('user_id', 'event_type', 'events')}),
+merged AS (SELECT j, col, sum(cnt) AS cnt FROM cells GROUP BY j, col),
+exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+  ORDER BY exact_cnt DESC, user_id LIMIT 10
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT user_id, exact_cnt, {j} AS j, "
+      f"{K.cms_hash_sql(j, 'user_id')} AS col FROM exact"
+      for j in range(K.CMS_D))}
+)
+SELECT p.user_id, max(p.exact_cnt) AS exact_cnt,
+       CAST(min(m.cnt) AS BIGINT) AS cms_est
+FROM probes p JOIN merged m ON m.j = p.j AND m.col = p.col
+GROUP BY p.user_id
+ORDER BY exact_cnt DESC, p.user_id
+""",
+    tags=("sketch", "scale"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates (Cormode & Muthukrishnan 2005)
+    for the top-10 heaviest users: per-event_type CMS cells built
+    independently (map-side-combined groupBy: at most shards * d * w cells
+    on the wire), MERGED by cell-wise sum — completing the mergeable-sketch
+    family (HLL = distinct, KMV = set ops, CMS = frequency). The estimate
+    min-over-d-rows is >= the exact count by construction (one-sided
+    error); exact counts ride along for honest inspection. All integer,
+    md5-salted rows, so the DuckDB oracle is bit-exact."""
+    ev = _t(spark, sf_dir, "events")
+    cells = K.cms_cells(ev, "user_id", "event_type")
+    merged = cells.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+    exact = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id").limit(10)
+    )
+    probes = exact.select(
+        "user_id", "exact_cnt",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (K.hash48(F.concat_ws(
+                    "|", F.lit(str(j)), F.col("user_id").cast("string")))
+                 % K.CMS_W).alias("col"),
+            )
+            for j in range(K.CMS_D)
+        ])).alias("p"),
+    ).select("user_id", "exact_cnt", "p.j", "p.col")
+    return (
+        probes.join(F.broadcast(merged), ["j", "col"])
+        .groupBy("user_id")
+        .agg(F.max("exact_cnt").alias("exact_cnt"),
+             F.min("cnt").alias("cms_est"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )

@@ -77,3 +77,36 @@ def test_sketches_deterministic_across_runs(spark, events):
     ra = sorted(map(tuple, K.hll_registers(events, "user_id", "event_type").collect()))
     rb = sorted(map(tuple, K.hll_registers(events, "user_id", "event_type").collect()))
     assert ra == rb
+
+
+def test_cms_merge_equals_direct_and_one_sided(spark, events):
+    """Cell-wise summing per-shard CMS cells == building one sketch over
+    all rows (merge associativity), and the min-over-rows estimate is a
+    one-sided overestimate of every key's true frequency."""
+    from impalatogo_spark.operators.sketches import CMS_D, CMS_W, cms_cells, hash48
+
+    sharded = cms_cells(events, "user_id", "event_type")
+    merged = {
+        (r["j"], r["col"]): r["c"]
+        for r in sharded.groupBy("j", "col")
+        .agg(F.sum("cnt").alias("c")).collect()
+    }
+    direct = {
+        (r["j"], r["col"]): r["cnt"]
+        for r in cms_cells(
+            events.withColumn("one", F.lit("x")), "user_id", "one"
+        ).collect()
+    }
+    assert merged == direct
+
+    exact = {r["user_id"]: r["c"] for r in
+             events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    probes = events.select("user_id").distinct().select(
+        "user_id",
+        *[(hash48(F.concat_ws("|", F.lit(str(j)),
+                              F.col("user_id").cast("string"))) % CMS_W)
+          .alias(f"c{j}") for j in range(CMS_D)],
+    ).collect()
+    for p in probes:
+        est = min(merged[(j, p[f"c{j}"])] for j in range(CMS_D))
+        assert est >= exact[p["user_id"]]
