@@ -230,6 +230,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "retrieval_eval_metrics",
     "corpus_similarity_ordering",
     "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
 ]
 RUNS = 3
 

@@ -4848,3 +4848,121 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("cnt").alias("cms_est"))
         .orderBy(F.col("exact_cnt").desc(), "user_id")
     )
+
+
+_HQ_W = 256  # histogram buckets
+_HQ_EST = (
+    "( (lo + (bkt * (hi - lo + 1)) {D} {W})"
+    "  + (((target - cum_before - 1)"
+    "      * (((bkt + 1) * (hi - lo + 1)) {D} {W}"
+    "         - (bkt * (hi - lo + 1)) {D} {W}))"
+    "     {D} cnt_b) )"
+)
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_returnflag AS shard
+  FROM lineitem
+),
+bnd AS (SELECT min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c),
+cells AS (
+  SELECT shard, least({_HQ_W - 1}, (cents - lo) * {_HQ_W} // (hi - lo + 1))
+           AS bkt,
+         count(*) AS cnt
+  FROM c, bnd GROUP BY shard, bkt
+),
+merged AS (SELECT bkt, sum(cnt) AS cnt_b FROM cells GROUP BY bkt),
+cum AS (
+  SELECT bkt, cnt_b,
+         coalesce(sum(cnt_b) OVER (ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM merged
+),
+targets AS (
+  SELECT q, (q * n + 99) // 100 AS target, lo, hi
+  FROM bnd, (SELECT unnest([50, 90, 99]) AS q)
+),
+est AS (
+  SELECT t.q,
+         CAST({_HQ_EST.format(D='//', W=_HQ_W)} AS BIGINT) AS est_cents
+  FROM targets t JOIN cum c
+    ON c.cum_before < t.target AND t.target <= c.cum_before + c.cnt_b
+  -- unqualified bkt/cnt_b/cum_before from c; lo/hi/target from t
+),
+vals AS (SELECT cents, count(*) AS cnt FROM c GROUP BY cents),
+pre AS (SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM vals),
+ex AS (
+  SELECT t.q, min(p.cents) AS exact_cents
+  FROM targets t JOIN pre p ON p.cum >= t.target GROUP BY t.q
+)
+SELECT e.q, e.est_cents, x.exact_cents
+FROM est e JOIN ex x ON x.q = e.q ORDER BY e.q
+""",
+    tags=("sketch", "scale"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimates (p50/p90/p99 of extendedprice
+    cents): per-returnflag 256-bucket integer histograms built
+    independently (shuffle O(shards x 256) cells), merged by bucket-wise
+    sum, quantiles read off the merged cumulative with deterministic
+    integer interpolation inside the covering bucket. Exact quantiles ride
+    along via the scalable distinct-value prefix (global_running_sum —
+    never a rows-sized single-reducer window). Completes the mergeable
+    family: HLL distinct, KMV set ops, CMS frequency, histogram quantiles.
+    All integer arithmetic — the DuckDB oracle is bit-exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_returnflag").alias("shard"),
+    )
+    bnd = li.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                 F.count(F.lit(1)).alias("n"))
+    cells = (
+        li.crossJoin(F.broadcast(bnd))
+        .groupBy(
+            "shard",
+            F.expr(f"least({_HQ_W - 1}, "
+                   f"(cents - lo) * {_HQ_W} div (hi - lo + 1))").alias("bkt"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = cells.groupBy("bkt").agg(F.sum("cnt").alias("cnt_b"))
+    from pyspark.sql import Window as W
+
+    wb = (
+        W.partitionBy(F.col("bkt") % 1)  # non-foldable: 256-row window
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = merged.select(
+        "bkt", "cnt_b",
+        F.coalesce(F.sum("cnt_b").over(wb), F.lit(0)).alias("cum_before"),
+    )
+    targets = bnd.select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q"),
+        "lo", "hi", "n",
+    ).select(
+        "q", F.expr("(q * n + 99) div 100").alias("target"), "lo", "hi"
+    )
+    est = (
+        targets.crossJoin(F.broadcast(cum))
+        .filter(
+            (F.col("cum_before") < F.col("target"))
+            & (F.col("target") <= F.col("cum_before") + F.col("cnt_b"))
+        )
+        .select("q", F.expr(_HQ_EST.format(D="div", W=_HQ_W))
+                .cast("long").alias("est_cents"))
+    )
+    vals = li.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    pre = SC.global_running_sum(vals, ["cents"], "cnt", out="cum")
+    ex = (
+        pre.crossJoin(F.broadcast(targets.select("q", "target")))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("q")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return est.join(ex, "q").orderBy("q")
