@@ -335,3 +335,79 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("window_start", "rnk")
     )
+
+
+from impalatogo_spark.operators import sketches as _K  # noqa: E402
+
+_S_HLL_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type AS shard, {_K.hash48_sql('user_id')} AS h FROM events
+),
+regs AS (
+  SELECT shard, h % {_K.HLL_M} AS bucket,
+         max(least(1 + bit_count(((h // {_K.HLL_M}) & -(h // {_K.HLL_M})) - 1),
+                   {_K.HASH_BITS - 5 + 1})) AS m_rho
+  FROM hashed GROUP BY shard, h % {_K.HLL_M}
+),
+aggd AS (
+  SELECT shard, sum(1.0 / (1::BIGINT << m_rho)) AS s_inv, count(*) AS cnt
+  FROM regs GROUP BY shard
+)
+SELECT shard, {_K.hll_estimate_case_sql()} AS hll_est
+FROM aggd ORDER BY shard
+"""
+
+
+@register(
+    "streaming_sketch_hll",
+    oracle=_S_HLL_ORACLE,
+    tags=("streaming", "sketch"),
+)
+def streaming_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained HLL registers over a stream: each
+    foreachBatch merges the batch's per-shard registers into a versioned
+    register snapshot (max per bucket). The payoff vs the batch sketch:
+    foreachBatch is at-least-once, and register max-merge is IDEMPOTENT —
+    a replayed batch is absorbed with no overcount, so this needs no
+    batch-id bookkeeping at all (contrast streaming_ingest_dedup's id
+    note). The oracle is the batch HLL over all events: availableNow
+    replay must land on the identical registers. Snapshot dirs are
+    per-invocation unique (no cross-session path races)."""
+    import os
+    import tempfile
+    import uuid
+
+    from impalatogo_spark.operators.sketches import hll_estimate, hll_registers
+    from impalatogo_spark.streaming.events import events_stream
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"i2s_stream_hll_{uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(root, exist_ok=True)
+    latest: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, "user_id", "event_type")
+        if latest:
+            cur = spark.read.parquet(latest[-1])
+            regs = (
+                cur.unionByName(regs)
+                .groupBy("shard", "bucket")
+                .agg(F.max("m_rho").alias("m_rho"))
+            )
+        out = os.path.join(root, f"v{batch_id:06d}_{uuid.uuid4().hex[:6]}")
+        regs.write.mode("overwrite").parquet(out)
+        latest.append(out)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    regs = spark.read.parquet(latest[-1])
+    return _materialize_for_teardown(
+        hll_estimate(regs, ["shard"]).orderBy("shard")
+    )

@@ -110,3 +110,34 @@ def test_cms_merge_equals_direct_and_one_sided(spark, events):
     for p in probes:
         est = min(merged[(j, p[f"c{j}"])] for j in range(CMS_D))
         assert est >= exact[p["user_id"]]
+
+
+def test_streaming_hll_multibatch_and_replay_idempotent(spark, sf_dir, tmp_path):
+    """The streaming register maintenance contract: (a) two single-file
+    micro-batches merge to the same registers as one batch build; (b) a
+    REPLAYED batch (foreachBatch at-least-once) is absorbed by max-merge
+    with zero drift — the idempotence that lets streaming_sketch_hll skip
+    batch-id bookkeeping."""
+    from impalatogo_spark.operators.sketches import hll_registers
+    from impalatogo_spark.session import table
+
+    ev = table(spark, sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+
+    def regmap(df):
+        return {(r["shard"], r["bucket"]): r["m_rho"] for r in df.collect()}
+
+    def merge(cur, batch):
+        return (
+            cur.unionByName(batch).groupBy("shard", "bucket")
+            .agg(F.max("m_rho").alias("m_rho"))
+        )
+
+    ra = hll_registers(half_a, "user_id", "event_type")
+    rb = hll_registers(half_b, "user_id", "event_type")
+    merged = merge(ra, rb)
+    direct = hll_registers(ev, "user_id", "event_type")
+    assert regmap(merged) == regmap(direct)
+    # replay batch b a second time: absorbed, no drift
+    assert regmap(merge(merged, rb)) == regmap(direct)
