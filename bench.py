@@ -231,6 +231,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "corpus_similarity_ordering",
     "sketch_cms_heavy_hitters",
     "sketch_histogram_quantiles",
+    "ann_topk_binary_rerank",
 ]
 RUNS = 3
 

@@ -4966,3 +4966,118 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cents").alias("exact_cents"))
     )
     return est.join(ex, "q").orderBy("q")
+
+
+def _sign_code_sql(arr: str, lo_dim: int, engine: str) -> str:
+    """32-bit sign code over dims [lo_dim, lo_dim+32): bit k set iff
+    component > 0 (sign tests carry no float-width ambiguity). Identical
+    arithmetic on both engines; only the array indexing differs (Spark SQL
+    arrays are 0-based via element_at's 1-based cousin — we use
+    element_at(arr, d+1); DuckDB lists are 1-based)."""
+    terms = []
+    for k in range(32):
+        d = lo_dim + k
+        idx = (f"element_at({arr}, {d + 1})" if engine == "spark"
+               else f"{arr}[{d + 1}]")
+        terms.append(f"(CASE WHEN {idx} > 0 THEN {1 << k} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_BRR_SHORTLIST = 32
+_BRR_K = 5
+
+
+@register(
+    "ann_topk_binary_rerank",
+    oracle=f"""
+WITH cb AS (
+  SELECT vec_id AS cid,
+         {_sign_code_sql('embedding', 0, 'duck')} AS c_lo,
+         {_sign_code_sql('embedding', 32, 'duck')} AS c_hi,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 65536) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id >= 10
+),
+qb AS (
+  SELECT vec_id AS qid,
+         {_sign_code_sql('embedding', 0, 'duck')} AS q_lo,
+         {_sign_code_sql('embedding', 32, 'duck')} AS q_hi,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 65536) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+ham AS (
+  SELECT q.qid, c.cid,
+         bit_count(CAST(xor(q.q_lo, c.c_lo) AS BIGINT))
+         + bit_count(CAST(xor(q.q_hi, c.c_hi) AS BIGINT)) AS hamming,
+         ({_IR_DOT}) AS dot
+  FROM qb q, cb c
+),
+short AS (
+  SELECT qid, cid, hamming, dot,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY hamming, cid) AS hrnk
+  FROM ham
+),
+rer AS (
+  SELECT qid, cid, hamming, dot,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot DESC, cid) AS rnk
+  FROM short WHERE hrnk <= {_BRR_SHORTLIST}
+)
+SELECT qid, rnk, cid, hamming, dot FROM rer WHERE rnk <= {_BRR_K}
+ORDER BY qid, rnk
+""",
+    tags=("similarity", "ann"),
+)
+def ann_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN with exact rerank — the 64x-compression rung of
+    the ANN ladder (brute/LSH/IVF/IVF-PQ/int8 + binary): each vector
+    compresses to one sign bit per dimension (two 32-bit words), the
+    shortlist is Hamming distance (xor + popcount — pure ALU, no floats,
+    the form a SIMD scan does over packed codes), and only the
+    {_BRR_SHORTLIST}-candidate shortlist touches real vectors for the exact
+    integer-dot rerank. At 100 TB the Hamming pass reads 8 bytes/vector
+    instead of 256 — memory-bandwidth-bound like the IVF-PQ ADC path, and
+    embarrassingly scan-parallel. Sign tests + integer dots keep the DuckDB
+    oracle bit-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    quant = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        "v -> CAST(floor(v * 65536) AS BIGINT))"
+    )
+
+    def coded(df: DataFrame, id_alias: str, pre: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.expr(_sign_code_sql("embedding", 0, "spark")).alias(f"{pre}_lo"),
+            F.expr(_sign_code_sql("embedding", 32, "spark")).alias(f"{pre}_hi"),
+            F.explode(F.array(F.expr(quant))).alias(f"{pre}qv"),
+        )
+    corpus = coded(e.filter(F.col("vec_id") >= 10), "cid", "c")
+    queries = coded(e.filter(F.col("vec_id") < 10), "qid", "q")
+    dot = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("cqv"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    ham = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid", "cid",
+        (F.bit_count(F.expr("q_lo ^ c_lo").cast("long"))
+         + F.bit_count(F.expr("q_hi ^ c_hi").cast("long"))).alias("hamming"),
+        dot.alias("dot"),
+    )
+    from pyspark.sql import Window as W
+
+    short = ham.withColumn(
+        "hrnk",
+        F.row_number().over(W.partitionBy("qid").orderBy("hamming", "cid")),
+    ).filter(F.col("hrnk") <= _BRR_SHORTLIST)
+    rer = short.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("dot").desc(), "cid")
+        ),
+    ).filter(F.col("rnk") <= _BRR_K)
+    return rer.select("qid", "rnk", "cid", "hamming", "dot").orderBy(
+        "qid", "rnk"
+    )

@@ -429,3 +429,38 @@ def test_ivf_persisted_index_reused_across_batches(spark, sf_dir, tmp_path,
         .withColumn("vec_id", F.col("vec_id") + 1_000_000)
     S.ivf_index_append_batch(extra, snap, batch_id="b2")
     assert S.load_ivf_assignments(spark, snap).count() == n_all + 10
+
+
+def test_binary_rerank_recall_vs_exact(spark, sf_dir):
+    """ann_topk_binary_rerank quality gate: the Hamming-shortlisted exact
+    rerank must recover most of the TRUE integer-dot top-5 (sign codes of
+    64-dim vectors keep enough signal for a 32-candidate shortlist; the
+    value-parity of the query itself is driver-gated)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.queries import all_queries
+    from impalatogo_spark.session import table
+
+    got = all_queries()["ann_topk_binary_rerank"].spark_fn(spark, sf_dir)
+    approx = {(r["qid"], r["cid"]) for r in got.collect()}
+
+    e = table(spark, sf_dir, "embeddings")
+    quant = ("transform(CAST(embedding AS ARRAY<DOUBLE>), "
+             "v -> CAST(floor(v * 65536) AS BIGINT))")
+    corpus = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        F.explode(F.array(F.expr(quant))).alias("cqv"))
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.explode(F.array(F.expr(quant))).alias("qqv"))
+    dot = F.aggregate(F.zip_with(F.col("qqv"), F.col("cqv"), lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    exact = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid", "cid", dot.alias("dot")).withColumn(
+        "rnk", F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("dot").desc(), "cid"))
+    ).filter(F.col("rnk") <= 5)
+    truth = {(r["qid"], r["cid"]) for r in exact.collect()}
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.5, f"binary-shortlist recall collapsed: {recall:.2f}"
