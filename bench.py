@@ -232,6 +232,10 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "sketch_cms_heavy_hitters",
     "sketch_histogram_quantiles",
     "ann_topk_binary_rerank",
+    # round 5 (session 2, cont.): pre-publish validation report,
+    # referentially-consistent dev-subset sampling
+    "table_expectations",
+    "sample_referential",
 ]
 RUNS = 3
 

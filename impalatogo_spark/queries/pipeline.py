@@ -5081,3 +5081,179 @@ def ann_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rer.select("qid", "rnk", "cid", "hamming", "dot").orderBy(
         "qid", "rnk"
     )
+
+
+@register(
+    "table_expectations",
+    oracle="""
+WITH e1 AS (
+  SELECT 'lineitem_pk_unique' AS expectation,
+         count(*) AS checked,
+         count(*) - count(DISTINCT l_orderkey * 16 + l_linenumber)
+           AS violations
+  FROM lineitem
+),
+e2 AS (
+  SELECT 'orders_custkey_fk' AS expectation,
+         count(*) AS checked,
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS violations
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+),
+e3 AS (
+  SELECT 'quantity_in_range' AS expectation,
+         count(*) AS checked,
+         sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+           AS violations
+  FROM lineitem
+),
+e4 AS (
+  SELECT 'shipdate_not_null' AS expectation,
+         count(*) AS checked,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS violations
+  FROM lineitem
+),
+e5 AS (
+  SELECT 'discount_in_unit_range' AS expectation,
+         count(*) AS checked,
+         sum(CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN 0 ELSE 1 END)
+           AS violations
+  FROM lineitem
+)
+SELECT expectation, checked, CAST(violations AS BIGINT) AS violations,
+       CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
+FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL
+      SELECT * FROM e3 UNION ALL SELECT * FROM e4 UNION ALL
+      SELECT * FROM e5)
+ORDER BY expectation
+""",
+    tags=("pipeline", "validation"),
+)
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the warehouse — the
+    validation report a 100 TB ingest runs before publishing a snapshot:
+    composite-PK uniqueness (lineitem), FK integrity (orders -> customer,
+    LEFT JOIN null probe — broadcastable dim), domain range (quantity),
+    null checks, and a unit-interval domain check (discount).
+    Each expectation is one scan-side aggregate (count/sum over CASE) —
+    no row-level materialization of violations, so the report costs one
+    pass per table at any scale. All integer; oracle-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+
+    e1 = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        (F.count(F.lit(1)) - F.countDistinct(
+            F.col("l_orderkey") * 16 + F.col("l_linenumber")))
+        .alias("violations"),
+    ).select(F.lit("lineitem_pk_unique").alias("expectation"),
+             "checked", "violations")
+    e2 = (
+        od.join(F.broadcast(cu.select("c_custkey")),
+                od.o_custkey == cu.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("checked"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .alias("violations"),
+        )
+        .select(F.lit("orders_custkey_fk").alias("expectation"),
+                "checked", "violations")
+    )
+    e3 = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1))
+        .alias("violations"),
+    ).select(F.lit("quantity_in_range").alias("expectation"),
+             "checked", "violations")
+    e4 = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .alias("violations"),
+    ).select(F.lit("shipdate_not_null").alias("expectation"),
+             "checked", "violations")
+    e5 = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(F.when((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+                     0).otherwise(1)).alias("violations"),
+    ).select(F.lit("discount_in_unit_range").alias("expectation"),
+             "checked", "violations")
+
+    rep = e1.unionByName(e2).unionByName(e3).unionByName(e4).unionByName(e5)
+    return rep.select(
+        "expectation", "checked",
+        F.col("violations").cast("long").alias("violations"),
+        F.when(F.col("violations") == 0, 1).otherwise(0)
+        .cast("int").alias("pass"),
+    ).orderBy("expectation")
+
+
+@register(
+    "sample_referential",
+    oracle=f"""
+WITH so AS (
+  SELECT o_orderkey FROM orders
+  WHERE {K.hash48_sql('o_orderkey')} % 10 = 0
+),
+sl AS (
+  SELECT l.l_orderkey FROM lineitem l JOIN so ON so.o_orderkey = l.l_orderkey
+),
+tot AS (
+  SELECT (SELECT count(*) FROM orders) AS orders_total,
+         (SELECT count(*) FROM so) AS orders_sampled,
+         (SELECT count(*) FROM lineitem) AS lineitem_total,
+         (SELECT count(*) FROM sl) AS lineitem_sampled,
+         (SELECT count(*) FROM sl l
+          WHERE NOT EXISTS (SELECT 1 FROM so WHERE so.o_orderkey = l.l_orderkey))
+           AS orphans
+)
+SELECT orders_total, orders_sampled, lineitem_total, lineitem_sampled,
+       orphans,
+       round(CAST(orders_sampled AS DOUBLE) / orders_total, 4)
+         AS order_rate,
+       round(CAST(lineitem_sampled AS DOUBLE) / lineitem_total, 4)
+         AS lineitem_rate
+FROM tot
+""",
+    tags=("pipeline", "sampling", "scale"),
+)
+def sample_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-consistent sampling: hash-select 10% of ORDERS by
+    md5(o_orderkey), then take exactly the lineitems of sampled orders —
+    the way a coherent dev subset is cut from a 100 TB warehouse (sampling
+    each table independently would orphan ~90% of child rows and break
+    every join in the subset). Deterministic (hash, not rand), so the
+    subset is reproducible across runs and engines; the orphans column
+    proves closure (always 0 by construction). Child selection is one
+    key join (broadcastable sample-key set at dev-subset rates)."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    so = tracked_persist(
+        od.filter(K.hash48(F.col("o_orderkey")) % 10 == 0)
+        .select("o_orderkey")
+    )
+    sl = tracked_persist(
+        li.join(F.broadcast(so), li.l_orderkey == so.o_orderkey)
+        .select("l_orderkey")
+    )
+    orphans = (
+        sl.join(so, sl.l_orderkey == so.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    tot = (
+        od.agg(F.count(F.lit(1)).alias("orders_total"))
+        .crossJoin(F.broadcast(so.agg(
+            F.count(F.lit(1)).alias("orders_sampled"))))
+        .crossJoin(F.broadcast(li.agg(
+            F.count(F.lit(1)).alias("lineitem_total"))))
+        .crossJoin(F.broadcast(sl.agg(
+            F.count(F.lit(1)).alias("lineitem_sampled"))))
+        .crossJoin(F.broadcast(orphans))
+    )
+    return tot.select(
+        "orders_total", "orders_sampled", "lineitem_total",
+        "lineitem_sampled", "orphans",
+        F.expr("round(CAST(orders_sampled AS DOUBLE) / orders_total, 4)")
+        .alias("order_rate"),
+        F.expr("round(CAST(lineitem_sampled AS DOUBLE) / lineitem_total, 4)")
+        .alias("lineitem_rate"),
+    )
