@@ -236,6 +236,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     # referentially-consistent dev-subset sampling
     "table_expectations",
     "sample_referential",
+    "agg_incremental_rollup",
 ]
 RUNS = 3
 

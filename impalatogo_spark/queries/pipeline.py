@@ -5257,3 +5257,61 @@ def sample_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(CAST(lineitem_sampled AS DOUBLE) / lineitem_total, 4)")
         .alias("lineitem_rate"),
     )
+
+
+@register(
+    "agg_incremental_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100, 4) AS avg_qty
+FROM lineitem WHERE l_orderkey % 100 <> 0
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "ivm", "scale"),
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for a distributive rollup
+    (the TPC-H Q1 state): the MV is per-group (count, integer-cent sums)
+    partials; an INSERT delta merges with sign +1 and a RETRACTION delta
+    with sign -1, all through ONE signed union + groupBy — the rollup is
+    never recomputed from the base. Executed here as base (orderkey%10!=0)
+    + insert delta (%10==0) - retraction delta (%100==0); the oracle is
+    the DIRECT recompute over the equivalent final row set, so the gate
+    proves incremental == recompute. At 100 TB this is the difference
+    between touching O(delta) and O(corpus) per refresh; derived columns
+    (avg) are computed at read time from the maintained partials."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            (F.count(F.lit(1)) * sign).alias("n"),
+            (F.sum("qc") * sign).alias("sum_qty_cents"),
+            (F.sum("pc") * sign).alias("sum_price_cents"),
+        )
+
+    base = partials(li.filter(F.col("l_orderkey") % 10 != 0), 1)
+    ins = partials(li.filter(F.col("l_orderkey") % 10 == 0), 1)
+    ret = partials(li.filter(F.col("l_orderkey") % 100 == 0), -1)
+    state = (
+        base.unionByName(ins).unionByName(ret)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("n").alias("n"),
+             F.sum("sum_qty_cents").alias("sum_qty_cents"),
+             F.sum("sum_price_cents").alias("sum_price_cents"))
+        .filter(F.col("n") > 0)
+    )
+    return state.select(
+        "l_returnflag", "l_linestatus", "n",
+        "sum_qty_cents", "sum_price_cents",
+        F.expr("round(CAST(sum_qty_cents AS DOUBLE) / n / 100, 4)")
+        .alias("avg_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")
