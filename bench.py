@@ -237,6 +237,8 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "table_expectations",
     "sample_referential",
     "agg_incremental_rollup",
+    "table_fingerprints",
+    "table_storage_report",
 ]
 RUNS = 3
 

@@ -5315,3 +5315,146 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(CAST(sum_qty_cents AS DOUBLE) / n / 100, 4)")
         .alias("avg_qty"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+def _fp_parts(table: str, cols: list[str]) -> tuple:
+    """Order-insensitive table fingerprint parts shared by both engines:
+    per-row 48-bit md5 of the '|'-joined column values (NULL spelled as a
+    sentinel), summed in 38-digit decimal (a 64-bit sum overflows at
+    ~2^15 rows), reduced mod 2^48."""
+    spark_concat = "concat_ws('|', " + ", ".join(
+        f"coalesce(CAST({c} AS STRING), '<N>')" for c in cols) + ")"
+    duck_concat = " || '|' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '<N>')" for c in cols)
+    return spark_concat, duck_concat
+
+
+_FP_TABLES = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey"],
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+    "lineitem": ["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice"],
+}
+
+
+@register(
+    "table_fingerprints",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{t}' AS table_name, count(*) AS n_rows,
+        CAST(sum({{h}}) % {K.HASH_SPACE} AS BIGINT) AS fingerprint
+        FROM {t}""".format(
+            h=K.hash48_sql(f"({_fp_parts(t, cols)[1]})"))
+        for t, cols in sorted(_FP_TABLES.items())
+    ) + " ORDER BY table_name",
+    tags=("pipeline", "validation", "scale"),
+)
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprints for the warehouse tables —
+    the cross-engine integrity check a migration or replication pipeline
+    runs: per-row 48-bit md5 over canonicalized columns (NULL sentinel),
+    summed commutatively (decimal(38) accumulator — a 64-bit sum
+    overflows), reduced mod 2^48. Any engine that holds the same rows
+    computes the same fingerprint regardless of partitioning, file order,
+    or row order — one scan + one scalar per table at any scale. The
+    DuckDB oracle IS the second engine."""
+    outs = []
+    for t, cols in sorted(_FP_TABLES.items()):
+        df = _t(spark, sf_dir, t)
+        spark_concat, _ = _fp_parts(t, cols)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr(
+                    f"CAST(sum(CAST({{0}} AS DECIMAL(38,0))) "
+                    f"% {K.HASH_SPACE} AS BIGINT)".format(
+                        "conv(substring(md5(CAST(" + spark_concat
+                        + " AS STRING)), 1, 12), 16, 10)")
+                ).alias("fingerprint"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "fingerprint")
+        )
+    rep = outs[0]
+    for o in outs[1:]:
+        rep = rep.unionByName(o)
+    return rep.orderBy("table_name")
+
+
+@register(
+    "table_storage_report",
+    oracle="""
+WITH cols AS (
+  SELECT 'l_returnflag' AS column_name,
+         count(*) AS n_rows,
+         count(DISTINCT l_returnflag) AS n_distinct,
+         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_null,
+         sum(length(CAST(l_returnflag AS VARCHAR))) AS total_chars
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', count(*), count(DISTINCT l_linestatus),
+         sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+         sum(length(CAST(l_linestatus AS VARCHAR)))
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', count(*), count(DISTINCT l_orderkey),
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+         sum(length(CAST(l_orderkey AS VARCHAR)))
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', count(*), count(DISTINCT l_quantity),
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+         sum(length(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)))
+  FROM lineitem
+)
+SELECT column_name, n_rows,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_null AS BIGINT) AS n_null,
+       (n_distinct * 10000) // n_rows AS distinct_bp,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CASE WHEN n_distinct * 10 <= n_rows THEN 1 ELSE 0 END
+         AS dict_candidate
+FROM cols ORDER BY column_name
+""",
+    tags=("pipeline", "validation"),
+)
+def table_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout advisor: per-column cardinality, null counts, and
+    rendered width over lineitem, with a dictionary-encoding candidate
+    flag (NDV <= 10% of rows) — the profile that decides encodings,
+    sort keys, and bloom-filter columns before a 100 TB rewrite
+    (COMPUTE STATS' planner twin, aimed at the storage layer instead of
+    the optimizer). distinct_bp is basis points via integer division; one
+    pass per column expression, all integer, oracle-exact. Note
+    l_quantity's width is measured over its BIGINT rendering on both
+    sides — Spark renders whole DOUBLEs as '26.0' where DuckDB gives
+    '26.0' too, but trailing-format parity is not part of the contract."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def col_report(c: str, length_expr: str) -> DataFrame:
+        return li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col(c)).alias("n_distinct"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.expr(length_expr)).alias("total_chars"),
+        ).select(F.lit(c).alias("column_name"), "n_rows", "n_distinct",
+                 "n_null", "total_chars")
+
+    parts = [
+        col_report("l_returnflag", "length(CAST(l_returnflag AS STRING))"),
+        col_report("l_linestatus", "length(CAST(l_linestatus AS STRING))"),
+        col_report("l_orderkey", "length(CAST(l_orderkey AS STRING))"),
+        col_report("l_quantity",
+                   "length(CAST(CAST(l_quantity AS BIGINT) AS STRING))"),
+    ]
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    return rep.select(
+        "column_name", "n_rows",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.expr("(n_distinct * 10000) div n_rows").alias("distinct_bp"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.expr("CASE WHEN n_distinct * 10 <= n_rows THEN 1 ELSE 0 END")
+        .cast("int").alias("dict_candidate"),
+    ).orderBy("column_name")
