@@ -239,6 +239,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "agg_incremental_rollup",
     "table_fingerprints",
     "table_storage_report",
+    "dedup_jaccard_prefix_filter",
 ]
 RUNS = 3
 

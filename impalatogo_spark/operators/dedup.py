@@ -1153,3 +1153,28 @@ clean AS (
 SELECT doc_id, n_kept, length(txt) AS clean_len, md5(txt) AS clean_md5
 FROM clean ORDER BY doc_id
 """
+
+
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document DISTINCT shingle SET as an array column (id, arr, n):
+    the compact carrier for candidate-pair verification — joining two
+    ~50-element arrays and size(array_intersect(..)) beats re-joining the
+    exploded shingle stream twice (the stream is 50x more rows to persist
+    and shuffle). Same grams as word_shingles (split behind the Generate
+    barrier, array_distinct for set semantics)."""
+    from impalatogo_spark.operators import split_words
+
+    words = F.col("__words")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1)
+                                     for k in range(n)]),
+    )
+    return (
+        split_words(df.select(F.col(id_col).alias("id"), F.col(text_col)),
+                    text_col=text_col, out="__words")
+        .filter(F.size(words) >= n)
+        .select("id", F.array_distinct(grams).alias("arr"))
+        .withColumn("n", F.size("arr"))
+    )

@@ -5458,3 +5458,77 @@ def table_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN n_distinct * 10 <= n_rows THEN 1 ELSE 0 END")
         .cast("int").alias("dict_candidate"),
     ).orderBy("column_name")
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT id, g AS w FROM ({D.word_shingles_oracle()})
+),
+sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON b.w = a.w AND b.id > a.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       (i * 1000000) // (na.n + nb.n - i) AS jacc_ppm
+FROM inter JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+WHERE 5 * i >= 4 * (na.n + nb.n - i)
+ORDER BY id_a, id_b
+""",
+    tags=("dedup", "scale"),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity self-join (the PPJoin family:
+    Chaudhuri et al. 2006, Xiao et al. 2008) at Jaccard >= 0.5 over
+    3-gram shingle sets: order every document's tokens by GLOBAL rarity (df asc, token),
+    index only each document's first |x| - ceil(0.5|x|) + 1 tokens, and
+    generate candidates ONLY from prefix-token collisions — two documents
+    with disjoint prefixes provably cannot reach the threshold, so the
+    filter is LOSSLESS. The oracle is the NAIVE all-pairs ground truth
+    (not a mirror of the filter): the gate proves losslessness, the exact
+    property that makes this THE ssjoin plan at 100 TB, where indexing
+    full shingle sets melts the equijoin on boilerplate shingles. Verification uses
+    the integer predicate 2*i >= union — no float anywhere."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    # per-doc shingle SETS as arrays: 1 row/doc to persist, and candidate
+    # verification is size(array_intersect(..)) on two ~50-element arrays
+    # instead of two joins against the 50x-bigger exploded stream
+    arrs = tracked_persist(D.shingle_arrays(docs))
+    tok = arrs.select("id", "n", F.explode("arr").alias("w"))
+    df_tok = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(df_tok, "w")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("id").orderBy("df", "w")),
+        )
+        .filter(F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1)
+        .select("id", "w")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"),
+              (F.col("a.w") == F.col("b.w"))
+              & (F.col("b.id") > F.col("a.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a"),
+                     F.col("n").alias("na"))
+    ab = arrs.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b"),
+                     F.col("n").alias("nb"))
+    return (
+        cand.join(aa, "id_a").join(ab, "id_b")
+        .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(5 * F.col("i") >= 4 * (F.col("na") + F.col("nb") - F.col("i")))
+        .select(
+            "id_a", "id_b",
+            F.expr("(i * 1000000) div (na + nb - i)").alias("jacc_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
