@@ -299,11 +299,12 @@ def test_hs2_unknown_method_is_application_exception(hs2):
 
         t_methods_backup = dict(t.METHODS)
         # teach only the CLIENT a method the server doesn't implement
-        t.METHODS["RenewDelegationToken"] = (
+        # (the delegation-token trio is now served, so invent one)
+        t.METHODS["FrobnicateOperation"] = (
             {1: ("req", t.OP_REQ)}, t.STATUS_RESP)
         try:
             with pytest.raises(RuntimeError, match="unknown method"):
-                c.call("RenewDelegationToken",
+                c.call("FrobnicateOperation",
                        {"operationHandle": {
                            "operationId": {"guid": b"\0" * 16,
                                            "secret": b"\0" * 16},
