@@ -240,6 +240,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "table_fingerprints",
     "table_storage_report",
     "dedup_jaccard_prefix_filter",
+    # round 5 (session 2, cont.): release-governance + experimentation
+    "privacy_k_anonymity",
+    "events_ab_cuped",
 ]
 RUNS = 3
 

@@ -5532,3 +5532,168 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+           AS bal_bucket
+  FROM customer
+),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS sz
+  FROM q GROUP BY c_nationkey, c_mktsegment, bal_bucket
+),
+tot AS (SELECT count(*) AS n_rows, count(*) FILTER (TRUE) AS _x FROM q),
+ks AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT k,
+       (SELECT count(*) FROM grp) AS qi_groups,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       (sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 10000)
+         // (SELECT n_rows FROM tot) AS at_risk_bp
+FROM ks, grp
+GROUP BY k ORDER BY k
+""",
+    tags=("pipeline", "privacy", "validation"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market segment,
+    account-balance bucket): for k in {2, 5, 10}, how many QI equivalence
+    classes are smaller than k and what fraction of ROWS sits in them —
+    the re-identification risk report a dataset passes before external
+    release. One groupBy builds the class sizes; every k reads the same
+    tiny class table (shuffle O(classes), not O(rows)). The balance
+    bucket shifts cents positive before integer division (floor-vs-trunc
+    on negatives is an engine divergence). All integer; at-risk share in
+    basis points via integer division."""
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000)"
+               " div 100000").alias("bal_bucket"),
+    )
+    grp = tracked_persist(
+        cu.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    tot = cu.agg(F.count(F.lit(1)).alias("n_rows"))
+    ngrp = grp.agg(F.count(F.lit(1)).alias("qi_groups"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    )
+    per_k = (
+        ks.crossJoin(grp)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("long").alias("groups_below_k"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("long").alias("rows_below_k"),
+        )
+    )
+    return (
+        per_k.crossJoin(F.broadcast(ngrp)).crossJoin(F.broadcast(tot))
+        .select(
+            "k", "qi_groups", "groups_below_k", "rows_below_k",
+            F.expr("(rows_below_k * 10000) div n_rows").alias("at_risk_bp"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "events_ab_cuped",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS variant,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+           AS pre_c,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+           AS post_c
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT count(*) AS n, CAST(sum(pre_c) AS BIGINT) AS sx,
+         CAST(sum(post_c) AS BIGINT) AS sy,
+         CAST(sum(pre_c * pre_c) AS BIGINT) AS sxx,
+         CAST(sum(pre_c * post_c) AS BIGINT) AS sxy
+  FROM per_user
+),
+v AS (
+  SELECT variant, count(*) AS n_users,
+         CAST(sum(pre_c) AS BIGINT) AS v_pre,
+         CAST(sum(post_c) AS BIGINT) AS v_post
+  FROM per_user GROUP BY variant
+)
+SELECT variant, n_users,
+  round(CAST(v_post AS DOUBLE) / n_users / 100, 4) AS mean_post,
+  round((CAST(v_post AS DOUBLE) / n_users
+         - (CAST(n * sxy - sx * sy AS DOUBLE)
+            / (n * sxx - sx * sx))
+           * (CAST(v_pre AS DOUBLE) / n_users
+              - CAST(sx AS DOUBLE) / n)) / 100, 4) AS mean_adj,
+  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+    AS theta
+FROM v, pooled ORDER BY variant
+""",
+    tags=("events", "experiment"),
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): adjust
+    each variant's post-period mean by theta * (pre-period deviation),
+    theta = cov(pre, post)/var(pre) from the pooled pre-experiment data —
+    the standard trick that cancels between-user variance a raw diff of
+    means carries. Determinism recipe: per-user pre/post sums are integer
+    cents, the pooled moments are exact integer aggregates (n*sxy - sx*sy
+    etc.), and every float step is ONE textually-mirrored expression over
+    those integers. One groupBy over users + two scalar aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    cut = "TIMESTAMP '2024-01-16 00:00:00'"
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(f"sum(CASE WHEN ts < {cut} "
+               "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)")
+        .alias("pre_c"),
+        F.expr(f"sum(CASE WHEN ts >= {cut} "
+               "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)")
+        .alias("post_c"),
+    ).select(F.expr("user_id % 2").alias("variant"), "pre_c", "post_c")
+    per_user = tracked_persist(per_user)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_c").cast("long").alias("sx"),
+        F.sum("post_c").cast("long").alias("sy"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).cast("long").alias("sxx"),
+        F.sum(F.col("pre_c") * F.col("post_c")).cast("long").alias("sxy"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pre_c").cast("long").alias("v_pre"),
+        F.sum("post_c").cast("long").alias("v_post"),
+    )
+    return (
+        v.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant", "n_users",
+            F.expr("round(CAST(v_post AS DOUBLE) / n_users / 100, 4)")
+            .alias("mean_post"),
+            F.expr(
+                "round((CAST(v_post AS DOUBLE) / n_users"
+                " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+                "    / (n * sxx - sx * sx))"
+                "   * (CAST(v_pre AS DOUBLE) / n_users"
+                "      - CAST(sx AS DOUBLE) / n)) / 100, 4)"
+            ).alias("mean_adj"),
+            F.expr(
+                "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / (n * sxx - sx * sx), 6)"
+            ).alias("theta"),
+        )
+        .orderBy("variant")
+    )
