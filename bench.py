@@ -243,6 +243,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     # round 5 (session 2, cont.): release-governance + experimentation
     "privacy_k_anonymity",
     "events_ab_cuped",
+    "corpus_packing_efficiency",
 ]
 RUNS = 3
 

@@ -5697,3 +5697,94 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+_PACK_SEQ = 512
+
+
+@register(
+    "corpus_packing_efficiency",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         least(len(string_split(text, ' ')), {_PACK_SEQ}) AS n_tok
+  FROM documents
+),
+naive AS (
+  SELECT 'naive_1doc' AS strategy,
+         count(*) AS sequences,
+         CAST(sum({_PACK_SEQ} - n_tok) AS BIGINT) AS padding_tokens
+  FROM toks
+),
+bucketed AS (
+  SELECT 'bucketed_4' AS strategy,
+         count(*) AS sequences,
+         CAST(sum(CASE WHEN n_tok <= 128 THEN 128 - n_tok
+                       WHEN n_tok <= 256 THEN 256 - n_tok
+                       WHEN n_tok <= 384 THEN 384 - n_tok
+                       ELSE {_PACK_SEQ} - n_tok END) AS BIGINT)
+           AS padding_tokens
+  FROM toks
+),
+concatp AS (
+  SELECT 'concat_split' AS strategy,
+         (sum(n_tok) + {_PACK_SEQ - 1}) // {_PACK_SEQ} AS sequences,
+         ((sum(n_tok) + {_PACK_SEQ - 1}) // {_PACK_SEQ}) * {_PACK_SEQ}
+           - sum(n_tok) AS padding_tokens
+  FROM toks
+)
+SELECT strategy, CAST(sequences AS BIGINT) AS sequences,
+       CAST(padding_tokens AS BIGINT) AS padding_tokens,
+       (padding_tokens * 10000)
+         // (sequences * {_PACK_SEQ}) AS waste_bp
+FROM (SELECT * FROM naive UNION ALL SELECT * FROM bucketed
+      UNION ALL SELECT * FROM concatp)
+ORDER BY strategy
+""",
+    tags=("corpus", "packing"),
+)
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency audit at seq_len=512: padding waste
+    under (a) one-doc-per-sequence, (b) 4 length buckets (the
+    bucketed-batching compromise), (c) concat-and-split packing (waste
+    only in the final sequence) — the numbers that decide how a training
+    run turns documents into fixed-length batches, where strategy (a) at
+    100 TB literally doubles the token bill. Token counts are whitespace
+    words capped at seq_len; all integer, waste in basis points via
+    integer division. One scan, three scalar aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    from impalatogo_spark.operators import split_words
+
+    toks = tracked_persist(
+        split_words(docs.select("doc_id", "text"))
+        .select(F.least(F.size("__w"), F.lit(_PACK_SEQ)).alias("n_tok"))
+    )
+    naive = toks.agg(
+        F.count(F.lit(1)).alias("sequences"),
+        F.sum(F.lit(_PACK_SEQ) - F.col("n_tok")).cast("long")
+        .alias("padding_tokens"),
+    ).select(F.lit("naive_1doc").alias("strategy"),
+             "sequences", "padding_tokens")
+    bucketed = toks.agg(
+        F.count(F.lit(1)).alias("sequences"),
+        F.sum(
+            F.when(F.col("n_tok") <= 128, 128 - F.col("n_tok"))
+            .when(F.col("n_tok") <= 256, 256 - F.col("n_tok"))
+            .when(F.col("n_tok") <= 384, 384 - F.col("n_tok"))
+            .otherwise(F.lit(_PACK_SEQ) - F.col("n_tok"))
+        ).cast("long").alias("padding_tokens"),
+    ).select(F.lit("bucketed_4").alias("strategy"),
+             "sequences", "padding_tokens")
+    concatp = toks.agg(F.sum("n_tok").alias("s")).select(
+        F.lit("concat_split").alias("strategy"),
+        F.expr(f"(s + {_PACK_SEQ - 1}) div {_PACK_SEQ}").alias("sequences"),
+        F.expr(f"((s + {_PACK_SEQ - 1}) div {_PACK_SEQ}) * {_PACK_SEQ} - s")
+        .alias("padding_tokens"),
+    )
+    rep = naive.unionByName(bucketed).unionByName(concatp)
+    return rep.select(
+        "strategy", F.col("sequences").cast("long").alias("sequences"),
+        F.col("padding_tokens").cast("long").alias("padding_tokens"),
+        F.expr(f"(padding_tokens * 10000) div (sequences * {_PACK_SEQ})")
+        .alias("waste_bp"),
+    ).orderBy("strategy")

@@ -411,3 +411,48 @@ def streaming_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_for_teardown(
         hll_estimate(regs, ["shard"]).orderBy("shard")
     )
+
+
+@register(
+    "streaming_static_enrichment",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS n,
+       sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY segment, event_type
+""",
+    tags=("streaming",),
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the streaming side joins a STATIC
+    dimension (customer) that Spark broadcasts per micro-batch — the
+    standard dimension-lookup shape (no watermark needed on the static
+    side, unlike stream-stream joins). availableNow replay + complete-mode
+    rollup must reproduce the batch join exactly. user_id maps to
+    c_custkey via +1 (the synthetic keys are 0- vs 1-based)."""
+    from impalatogo_spark.session import table
+    from impalatogo_spark.streaming.events import (
+        events_stream,
+        run_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        stream.join(F.broadcast(cust),
+                    cust.c_custkey == stream.user_id + 1)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .alias("value_cents"),
+        )
+    )
+    out = run_available_now(spark, enriched, output_mode="complete")
+    return _materialize_for_teardown(
+        out.orderBy("segment", "event_type")
+    )
