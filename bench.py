@@ -244,6 +244,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "privacy_k_anonymity",
     "events_ab_cuped",
     "corpus_packing_efficiency",
+    "multimodal_audio_constellation",
 ]
 RUNS = 3
 

@@ -5788,3 +5788,104 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(padding_tokens * 10000) div (sequences * {_PACK_SEQ})")
         .alias("waste_bp"),
     ).orderBy("strategy")
+
+
+_AC_T = 32      # spectrogram frames per doc
+_AC_FAN = 3     # targets per anchor (fan-out)
+_AC_QOFF = 5    # query snippet offset into the source track
+_AC_QLEN = 20   # query snippet frames
+
+
+@register(
+    "multimodal_audio_constellation",
+    oracle=f"""
+WITH peaks AS (
+  SELECT doc_id, CAST(t.range AS BIGINT) AS t,
+         {K.hash48_sql("substr(text, CAST(t.range AS INTEGER) * 8 + 1, 8)")}
+           % 64 AS f
+  FROM documents, range({_AC_T}) t
+  WHERE CAST(t.range AS BIGINT) < length(text) // 8
+),
+fp AS (
+  SELECT a.doc_id, a.t AS t_anchor,
+         a.f * 256 + b.f * 4 + (b.t - a.t) AS h
+  FROM peaks a JOIN peaks b
+    ON b.doc_id = a.doc_id AND b.t > a.t AND b.t <= a.t + {_AC_FAN}
+),
+src AS (
+  SELECT min(doc_id) AS qdoc FROM documents WHERE n_chars >= 300
+),
+qfp AS (
+  SELECT f.t_anchor - {_AC_QOFF} AS qt, f.h
+  FROM fp f, src
+  WHERE f.doc_id = src.qdoc
+    AND f.t_anchor >= {_AC_QOFF} AND f.t_anchor < {_AC_QOFF + _AC_QLEN}
+),
+votes AS (
+  SELECT c.doc_id, c.t_anchor - q.qt AS off, count(*) AS votes
+  FROM fp c JOIN qfp q ON q.h = c.h
+  GROUP BY c.doc_id, c.t_anchor - q.qt
+)
+SELECT doc_id, off, votes FROM votes
+ORDER BY votes DESC, doc_id, off LIMIT 5
+""",
+    tags=("multimodal", "similarity"),
+)
+def multimodal_audio_constellation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint matching, the constellation/offset-voting shape
+    (Wang 2003, the Shazam paper): each track's spectrogram peaks become
+    anchor-target pair hashes (f1, f2, dt), a query SNIPPET (a {_AC_QLEN}-
+    frame cut at offset {_AC_QOFF}) joins the corpus fingerprint index on
+    the pair hash, and the (track, time-offset) vote histogram peaks at
+    the true source — robust to the snippet's unknown position, which a
+    plain vector match is not. The 'spectrogram' is the repo's documented
+    multimodal stub (deterministic md5 peaks per 8-char frame; swap for a
+    real FFT executor-side); the index/join/voting plumbing is the real
+    thing and is pure integer, so the DuckDB oracle is exact. Fingerprint
+    join is hash-equi (shuffle O(fingerprints)), never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    peaks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_AC_T - 1))).alias("t"),
+        "text",
+    ).filter(
+        F.col("t") < F.expr("length(text) div 8")
+    ).select(
+        "doc_id", F.col("t").cast("long").alias("t"),
+        (K.hash48(F.expr("substr(text, CAST(t AS INT) * 8 + 1, 8)")) % 64)
+        .alias("f"),
+    )
+    peaks = tracked_persist(peaks)
+    a, b = peaks.alias("a"), peaks.alias("b")
+    fp = tracked_persist(
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.t") > F.col("a.t"))
+            & (F.col("b.t") <= F.col("a.t") + _AC_FAN),
+        ).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.t").alias("t_anchor"),
+            (F.col("a.f") * 256 + F.col("b.f") * 4
+             + (F.col("b.t") - F.col("a.t"))).alias("h"),
+        )
+    )
+    src = docs.filter(F.col("n_chars") >= 300).agg(
+        F.min("doc_id").alias("qdoc")
+    )
+    qfp = (
+        fp.crossJoin(F.broadcast(src))
+        .filter(
+            (F.col("doc_id") == F.col("qdoc"))
+            & (F.col("t_anchor") >= _AC_QOFF)
+            & (F.col("t_anchor") < _AC_QOFF + _AC_QLEN)
+        )
+        .select((F.col("t_anchor") - _AC_QOFF).alias("qt"),
+                F.col("h").alias("qh"))
+    )
+    votes = (
+        fp.join(F.broadcast(qfp), fp.h == qfp.qh)
+        .groupBy("doc_id", (F.col("t_anchor") - F.col("qt")).alias("off"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    return votes.orderBy(F.col("votes").desc(), "doc_id", "off").limit(5)
