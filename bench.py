@@ -245,6 +245,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_ab_cuped",
     "corpus_packing_efficiency",
     "multimodal_audio_constellation",
+    "events_attribution_shapley",
 ]
 RUNS = 3
 

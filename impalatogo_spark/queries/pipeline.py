@@ -5889,3 +5889,107 @@ def multimodal_audio_constellation(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("votes"))
     )
     return votes.orderBy(F.col("votes").desc(), "doc_id", "off").limit(5)
+
+
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]  # bit order
+
+
+def _shapley_pairs_values() -> str:
+    """The 4-channel Shapley subset enumeration as a VALUES literal both
+    engines parse identically: (channel, s_without, s_with, w) where w is
+    the exact factorial weight |S|!(3-|S|)! (denominator 4! = 24 applied
+    once at the end). 4 channels x 8 subsets-without = 32 rows."""
+    import math
+
+    rows = []
+    for i, ch in enumerate(_SHAP_CHANNELS):
+        for s in range(16):
+            if s & (1 << i):
+                continue
+            size = bin(s).count("1")
+            w = math.factorial(size) * math.factorial(3 - size)
+            rows.append(f"('{ch}', {s}, {s | (1 << i)}, {w})")
+    return ", ".join(rows)
+
+
+@register(
+    "events_attribution_shapley",
+    oracle=f"""
+WITH flags AS (
+  SELECT user_id,
+         CASE WHEN bool_or(event_type = 'click') THEN 1 ELSE 0 END
+         + CASE WHEN bool_or(event_type = 'error') THEN 2 ELSE 0 END
+         + CASE WHEN bool_or(event_type = 'signup') THEN 4 ELSE 0 END
+         + CASE WHEN bool_or(event_type = 'view') THEN 8 ELSE 0 END AS sid,
+         CASE WHEN bool_or(event_type = 'purchase') THEN 1 ELSE 0 END
+           AS conv
+  FROM events GROUP BY user_id
+),
+vq AS (
+  SELECT sid, (sum(conv) * 1000000) // count(*) AS v
+  FROM flags GROUP BY sid
+),
+pairs(channel, s_without, s_with, w) AS (
+  VALUES {_shapley_pairs_values()}
+),
+shap AS (
+  SELECT p.channel,
+         CAST(sum(p.w * (coalesce(vw.v, 0) - coalesce(vo.v, 0))) AS BIGINT)
+           AS shapley_scaled
+  FROM pairs p
+  LEFT JOIN vq vo ON vo.sid = p.s_without
+  LEFT JOIN vq vw ON vw.sid = p.s_with
+  GROUP BY p.channel
+)
+SELECT channel, shapley_scaled,
+       round(CAST(shapley_scaled AS DOUBLE) / 24 / 10000, 4) AS shapley_pp
+FROM shap ORDER BY channel
+""",
+    tags=("events", "attribution"),
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (the data-driven
+    attribution model, Shapley 1953 applied a la Dalessandro 2012): each
+    user's exposure set over {{click, error, signup, view}} is a 4-bit id,
+    v(S) is the conversion rate (any purchase) of users with EXACTLY that
+    exposure set, and each channel's credit is the factorial-weighted sum
+    of marginal contributions over all 8 subsets that exclude it. With 4
+    channels the enumeration is 32 literal rows — Shapley is exponential
+    in CHANNELS, not in data; the data side is ONE groupBy(user) + ONE
+    16-row rate table at any corpus size. Determinism: rates quantized to
+    integer ppm (integer division), factorial weights exact integers,
+    denominator 4! applied once in a mirrored division. Missing exposure
+    sets contribute v = 0 on both sides (coalesce)."""
+    ev = _t(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        (F.max((F.col("event_type") == "click").cast("int")) * 1
+         + F.max((F.col("event_type") == "error").cast("int")) * 2
+         + F.max((F.col("event_type") == "signup").cast("int")) * 4
+         + F.max((F.col("event_type") == "view").cast("int")) * 8)
+        .alias("sid"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    vq = flags.groupBy("sid").agg(
+        F.expr("(sum(conv) * 1000000) div count(*)").alias("v")
+    )
+    pairs = spark.sql(
+        "SELECT * FROM VALUES " + _shapley_pairs_values()
+        + " AS t(channel, s_without, s_with, w)"
+    )
+    vo = vq.select(F.col("sid").alias("s_without"), F.col("v").alias("vo"))
+    vw = vq.select(F.col("sid").alias("s_with"), F.col("v").alias("vw"))
+    shap = (
+        pairs.join(F.broadcast(vo), "s_without", "left")
+        .join(F.broadcast(vw), "s_with", "left")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.coalesce(F.col("vw"), F.lit(0))
+                                - F.coalesce(F.col("vo"), F.lit(0))))
+            .cast("long").alias("shapley_scaled")
+        )
+    )
+    return shap.select(
+        "channel", "shapley_scaled",
+        F.expr("round(CAST(shapley_scaled AS DOUBLE) / 24 / 10000, 4)")
+        .alias("shapley_pp"),
+    ).orderBy("channel")
