@@ -246,6 +246,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "corpus_packing_efficiency",
     "multimodal_audio_constellation",
     "events_attribution_shapley",
+    "corpus_vocab_coverage_curve",
 ]
 RUNS = 3
 

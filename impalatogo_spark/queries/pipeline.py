@@ -5993,3 +5993,72 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(CAST(shapley_scaled AS DOUBLE) / 24 / 10000, 4)")
         .alias("shapley_pp"),
     ).orderBy("channel")
+
+
+@register(
+    "corpus_vocab_coverage_curve",
+    oracle="""
+WITH tok AS (
+  SELECT t AS w FROM
+  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+),
+types AS (
+  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM types
+),
+tot AS (SELECT sum(cnt) AS n_occ, count(*) AS n_types FROM types),
+ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+SELECT k,
+       CAST((SELECT n_types FROM tot) AS BIGINT) AS vocab_types,
+       CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT)
+         AS covered_occurrences,
+       (sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) * 10000)
+         // (SELECT n_occ FROM tot) AS coverage_bp
+FROM ks, ranked
+GROUP BY k ORDER BY k
+""",
+    tags=("corpus", "vocab"),
+)
+def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    the k most frequent types cover, for k in {100, 1k, 10k} — the
+    Zipf-curve readout that sizes a tokenizer's vocab (and quantifies the
+    byte-fallback tail a too-small vocab pays at training time). Type
+    ranks ride the two-level global rank over the TYPE table (cardinality
+    of distinct words, never token occurrences — the only rows-sized
+    object is consumed by one map-side-combined count). All integer,
+    coverage in basis points via integer division."""
+    docs = _t(spark, sf_dir, "documents")
+    from impalatogo_spark.operators import split_words
+
+    types = (
+        split_words(docs.select("doc_id", "text"))
+        .select(F.explode("__w").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = tracked_persist(SC.global_row_number(
+        types, [F.desc("cnt"), "w"], out="rnk"
+    ))
+    tot = ranked.agg(F.sum("cnt").alias("n_occ"),
+                     F.count(F.lit(1)).alias("n_types"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000))).alias("k")
+    )
+    per_k = (
+        ks.crossJoin(ranked)
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("cnt"))
+                   .otherwise(0)).cast("long").alias("covered_occurrences"))
+    )
+    return (
+        per_k.crossJoin(F.broadcast(tot))
+        .select(
+            "k", F.col("n_types").cast("long").alias("vocab_types"),
+            "covered_occurrences",
+            F.expr("(covered_occurrences * 10000) div n_occ")
+            .alias("coverage_bp"),
+        )
+        .orderBy("k")
+    )
