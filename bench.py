@@ -247,6 +247,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "multimodal_audio_constellation",
     "events_attribution_shapley",
     "corpus_vocab_coverage_curve",
+    "sketch_bloom_membership",
 ]
 RUNS = 3
 

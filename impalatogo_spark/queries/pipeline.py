@@ -6062,3 +6062,117 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_BLOOM_WORDS = 24   # 24 x 63-bit words = 1512 bits (~10 bits/key at sf0.01)
+_BLOOM_HASHES = 3
+
+
+def _bloom_bit_sql(j: int, key: str) -> tuple[str, str]:
+    """(word_idx, bit_mask) exprs for salted hash row j — shared text
+    shape; the caller substitutes the engine-appropriate key expr. Words
+    hold 63 usable bits: DuckDB's << overflow check refuses shifting into
+    the BIGINT sign bit."""
+    h = K.hash48_sql(f"'{j}' || '|' || CAST({key} AS VARCHAR)")
+    pos = f"({h} % {_BLOOM_WORDS * 63})"
+    return f"({pos} // 63)", f"(1::BIGINT << ({pos} % 63))"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH bits AS (
+  {" UNION ALL ".join(
+      f"SELECT event_type AS shard, {_bloom_bit_sql(j, 'user_id')[0]} AS wi, "
+      f"{_bloom_bit_sql(j, 'user_id')[1]} AS m FROM events"
+      for j in range(_BLOOM_HASHES))}
+),
+words AS (SELECT shard, wi, bit_or(m) AS w FROM bits GROUP BY shard, wi),
+merged AS (SELECT wi, bit_or(w) AS w FROM words GROUP BY wi),
+probes AS (
+  SELECT user_id AS k, 1 AS is_member
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT user_id + 1000000 AS k, 0 AS is_member
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+lookups AS (
+  {" UNION ALL ".join(
+      f"SELECT k, is_member, {_bloom_bit_sql(j, 'k')[0]} AS wi, "
+      f"{_bloom_bit_sql(j, 'k')[1]} AS m FROM probes"
+      for j in range(_BLOOM_HASHES))}
+),
+hits AS (
+  SELECT l.k, max(l.is_member) AS is_member,
+         min(CASE WHEN (mg.w & l.m) <> 0 THEN 1 ELSE 0 END) AS maybe
+  FROM lookups l JOIN merged mg ON mg.wi = l.wi
+  GROUP BY l.k
+)
+SELECT is_member, count(*) AS probes,
+       CAST(sum(maybe) AS BIGINT) AS positives,
+       (sum(maybe) * 10000) // count(*) AS positive_bp
+FROM hits GROUP BY is_member ORDER BY is_member
+""",
+    tags=("sketch", "scale"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom filters as data (Bloom 1970): each shard builds a
+    1512-bit / 3-hash filter over its user ids as (word_idx, bit-OR word)
+    rows — merge across shards is bit-OR, the fifth associative-merge
+    sketch next to HLL/KMV/CMS/histogram. Probed with every true member
+    (must read 1 — Bloom has NO false negatives, pinned by the gate) and
+    an equal-size disjoint set, reporting the measured false-positive
+    rate in basis points. Filter state is O(shards x words) regardless of
+    input rows; all integer/md5, oracle-exact."""
+    ev = _t(spark, sf_dir, "events")
+    nbits = _BLOOM_WORDS * 63
+
+    def bit_rows(src: DataFrame, key_col: str, keep: list[str]) -> DataFrame:
+        """3 (wi, mask) rows per input row, one per salted hash — the
+        Spark twin of the oracle's UNION ALL over hash rows. The bit
+        position rides the explode as a concrete column, so the
+        column-amount shift is a plain selectExpr afterwards."""
+        cells = F.array(*[
+            (K.hash48(F.concat_ws("|", F.lit(str(j)),
+                                  F.col(key_col).cast("string"))) % nbits)
+            .alias(f"p{j}")
+            for j in range(_BLOOM_HASHES)
+        ])
+        return (
+            src.select(*keep, F.explode(cells).alias("pos"))
+            .selectExpr(
+                *keep, "pos div 63 AS wi",
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)) AS m",
+            )
+        )
+
+    b = bit_rows(ev.select(F.col("event_type").alias("shard"), "user_id"),
+                 "user_id", ["shard"])
+    words = b.groupBy("shard", "wi").agg(F.expr("bit_or(m)").alias("w"))
+    merged = tracked_persist(
+        words.groupBy("wi").agg(F.expr("bit_or(w)").alias("w"))
+    )
+    users = ev.select("user_id").distinct()
+    probes = users.select(F.col("user_id").alias("k"),
+                          F.lit(1).alias("is_member")).unionByName(
+        users.select((F.col("user_id") + 1000000).alias("k"),
+                     F.lit(0).alias("is_member"))
+    )
+    lk = bit_rows(probes, "k", ["k", "is_member"])
+    hits = (
+        lk.join(F.broadcast(merged.withColumnRenamed("w", "mw")), "wi")
+        .groupBy("k")
+        .agg(
+            F.max("is_member").alias("is_member"),
+            F.min(F.expr("CASE WHEN (mw & m) <> 0 THEN 1 ELSE 0 END"))
+            .alias("maybe"),
+        )
+    )
+    return (
+        hits.groupBy("is_member")
+        .agg(F.count(F.lit(1)).alias("probes"),
+             F.sum("maybe").cast("long").alias("positives"))
+        .select("is_member", "probes", "positives",
+                F.expr("(positives * 10000) div probes").alias("positive_bp"))
+        .orderBy("is_member")
+    )

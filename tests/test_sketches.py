@@ -141,3 +141,16 @@ def test_streaming_hll_multibatch_and_replay_idempotent(spark, sf_dir, tmp_path)
     assert regmap(merged) == regmap(direct)
     # replay batch b a second time: absorbed, no drift
     assert regmap(merge(merged, rb)) == regmap(direct)
+
+
+def test_bloom_no_false_negatives_row(spark, sf_dir):
+    """The registered bloom query's is_member=1 row must show
+    positives == probes (Bloom filters have NO false negatives), and the
+    non-member FPR must stay under 10% at the sized bits/key."""
+    from impalatogo_spark.queries import all_queries
+
+    rows = {r["is_member"]: r for r in
+            all_queries()["sketch_bloom_membership"]
+            .spark_fn(spark, sf_dir).collect()}
+    assert rows[1]["positives"] == rows[1]["probes"]
+    assert rows[0]["positive_bp"] <= 1000
