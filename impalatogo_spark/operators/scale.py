@@ -91,17 +91,19 @@ def _with_range_pid(df: DataFrame, order_cols, num_partitions: int | None):
     so per-pid local scans + per-pid offsets compose to the exact global
     scan.
 
-    The stamped frame is localCheckpoint'd (tracked, so harnesses release
-    it): its two consumers (the local-rank branch and the per-pid counts
-    branch) MUST see the identical pid assignment, and without the
-    checkpoint that only holds when Catalyst's ReuseExchange dedups the two
-    range exchanges. Over some inputs (a checkpointed upstream, where
-    DeduplicateRelations re-ids one branch) reuse does NOT fire, each
-    exchange samples its own boundaries, and the composed ranks silently
-    duplicate/skip values. Materializing the exchange once makes the
-    invariant hold by construction; the cost is one write of the relation
-    to executor-local storage — the same price any MPP engine pays to pin
-    a consistent global order."""
+    The stamped frame is tracked_persist'd (plain persist(), tracked so
+    harnesses release it): its two consumers (the local-rank branch and
+    the per-pid counts branch) MUST see the identical pid assignment, and
+    without pinning that only holds when Catalyst's ReuseExchange dedups
+    the two range exchanges. Over some inputs (a checkpointed upstream,
+    where DeduplicateRelations re-ids one branch) reuse does NOT fire,
+    each exchange samples its own boundaries, and the composed ranks
+    silently duplicate/skip values. The persist pins ONE pid assignment
+    via the shared InMemoryRelation, so the invariant holds by
+    construction (lineage truncation via localCheckpoint is NOT the
+    mechanism — do not "simplify" the persist away); the cost is one
+    materialization of the relation — the same price any MPP engine pays
+    to pin a consistent global order."""
     from impalatogo_spark.session import tracked_persist
 
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")

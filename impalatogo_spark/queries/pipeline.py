@@ -5482,16 +5482,17 @@ ORDER BY id_a, id_b
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact set-similarity self-join (the PPJoin family:
-    Chaudhuri et al. 2006, Xiao et al. 2008) at Jaccard >= 0.5 over
+    Chaudhuri et al. 2006, Xiao et al. 2008) at Jaccard >= 0.8 over
     3-gram shingle sets: order every document's tokens by GLOBAL rarity (df asc, token),
-    index only each document's first |x| - ceil(0.5|x|) + 1 tokens, and
+    index only each document's first |x| - ceil(0.8|x|) + 1 tokens
+    (ceil(0.8n) = (4n+4) div 5), and
     generate candidates ONLY from prefix-token collisions — two documents
     with disjoint prefixes provably cannot reach the threshold, so the
     filter is LOSSLESS. The oracle is the NAIVE all-pairs ground truth
     (not a mirror of the filter): the gate proves losslessness, the exact
     property that makes this THE ssjoin plan at 100 TB, where indexing
     full shingle sets melts the equijoin on boilerplate shingles. Verification uses
-    the integer predicate 2*i >= union — no float anywhere."""
+    the integer predicate 5*i >= 4*union — no float anywhere."""
     from pyspark.sql import Window as W
 
     docs = _t(spark, sf_dir, "documents")
@@ -5547,7 +5548,7 @@ grp AS (
   SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS sz
   FROM q GROUP BY c_nationkey, c_mktsegment, bal_bucket
 ),
-tot AS (SELECT count(*) AS n_rows, count(*) FILTER (TRUE) AS _x FROM q),
+tot AS (SELECT count(*) AS n_rows FROM q),
 ks AS (SELECT unnest([2, 5, 10]) AS k)
 SELECT k,
        (SELECT count(*) FROM grp) AS qi_groups,

@@ -91,6 +91,7 @@ class WebUI:
         self._thread: threading.Thread | None = None
         self._started = time.time()
         self._log_ring = install_log_ring()
+        self._varz_options: list[tuple] | None = None
 
     # -- data readouts (shared by JSON and HTML renderings) --
 
@@ -262,8 +263,13 @@ class WebUI:
     def varz(self) -> dict:
         """Process configuration dump (the reference /varz page prints the
         daemon's gflags, www/common-header: impala-server.cc flag registry):
-        serving-core knobs, the engine's full query-option table with
-        defaults + docs, and the Spark session confs this engine pins."""
+        serving-core knobs, the engine's PROCESS-DEFAULT query-option table
+        with docs, and the Spark session confs this engine pins. The option
+        table reports process defaults, NOT per-session SET overrides
+        (sessions hold their own engines; this matches the reference /varz,
+        which dumps daemon gflags, not session state). Built once on first
+        GET and cached — constructing an Engine runs session-conf setup and
+        a current_user() job, which must not happen per request."""
         from .engine import Engine
 
         core = self.core
@@ -274,9 +280,12 @@ class WebUI:
             "fetch_idle_timeout_s": core.fetch_idle_timeout_s,
             "idle_session_timeout_s": core.idle_session_timeout_s,
         }
+        if self._varz_options is None:
+            self._varz_options = list(
+                Engine(core._spark).default_configuration())
         opts = [
             {"option": k, "default": v, "doc": d}
-            for k, v, d in Engine(core._spark).default_configuration()
+            for k, v, d in self._varz_options
         ]
         pinned = (
             "spark.sql.legacy.parquet.nanosAsLong",

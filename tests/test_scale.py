@@ -385,8 +385,8 @@ def test_global_row_number_permutation_over_checkpointed_input(spark, sf_dir):
     ReuseExchange does NOT dedup the two range exchanges, and each sampled
     its own boundaries — composed ranks silently duplicated/skipped values
     (observed: 9,945 distinct over 10,000 rows). _with_range_pid now
-    checkpoints the stamped frame so the pid assignment is materialized
-    once, by construction."""
+    tracked_persist's the stamped frame (the shared InMemoryRelation pins
+    ONE pid assignment) so it is materialized once, by construction."""
     from pyspark.sql import functions as F
 
     from impalatogo_spark.operators.scale import global_row_number
