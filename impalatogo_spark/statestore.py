@@ -270,6 +270,60 @@ class Statestore:
             self._thread.join(timeout=5)
             self._thread = None
 
+    # -- web introspection (statestore.cc RegisterWebpages:
+    #    TopicsHandler / SubscribersHandler feed www/statestore_topics.tmpl
+    #    and www/statestore_subscribers.tmpl) -------------------------------
+
+    def topics_summary(self) -> list[dict]:
+        """One row per topic: live entry / tombstone counts, version range,
+        the oldest version any subscriber still needs, and payload sizes —
+        the columns of the reference /statestore_topics table."""
+        with self._lock:
+            rows = []
+            for tid in sorted(self.topics):
+                t = self.topics[tid]
+                live = [e for e in t.entries.values() if e.value is not None]
+                tombs = len(t.entries) - len(live)
+                versions = sorted(t.update_log)
+                rows.append({
+                    "topic_id": tid,
+                    "num_entries": len(live),
+                    "num_tombstones": tombs,
+                    "oldest_version": versions[0] if versions else 0,
+                    "last_version": t.last_version,
+                    "oldest_subscriber_version":
+                        self._min_subscriber_version(tid),
+                    "key_size_bytes": sum(len(str(k)) for k in t.entries),
+                    "value_size_bytes": sum(
+                        len(str(e.value)) for e in live),
+                })
+            return rows
+
+    def subscribers_summary(self) -> list[dict]:
+        """One row per registered subscriber: registration id, endpoint,
+        subscribed topics (transient flagged), transient-entry count, and
+        consecutive missed heartbeats — the reference
+        /statestore_subscribers table, plus the recently-failed list."""
+        with self._lock:
+            rows = []
+            for sid in sorted(self.subscribers):
+                sub = self.subscribers[sid]
+                topics = ", ".join(
+                    f"{tid}{' (transient)' if st['is_transient'] else ''}"
+                    for tid, st in sorted(sub["topics"].items()))
+                rows.append({
+                    "subscriber_id": sid,
+                    "registration_id": sub["registration_id"][:12],
+                    "endpoint": (
+                        f"{sub['endpoint']._host}:{sub['endpoint']._port}"
+                        if hasattr(sub["endpoint"], "_host") else "inproc"),
+                    "topics": topics,
+                    "num_transient_entries": len(sub["transient_entries"]),
+                    "missed_heartbeats":
+                        self.failure_detector._missed.get(sid, 0),
+                })
+            return rows
+
 
 class StatestoreSubscriber:
     """The subscriber-side mirror (statestore-subscriber.h): per-topic

@@ -27,7 +27,8 @@ from urllib.parse import parse_qs, urlparse
 from .server import I2SServer, _AsyncOperation
 
 _PAGES = ("queries", "sessions", "admission", "metrics", "memz",
-          "rpcz", "threadz", "catalog", "logs", "varz")
+          "rpcz", "threadz", "catalog", "logs", "varz", "backends",
+          "statestore_topics", "statestore_subscribers")
 
 
 class _RingHandler(logging.Handler):
@@ -84,7 +85,7 @@ class WebUI:
     """HTTP debug endpoints over a serving core (I2SServer)."""
 
     def __init__(self, core: I2SServer, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, statestore=None):
         self.core = core
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
@@ -92,6 +93,11 @@ class WebUI:
         self._started = time.time()
         self._log_ring = install_log_ring()
         self._varz_options: list[tuple] | None = None
+        # when this process also hosts the statestored role, its debug
+        # pages (/statestore_topics, /statestore_subscribers) serve here —
+        # the reference statestored runs its own webserver
+        # (statestore.cc RegisterWebpages); we attach to the shared one
+        self.statestore = statestore
 
     # -- data readouts (shared by JSON and HTML renderings) --
 
@@ -302,6 +308,41 @@ class WebUI:
         ]
         return {"flags": flags, "query_options": opts,
                 "pinned_spark_confs": confs}
+
+    def backends(self) -> dict:
+        """Cluster membership as seen by THIS daemon (the reference
+        /backends page, www/backends.tmpl: one row per live impalad from
+        the statestore membership topic). Rows appear when the daemon is
+        attached to a statestore (attach_statestore) and disappear when
+        the statestore sheds a failed member (transient-topic cleanup)."""
+        core = self.core
+        with core._lock:
+            mem = dict(core.cluster_membership)
+        rows = [{"backend_id": k, "address": v,
+                 "is_local": k == getattr(core, "statestore_subscriber_id",
+                                          None)}
+                for k, v in sorted(mem.items())]
+        return {"backends": rows, "num_backends": len(rows)}
+
+    def statestore_topics(self) -> dict:
+        """Topic table of the co-hosted statestored role (reference
+        www/statestore_topics.tmpl): entry/tombstone counts, version range,
+        oldest subscriber version, payload sizes."""
+        if self.statestore is None:
+            return {"error": "no statestore co-hosted on this daemon",
+                    "topics": []}
+        return {"topics": self.statestore.topics_summary()}
+
+    def statestore_subscribers(self) -> dict:
+        """Subscriber table of the co-hosted statestored role (reference
+        www/statestore_subscribers.tmpl), plus the recently-failed list
+        (members shed by the missed-heartbeat failure detector)."""
+        if self.statestore is None:
+            return {"error": "no statestore co-hosted on this daemon",
+                    "subscribers": [], "failed_subscribers": []}
+        return {"subscribers": self.statestore.subscribers_summary(),
+                "failed_subscribers": list(
+                    self.statestore.failed_subscribers)}
 
     # -- http plumbing --
 

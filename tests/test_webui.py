@@ -30,7 +30,7 @@ def stack(spark, sf_dir):
 
 
 def _get(url: str):
-    with urllib.request.urlopen(url, timeout=30) as r:
+    with urllib.request.urlopen(url, timeout=120) as r:
         ctype = r.headers.get("Content-Type", "")
         body = r.read().decode("utf-8")
     return ctype, body
@@ -313,3 +313,85 @@ def test_varz_flags_and_option_table(stack):
     assert confs["spark.sql.sources.partitionOverwriteMode"].lower() == "dynamic"
     ctype, body = _get(base + "/varz")
     assert ctype.startswith("text/html") and "MEM_LIMIT" in body
+
+
+def test_statestore_pages_and_backends_over_two_daemon_cluster(spark, sf_dir):
+    """/statestore_topics, /statestore_subscribers and /backends (reference
+    www/statestore_topics.tmpl, statestore_subscribers.tmpl, backends.tmpl;
+    statestore.cc RegisterWebpages): a two-daemon cluster renders the topic
+    and subscriber tables from live statestore state, /backends shows both
+    members, and after one member is shed by the failure detector the
+    tables and membership reflect it."""
+    from impalatogo_spark.statestore import Statestore, attach_statestore
+
+    ss = Statestore(max_missed_heartbeats=3)
+    core_a = I2SServer(spark, sf_dir=sf_dir)
+    core_b = I2SServer(spark, sf_dir=sf_dir)
+    ha, pa = core_a.start()
+    hb, pb = core_b.start()
+    attach_statestore(core_a, ss, subscriber_id="web-a", address=f"{ha}:{pa}")
+    sub_b = attach_statestore(core_b, ss, subscriber_id="web-b",
+                              address=f"{hb}:{pb}")
+    ui = WebUI(core_a, statestore=ss)
+    whost, wport = ui.start()
+    base = f"http://{whost}:{wport}"
+    try:
+        for _ in range(3):
+            ss.run_update_cycle()
+
+        b = _get_json(base + "/backends")
+        assert b["num_backends"] == 2
+        by_id = {r["backend_id"]: r for r in b["backends"]}
+        assert by_id["web-a"]["address"] == f"{ha}:{pa}"
+        assert by_id["web-a"]["is_local"] and not by_id["web-b"]["is_local"]
+
+        t = _get_json(base + "/statestore_topics")
+        topics = {r["topic_id"]: r for r in t["topics"]}
+        assert set(topics) == {"impala-membership", "catalog-update"}
+        mem = topics["impala-membership"]
+        assert mem["num_entries"] == 2
+        assert mem["last_version"] >= 2
+        # every subscriber has processed every published version
+        assert mem["oldest_subscriber_version"] == mem["last_version"]
+
+        s = _get_json(base + "/statestore_subscribers")
+        subs = {r["subscriber_id"]: r for r in s["subscribers"]}
+        assert set(subs) == {"web-a", "web-b"}
+        assert "impala-membership (transient)" in subs["web-b"]["topics"]
+        assert subs["web-b"]["num_transient_entries"] == 1
+        assert s["failed_subscribers"] == []
+
+        # daemon B goes dark -> failure detector sheds it
+        sub_b.heartbeat_ok = False
+        for _ in range(4):
+            ss.run_heartbeat_cycle()
+        ss.run_update_cycle()
+
+        b = _get_json(base + "/backends")
+        assert b["num_backends"] == 1
+        assert b["backends"][0]["backend_id"] == "web-a"
+        s = _get_json(base + "/statestore_subscribers")
+        assert [r["subscriber_id"] for r in s["subscribers"]] == ["web-a"]
+        assert s["failed_subscribers"] == ["web-b"]
+        t = _get_json(base + "/statestore_topics")
+        mem = {r["topic_id"]: r for r in t["topics"]}["impala-membership"]
+        assert mem["num_entries"] == 1  # transient entry swept
+        assert mem["num_tombstones"] >= 1
+
+        # HTML renderings of all three pages
+        for page in ("backends", "statestore_topics",
+                     "statestore_subscribers"):
+            ctype, body = _get(f"{base}/{page}")
+            assert ctype.startswith("text/html")
+        # a daemon with no co-hosted statestore answers with the note
+        ui2 = WebUI(core_b)
+        w2h, w2p = ui2.start()
+        try:
+            t2 = _get_json(f"http://{w2h}:{w2p}/statestore_topics")
+            assert t2["topics"] == [] and "no statestore" in t2["error"]
+        finally:
+            ui2.stop()
+    finally:
+        ui.stop()
+        core_a.stop()
+        core_b.stop()
