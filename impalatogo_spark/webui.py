@@ -151,6 +151,78 @@ class WebUI:
                 for depth, name, vals in (op.metrics_tree or [])]
         return out
 
+    def query_plan(self, qid: int) -> dict | None:
+        """Executed plan as a JSON DAG (the reference /query_plan page,
+        www/query_plan.tmpl, feeds dagre-d3 a node/edge list built from
+        TExecSummary; query_detail_tabs.tmpl links it). Nodes come from the
+        same executed-metrics tree the profile and GetExecSummary render:
+        id = pre-order index, parent = nearest shallower predecessor (the
+        pre-order inverse), rows + the non-zero integer metrics per node."""
+        core = self.core
+        with core._lock:
+            rec = core._inflight.get(qid)
+            if rec is None:
+                rec = next((r for r in core.query_log
+                            if r.get("id") == qid), None)
+            rec = dict(rec) if rec is not None else None
+        if rec is None:
+            return None
+        op = rec.get("_op")
+        tree = getattr(op, "metrics_tree", None) or []
+        nodes = []
+        stack: list[tuple[int, int]] = []  # (depth, node id) ancestors
+        for i, (d, name, vals) in enumerate(tree):
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            parent = stack[-1][1] if stack else None
+            nodes.append({
+                "id": i, "label": name, "parent": parent, "depth": d,
+                "rows": int(vals.get("number of output rows", 0) or 0),
+                "metrics": {k: v for k, v in sorted(vals.items())
+                            if isinstance(v, int) and v},
+            })
+            stack.append((d, i))
+        return {"query_id": qid, "state": rec.get("state"),
+                "statement": rec.get("sql"),
+                "num_nodes": len(nodes), "nodes": nodes}
+
+    @staticmethod
+    def _plan_svg(dag: dict) -> str:
+        """Tiny dependency-free SVG rendering of the plan DAG: one box per
+        node (column = depth, row = pre-order index), an edge to its
+        parent — the graphical plan without shipping dagre-d3."""
+        nodes = dag["nodes"]
+        if not nodes:
+            return "<p>(no executed plan captured)</p>"
+        bw, bh, xgap, ygap = 260, 26, 40, 8
+        pos = {n["id"]: (n["depth"] * (bw + xgap) + 4,
+                         n["id"] * (bh + ygap) + 4) for n in nodes}
+        width = max(x for x, _ in pos.values()) + bw + 8
+        height = max(y for _, y in pos.values()) + bh + 8
+        parts = [f'<svg width="{width}" height="{height}" '
+                 f'xmlns="http://www.w3.org/2000/svg" '
+                 f'font-family="monospace" font-size="12">']
+        for n in nodes:
+            if n["parent"] is None:
+                continue
+            px, py = pos[n["parent"]]
+            cx, cy = pos[n["id"]]
+            parts.append(
+                f'<path d="M {px + 20} {py + bh} V {cy + bh // 2} '
+                f'H {cx}" stroke="#888" fill="none"/>')
+        for n in nodes:
+            x, y = pos[n["id"]]
+            label = html.escape(f'{n["id"]:02d}:{n["label"]}')[:34]
+            rows = f'{n["rows"]:,} rows' if n["rows"] else ""
+            parts.append(
+                f'<g><rect x="{x}" y="{y}" width="{bw}" height="{bh}" '
+                f'rx="4" fill="#eef" stroke="#558"/>'
+                f'<text x="{x + 6}" y="{y + 17}">{label}</text>'
+                f'<text x="{x + bw - 6}" y="{y + 17}" text-anchor="end" '
+                f'fill="#666">{rows}</text></g>')
+        parts.append("</svg>")
+        return "".join(parts)
+
     def sessions(self) -> dict:
         import time as _time
 
@@ -384,6 +456,10 @@ class WebUI:
                                    "application/json")
                         return
                     parts = [f"<h1>query {qid}</h1>"]
+                    parts.append(
+                        f'<p><a href="/query_plan?id={qid}">plan DAG</a> '
+                        f'(<a href="/query_plan?id={qid}&json">json</a>)'
+                        "</p>")
                     parts.append("<pre>"
                                  + html.escape(data.get("sql") or "")
                                  + "</pre>")
@@ -404,6 +480,31 @@ class WebUI:
                                      + html.escape(data["profile"])
                                      + "</pre>")
                     self._send(200, "".join(parts), "text/html")
+                    return
+                if page == "query_plan":
+                    try:
+                        qid = int(parse_qs(parsed.query).get("id", [""])[0])
+                    except (ValueError, IndexError):
+                        self._send(400, json.dumps(
+                            {"error": "missing or bad id"}),
+                            "application/json")
+                        return
+                    dag = ui.query_plan(qid)
+                    if dag is None:
+                        self._send(404, json.dumps(
+                            {"error": f"unknown query id {qid}"}),
+                            "application/json")
+                        return
+                    if as_json:
+                        self._send(200, json.dumps(dag, default=str),
+                                   "application/json")
+                        return
+                    self._send(
+                        200,
+                        f"<h1>query {qid} plan</h1><pre>"
+                        + html.escape(dag.get("statement") or "")
+                        + "</pre>" + ui._plan_svg(dag),
+                        "text/html")
                     return
                 if page not in _PAGES:
                     self._send(404, json.dumps({"error": "not found"}),

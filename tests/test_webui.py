@@ -395,3 +395,64 @@ def test_statestore_pages_and_backends_over_two_daemon_cluster(spark, sf_dir):
         ui.stop()
         core_a.stop()
         core_b.stop()
+
+
+def test_query_plan_dag_matches_executed_metrics(stack):
+    """VERDICT r05 #3: /query_plan?id= emits the executed plan as a JSON
+    DAG (www/query_plan.tmpl equivalent). The node (depth, label) multiset
+    must equal the plans.executed_metrics snapshot the server took at EOS
+    (op.metrics_tree), parent edges must be the pre-order inverse (parent
+    is the nearest shallower predecessor, exactly one root), and the HTML
+    rendering draws the SVG boxes. Uses a multi-join query so the DAG has
+    real fan-in."""
+    from collections import Counter
+
+    core, (chost, cport), base = stack
+    c = I2SClient(chost, cport)
+    c.open_session()
+    try:
+        c.execute(
+            "SELECT r_name, count(*) AS c FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "JOIN customer ON c_nationkey = n_nationkey "
+            "GROUP BY r_name ORDER BY r_name", fetch=100)
+        q = _get_json(base + "/queries")
+        rec = next(r for r in q["completed"]
+                   if r["state"] == "FINISHED" and "r_name" in r["sql"])
+        dag = _get_json(base + f"/query_plan?id={rec['id']}")
+        nodes = dag["nodes"]
+        assert dag["num_nodes"] == len(nodes) and nodes
+        # same node multiset as the executed-metrics snapshot
+        with core._lock:
+            op = next(r for r in core.query_log
+                      if r.get("id") == rec["id"])["_op"]
+        assert Counter((n["depth"], n["label"]) for n in nodes) == \
+            Counter((d, name) for d, name, _ in op.metrics_tree)
+        # pre-order parent edges: exactly one root; child depth = parent+1;
+        # parent precedes child in pre-order
+        roots = [n for n in nodes if n["parent"] is None]
+        assert len(roots) == 1 and roots[0]["id"] == 0
+        by_id = {n["id"]: n for n in nodes}
+        for n in nodes:
+            if n["parent"] is not None:
+                p = by_id[n["parent"]]
+                assert p["depth"] == n["depth"] - 1 and p["id"] < n["id"]
+        # a multi-join plan has join fan-in and row counts
+        labels = " ".join(n["label"] for n in nodes)
+        assert "Join" in labels
+        assert any(n["rows"] > 0 for n in nodes)
+        assert any(n["metrics"] for n in nodes)
+        # HTML rendering: SVG boxes + the statement
+        ctype, body = _get(base + f"/query_plan?id={rec['id']}")
+        assert ctype.startswith("text/html")
+        assert "<svg" in body and "r_name" in body and "rect" in body
+        # detail page links the DAG
+        _, detail_html = _get(base + f"/query?id={rec['id']}")
+        assert f"/query_plan?id={rec['id']}" in detail_html
+        # unknown id -> 404
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            _get(base + "/query_plan?id=999999")
+    finally:
+        c.close()
