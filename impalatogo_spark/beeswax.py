@@ -102,11 +102,14 @@ class BeeswaxServer:
 
     def __init__(self, spark, sf_dir: str | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 core: I2SServer | None = None):
+                 core: I2SServer | None = None, sasl_check=None):
         self.core = core or I2SServer(spark, sf_dir=sf_dir)
         self._host, self._port = host, port
         self._tcp = None
         self._thread = None
+        # optional PLAIN authenticator (user, password) -> bool, same
+        # contract as HS2ThriftServer.sasl_check (e.g. auth.LdapAuthenticator)
+        self.sasl_check = sasl_check
 
     def start(self) -> tuple[str, int]:
         outer = self
@@ -118,7 +121,8 @@ class BeeswaxServer:
                 # message, so one port serves NOSASL and SASL-PLAIN
                 rfile, wfile = self.rfile, self.wfile
                 if self.rfile.peek(1)[:1] == b"\x01":
-                    if sasl_server_handshake(rfile, wfile) is None:
+                    if sasl_server_handshake(rfile, wfile,
+                                             check=outer.sasl_check) is None:
                         return
                     framed = _FramedIO(rfile, wfile)
                     rfile = wfile = framed

@@ -279,6 +279,22 @@ def _serve(args) -> None:
     from impalatogo_spark.session import get_spark
 
     host, port = _parse_hostport(args.listen)
+    sasl_check = None
+    if args.ldap_uri or args.ldap_fake_directory:
+        # LDAP-shaped auth on both thrift doors (authentication.cc
+        # SaslLdapCheckPass). Real-LDAP needs the ldap3 library + a live
+        # server (environment-limited here); --ldap-fake-directory serves
+        # the same policy over an in-process directory.
+        from impalatogo_spark.auth import build_ldap_authenticator
+
+        sasl_check = build_ldap_authenticator(
+            uri=args.ldap_uri or "",
+            domain=args.ldap_domain or "",
+            base_dn=args.ldap_base_dn or "",
+            bind_pattern=args.ldap_bind_pattern or "",
+            allow_anonymous_binds=args.ldap_allow_anonymous_binds,
+            fake_directory_path=args.ldap_fake_directory)
+        print("ldap authentication enabled on thrift doors", flush=True)
     spark = get_spark("i2s-server")
     server = I2SServer(spark, sf_dir=args.sf_dir, host=host, port=port)
     bound_host, bound_port = server.start()
@@ -300,7 +316,7 @@ def _serve(args) -> None:
         from impalatogo_spark.thrift_hs2 import HS2ThriftServer
 
         hs2 = HS2ThriftServer(spark, host=bound_host, port=args.hs2_port,
-                              core=server)
+                              core=server, sasl_check=sasl_check)
         hs2_host, hs2_port = hs2.start()
         print(f"hs2-thrift listening on {hs2_host}:{hs2_port}", flush=True)
     beeswax = None
@@ -308,7 +324,8 @@ def _serve(args) -> None:
         from impalatogo_spark.beeswax import BeeswaxServer
 
         beeswax = BeeswaxServer(spark, host=bound_host,
-                                port=args.beeswax_port, core=server)
+                                port=args.beeswax_port, core=server,
+                                sasl_check=sasl_check)
         bw_host, bw_port = beeswax.start()
         print(f"beeswax listening on {bw_host}:{bw_port}", flush=True)
     try:
@@ -353,6 +370,25 @@ def main() -> None:
                     help="with --listen: serve the debug webserver "
                          "(/queries /sessions /admission /metrics) on this "
                          "port (0 = ephemeral)")
+    ap.add_argument("--ldap-uri", default=None, metavar="ldap[s]://HOST",
+                    help="with --listen: authenticate SASL-PLAIN "
+                         "credentials on the thrift doors by LDAP simple "
+                         "bind (reference --enable_ldap_auth/--ldap_uri); "
+                         "real servers need the ldap3 library")
+    ap.add_argument("--ldap-domain", default=None,
+                    help="bind as <user>@<domain> (reference --ldap_domain)")
+    ap.add_argument("--ldap-base-dn", default=None,
+                    help="bind as uid=<user>,<baseDN> (--ldap_baseDN)")
+    ap.add_argument("--ldap-bind-pattern", default=None,
+                    help="bind-name pattern with #UID placeholder "
+                         "(--ldap_bind_pattern)")
+    ap.add_argument("--ldap-allow-anonymous-binds", action="store_true",
+                    help="accept empty passwords (--ldap_allow_anonymous_"
+                         "binds; default off, matching the reference)")
+    ap.add_argument("--ldap-fake-directory", default=None, metavar="JSON",
+                    help="with --ldap-*: bind against an in-process "
+                         "directory loaded from this JSON file "
+                         "(dn -> password) instead of a live LDAP server")
     ap.add_argument("--connect", "-i", metavar="HOST:PORT",
                     help="connect to a --listen server instead of starting "
                          "an in-process engine")
