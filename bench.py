@@ -248,6 +248,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "events_attribution_shapley",
     "corpus_vocab_coverage_curve",
     "sketch_bloom_membership",
+    # round 6: O(batch) cluster maintenance (incremental connected
+    # components vs full-recompute oracle)
+    "dedup_clusters_incremental",
 ]
 RUNS = 3
 

@@ -512,6 +512,100 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     return labels.union(mins_self)
 
 
+def incremental_components_update(state: DataFrame,
+                                  new_pairs: DataFrame) -> DataFrame:
+    """Merge a batch of new verified pairs into an EXISTING components
+    table in O(batch), not O(corpus) — the incremental form of
+    connected_components (r05 verdict #7; dedup_clusters rebuilt the
+    whole graph per ingest).
+
+    state: (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component (connected_components' contract). new_pairs: (id_a, id_b)
+    verified edges from the incoming batch (batch-internal and
+    batch-vs-corpus — every genuinely NEW edge is incident to the batch).
+
+    Shape: contract every existing component to its representative
+    (cluster ids ARE the min member ids, so the contracted node id is the
+    component min), map the new edges' endpoints through the state (a
+    broadcast-hash join whose BUILD side is the O(batch) endpoint set —
+    the corpus-sized state streams map-side, zero corpus shuffle), run
+    connected_components on the contracted graph (O(batch) nodes+edges),
+    then apply the result as (a) a broadcast relabel of rows in TOUCHED
+    components only and (b) direct inserts for endpoints that had no
+    component yet (new-batch docs and old singletons). Untouched
+    components never shuffle; min-id labels stay globally correct because
+    min over contracted representatives == min over underlying members.
+    The gate (dedup_clusters_incremental) proves two ingest rounds equal
+    the full recompute, value-exact."""
+    ids = (
+        new_pairs.select(F.col("id_a").alias("doc_id"))
+        .union(new_pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # endpoint -> existing cluster (broadcast the O(batch) endpoint set;
+    # the corpus-sized state scans map-side, output is O(batch))
+    lookup = _ckpt(state.join(F.broadcast(ids), "doc_id"))
+    la = lookup.select(F.col("doc_id").alias("id_a"),
+                       F.col("cluster_id").alias("ca"))
+    lb = lookup.select(F.col("doc_id").alias("id_b"),
+                       F.col("cluster_id").alias("cb"))
+    contracted = (
+        new_pairs.join(F.broadcast(la), "id_a", "left")
+        .join(F.broadcast(lb), "id_b", "left")
+        .select(F.coalesce("ca", "id_a").alias("id_a"),
+                F.coalesce("cb", "id_b").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    tiny = connected_components(contracted).withColumnRenamed(
+        "doc_id", "node").withColumnRenamed("cluster_id", "new_label")
+    # edges entirely inside one existing component contract away; nothing
+    # to relabel or insert then
+    if tiny.isEmpty():
+        return state
+    reps = lookup.select(F.col("cluster_id").alias("node")).distinct()
+    relabel = _ckpt(tiny.join(reps, "node")
+                    .withColumnRenamed("node", "cluster_id"))
+    fresh = (
+        tiny.join(reps, "node", "left_anti")
+        .select(F.col("node").alias("doc_id"),
+                F.col("new_label").alias("cluster_id"))
+    )
+    updated = (
+        state.join(F.broadcast(relabel), "cluster_id", "left")
+        .select("doc_id",
+                F.coalesce("new_label", "cluster_id").alias("cluster_id"))
+    )
+    return updated.unionByName(fresh)
+
+
+def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
+                         threshold: float = 0.5) -> DataFrame:
+    """Verified near-dup pairs with >= 1 endpoint in the incoming batch:
+    batch-internal LSH pairs plus the batch x cumulative bucket join (the
+    candidate shape of incremental_dedup_indexed — per-band shuffle is
+    O(batch + matching corpus buckets), never all-corpus-pairs). Together
+    with the pairs already processed for earlier batches this covers every
+    verified pair of the grown corpus exactly once: signatures are
+    per-document content hashes, so pair (a, b) collides independently of
+    the rest of the corpus and is generated at the stage its LATER member
+    arrives."""
+    b_batch = lsh_band_buckets(minhash_signatures(
+        word_shingles(batch, distinct=False)))
+    b_cum = lsh_band_buckets(minhash_signatures(
+        word_shingles(cumulative, distinct=False)))
+    within = lsh_candidate_pairs(b_batch)
+    cross = (
+        b_cum.select(F.col("id").alias("id_a"), "band", "key")
+        .join(b_batch.select(F.col("id").alias("id_b"), "band", "key"),
+              ["band", "key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cand = within.union(cross).distinct()
+    sh_all = word_shingles(batch).union(word_shingles(cumulative))
+    return verify_jaccard(cand, sh_all, threshold).select("id_a", "id_b")
+
+
 def clusters_oracle(pairs_sql: str) -> str:
     """DuckDB twin: transitive closure via recursive CTE (UNION dedups, so
     the fixpoint terminates), then min reachable id per node."""

@@ -955,6 +955,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_incremental",
+    oracle=D.clusters_oracle(D.minhash_lsh_oracle(threshold=0.5)),
+    tags=("dedup", "graph", "incremental"),
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup cluster maintenance (r05 verdict #7): the
+    corpus arrives in THREE ingest rounds (doc_id % 4: {0,1} = the
+    initial corpus, 2 = batch one, 3 = batch two). Round 0 clusters the
+    initial corpus once; each later batch contributes only its INCIDENT
+    verified pairs (batch-internal LSH + batch x cumulative bucket join)
+    and is merged into the persisted (doc_id, cluster_id) state by
+    operators/dedup.py::incremental_components_update — connected
+    components run on the O(batch) CONTRACTED graph, touched components
+    relabel via a broadcast map, untouched components never shuffle.
+
+    The oracle is the FULL RECOMPUTE over the whole corpus (the exact
+    clusters_oracle dedup_clusters gates against), so the gate proves
+    incremental == recompute after two ingest rounds, value-exact —
+    the property that makes O(batch) cluster maintenance safe at 100 TB,
+    where re-running global connected components per ingest is the
+    bottleneck. Per-doc signatures are content hashes, so every verified
+    pair is generated exactly once, at the round its later member
+    arrives."""
+    docs = _t(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 4 <= 1)
+    b1 = docs.filter(F.col("doc_id") % 4 == 2)
+    b2 = docs.filter(F.col("doc_id") % 4 == 3)
+    cand0 = D.lsh_candidate_pairs(
+        D.lsh_band_buckets(D.minhash_signatures(
+            D.word_shingles(b0, distinct=False))))
+    sh0 = tracked_persist(D.word_shingles(b0))
+    pairs0 = D.verify_jaccard(cand0, sh0, threshold=0.5).select(
+        "id_a", "id_b")
+    state = D.connected_components(pairs0)
+    state = D.incremental_components_update(
+        state, tracked_persist(D.batch_incident_pairs(b0, b1)))
+    state = D.incremental_components_update(
+        state, tracked_persist(
+            D.batch_incident_pairs(b0.unionByName(b1), b2)))
+    return state
+
+
+@register(
     "dedup_substring_spans",
     oracle=D.substring_spans_oracle(k=8, min_count=2),
     tags=("dedup", "text"),

@@ -464,3 +464,72 @@ def test_binary_rerank_recall_vs_exact(spark, sf_dir):
     truth = {(r["qid"], r["cid"]) for r in exact.collect()}
     recall = len(approx & truth) / len(truth)
     assert recall >= 0.5, f"binary-shortlist recall collapsed: {recall:.2f}"
+
+
+def test_incremental_components_update_semantics(spark):
+    """incremental_components_update (r05 verdict #7): merging two
+    existing clusters relabels BOTH to the global min; endpoints with no
+    component (new docs and old singletons) insert directly; components
+    untouched by the batch keep their exact rows; chained updates equal a
+    one-shot recompute over the union of all edges."""
+    from impalatogo_spark.operators.dedup import (
+        connected_components,
+        incremental_components_update,
+    )
+    from impalatogo_spark.session import release_persisted
+
+    def cc(rows):
+        return connected_components(
+            spark.createDataFrame(rows, "id_a long, id_b long"))
+
+    def as_map(df):
+        return {r.doc_id: r.cluster_id for r in df.collect()}
+
+    # state: {1,3} (min 1), {2,7} (min 2), {9,11} (min 9, untouched)
+    state = cc([(1, 3), (2, 7), (9, 11)])
+    # batch: new doc 5 bridges clusters 1 and 2; new pair (20, 21) is
+    # entirely fresh; 30 links to old singleton 8 (absent from state)
+    batch1 = spark.createDataFrame(
+        [(3, 5), (5, 7), (20, 21), (8, 30)], "id_a long, id_b long")
+    merged = incremental_components_update(state, batch1)
+    assert as_map(merged) == {1: 1, 3: 1, 2: 1, 7: 1, 5: 1,
+                              9: 9, 11: 9, 20: 20, 21: 20, 8: 8, 30: 8}
+    # second batch: join the fresh pair into the untouched old cluster
+    batch2 = spark.createDataFrame([(21, 9)], "id_a long, id_b long")
+    final = incremental_components_update(merged, batch2)
+    expect = as_map(cc([(1, 3), (2, 7), (9, 11), (3, 5), (5, 7),
+                        (20, 21), (8, 30), (21, 9)]))
+    assert as_map(final) == expect
+    # an edge entirely inside one existing component is a no-op
+    noop = incremental_components_update(final, spark.createDataFrame(
+        [(1, 7)], "id_a long, id_b long"))
+    assert as_map(noop) == as_map(final)
+    release_persisted()
+
+
+def test_incremental_components_shuffle_is_batch_proportional(spark, sf_dir):
+    """The merge step's executed shuffle must track the BATCH, not the
+    corpus: against a 10x larger state (same batch of edges), shuffle-write
+    bytes stay within 2x — the broadcast relabel/insert path never
+    repartitions the corpus-sized state."""
+    from impalatogo_spark.operators.dedup import incremental_components_update
+    from impalatogo_spark.plans import shuffle_write_bytes
+    from impalatogo_spark.session import release_persisted
+
+    batch = spark.createDataFrame(
+        [(i, 1_000_000 + i) for i in range(0, 200, 2)],
+        "id_a long, id_b long")
+
+    def run(n_state):
+        state = spark.range(n_state).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") - F.col("id") % 2).alias("cluster_id"))
+        out = incremental_components_update(state, batch)
+        out.collect()
+        sw = shuffle_write_bytes(out)
+        release_persisted()
+        return sw
+
+    small, big = run(20_000), run(200_000)
+    assert big <= 2 * max(small, 1), (
+        f"shuffle grew with the corpus: {small:,} -> {big:,} B")
