@@ -249,8 +249,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "corpus_vocab_coverage_curve",
     "sketch_bloom_membership",
     # round 6: O(batch) cluster maintenance (incremental connected
-    # components vs full-recompute oracle)
+    # components vs full-recompute oracle), Ed-Join edit-distance join,
+    # DPO preference-pair mining, ingest unigram-drift gate
     "dedup_clusters_incremental",
+    "dedup_edit_distance",
+    "corpus_preference_pairs",
+    "corpus_unigram_drift",
 ]
 RUNS = 3
 

@@ -606,6 +606,79 @@ def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
     return verify_jaccard(cand, sh_all, threshold).select("id_a", "id_b")
 
 
+def edit_distance_pairs(docs: DataFrame, k: int = 8, q: int = 4) -> DataFrame:
+    """Exact edit-distance self-join (Ed-Join, Xiao et al. 2008): all
+    document pairs with levenshtein(text_a, text_b) <= k, WITHOUT the
+    all-pairs DP.
+
+    Candidate filter (lossless by the q-gram lemma): strings with edit
+    distance <= k share at least |G(x)| - k*q positional q-grams counted
+    with multiplicity, so indexing only each document's k*q + 1 RAREST
+    (gram, occurrence#) elements under one global rarity order guarantees
+    every qualifying pair collides in prefixes — the same prefix-filter
+    proof as dedup_jaccard_prefix_filter, over q-gram multisets. Requires
+    |text| > q*(k+1) - 1 (holds for the documents table's 44-char floor
+    with q=4, k=8). A |len_a - len_b| <= k band is applied too (k edits
+    change length by at most k). Verification is Spark's BANDED 3-arg
+    levenshtein (O(k*n) diagonal DP, -1 above k), never the full O(n*m)
+    matrix. The oracle is the NAIVE length-banded all-pairs ground truth,
+    so the gate proves the prefix filter lossless."""
+    d = docs.select("doc_id", "text", F.length("text").alias("n"))
+    grams = d.select(
+        "doc_id", "n",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, n - {q - 1}), i -> substring(text, i, {q}))"
+        )).alias("pos", "g"),
+    )
+    w_occ = Window.partitionBy("doc_id", "g").orderBy("pos")
+    elems = grams.select(
+        "doc_id", "n", "g", F.row_number().over(w_occ).alias("occ"))
+    df_tab = elems.groupBy("g", "occ").agg(
+        F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "g", "occ")
+    prefix = (
+        elems.join(df_tab, ["g", "occ"])
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k * q + 1)
+        .select("doc_id", "n", "g", "occ")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.g") == F.col("b.g"))
+              & (F.col("a.occ") == F.col("b.occ"))
+              & (F.col("b.doc_id") > F.col("a.doc_id"))
+              & (F.abs(F.col("a.n") - F.col("b.n")) <= k))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
+    return (
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("ed", F.levenshtein("t_a", "t_b", k))
+        .filter(F.col("ed") >= 0)
+        .select("id_a", "id_b", "ed")
+    )
+
+
+def edit_distance_oracle(k: int = 8) -> str:
+    """DuckDB twin of edit_distance_pairs: the NAIVE length-banded
+    all-pairs ground truth (full-DP levenshtein on every length-compatible
+    pair) — NOT a mirror of the prefix filter, so a MATCH proves the
+    filter lossless."""
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text) AS ed
+FROM d a JOIN d b
+  ON b.doc_id > a.doc_id AND abs(a.n - b.n) <= {k}
+WHERE levenshtein(a.text, b.text) <= {k}
+ORDER BY id_a, id_b
+"""
+
+
 def clusters_oracle(pairs_sql: str) -> str:
     """DuckDB twin: transitive closure via recursive CTE (UNION dedups, so
     the fixpoint terminates), then min reachable id per node."""

@@ -998,6 +998,168 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_preference_pairs",
+    oracle=f"""
+WITH comp AS ({D.clusters_oracle(D.minhash_lsh_oracle(threshold=0.5))}),
+q AS (
+  SELECT doc_id,
+         len(list_distinct(string_split(text, ' '))) AS uniq_words
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.uniq_words,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.uniq_words DESC, c.doc_id ASC) AS rb,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.uniq_words ASC, c.doc_id DESC) AS rw
+  FROM comp c JOIN q USING (doc_id)
+),
+sz AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id)
+SELECT r1.cluster_id,
+       r1.doc_id AS chosen_id, r1.uniq_words AS chosen_uniq,
+       r2.doc_id AS rejected_id, r2.uniq_words AS rejected_uniq
+FROM ranked r1
+JOIN ranked r2 ON r1.cluster_id = r2.cluster_id
+JOIN sz ON sz.cluster_id = r1.cluster_id
+WHERE r1.rb = 1 AND r2.rw = 1 AND sz.n >= 2
+ORDER BY r1.cluster_id
+""",
+    tags=("pipeline", "preference", "graph"),
+)
+def corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining (the DPO/RLHF data shape): within every
+    near-dup cluster of >= 2 documents, emit ONE (chosen, rejected) pair —
+    the highest- and lowest-quality member under a strictly-unique integer
+    key (distinct-word count, doc_id tie-break; round-4 rule: argmax under
+    ties is engine-arbitrary, so the by-value is made unique). Near-dup
+    clusters are where preference pairs are semantically safe to mine:
+    the texts say the same thing, so the quality delta is stylistic, not
+    topical. Clusters come from the MinHash-LSH + connected-components
+    pipeline (same oracle machinery as dedup_clusters); per-cluster
+    windows partition on cluster_id — thousands of small partitions,
+    never partition-less. chosen != rejected is guaranteed for n >= 2
+    because the two rankings are exact reverses."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(
+        D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = tracked_persist(D.word_shingles(docs))
+    pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
+    comp = tracked_persist(D.connected_components(pairs))
+    q = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).alias("uniq_words"))
+    ranked = tracked_persist(
+        comp.join(q, "doc_id")
+        .withColumn("rb", F.row_number().over(
+            W.partitionBy("cluster_id")
+            .orderBy(F.desc("uniq_words"), F.asc("doc_id"))))
+        .withColumn("rw", F.row_number().over(
+            W.partitionBy("cluster_id")
+            .orderBy(F.asc("uniq_words"), F.desc("doc_id")))))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    chosen = ranked.filter(F.col("rb") == 1).select(
+        "cluster_id", F.col("doc_id").alias("chosen_id"),
+        F.col("uniq_words").alias("chosen_uniq"))
+    rejected = ranked.filter(F.col("rw") == 1).select(
+        "cluster_id", F.col("doc_id").alias("rejected_id"),
+        F.col("uniq_words").alias("rejected_uniq"))
+    return (
+        chosen.join(rejected, "cluster_id")
+        .join(sizes.filter(F.col("n") >= 2).select("cluster_id"),
+              "cluster_id")
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "corpus_unigram_drift",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+corpus AS (
+  SELECT w, count(*) AS c FROM words WHERE doc_id % 4 <= 2 GROUP BY w
+),
+batch AS (
+  SELECT w, count(*) AS c FROM words WHERE doc_id % 4 = 3 GROUP BY w
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM corpus) AS tc, (SELECT sum(c) FROM batch) AS tb
+),
+ppm AS (
+  SELECT coalesce(corpus.w, batch.w) AS word,
+         coalesce(corpus.c, 0) * 1000000 // tot.tc AS corpus_ppm,
+         coalesce(batch.c, 0) * 1000000 // tot.tb AS batch_ppm
+  FROM corpus FULL OUTER JOIN batch ON corpus.w = batch.w, tot
+)
+SELECT word, corpus_ppm, batch_ppm,
+       abs(corpus_ppm - batch_ppm) AS drift_ppm
+FROM ppm
+ORDER BY drift_ppm DESC, word
+""",
+    tags=("pipeline", "validation", "drift"),
+)
+def corpus_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch distribution drift gate: the unigram frequency
+    distribution of an incoming batch (doc_id % 4 == 3) vs the existing
+    corpus, in integer parts-per-million — the pre-merge QA check that
+    catches a scraper regression or language shift BEFORE the batch
+    pollutes the corpus (the distributional sibling of
+    table_expectations). One groupBy per side over exploded words
+    (map-side combined), a vocab-sized full outer join, integer division
+    throughout (ppm = count * 1e6 div total — Spark DIV mirrored with
+    DuckDB // per the session-4 rule). At 100 TB the vocab table is the
+    only thing that ever reaches the driver-facing result."""
+    words = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    corpus = words.filter(F.col("doc_id") % 4 <= 2).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c"))
+    batch = words.filter(F.col("doc_id") % 4 == 3).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c"))
+    tc = corpus.agg(F.sum("c").alias("tc"))
+    tb = batch.agg(F.sum("c").alias("tb"))
+    joined = (
+        corpus.select(F.col("w").alias("cw"), F.col("c").alias("cc"))
+        .join(batch.select(F.col("w").alias("bw"), F.col("c").alias("bc")),
+              F.col("cw") == F.col("bw"), "full_outer")
+        .crossJoin(F.broadcast(tc)).crossJoin(F.broadcast(tb))
+        .select(
+            F.coalesce("cw", "bw").alias("word"),
+            F.expr("coalesce(cc, 0) * 1000000 div tc").alias("corpus_ppm"),
+            F.expr("coalesce(bc, 0) * 1000000 div tb").alias("batch_ppm"),
+        )
+    )
+    return joined.select(
+        "word", "corpus_ppm", "batch_ppm",
+        F.abs(F.col("corpus_ppm") - F.col("batch_ppm")).alias("drift_ppm"),
+    ).orderBy(F.desc("drift_ppm"), "word")
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=D.edit_distance_oracle(k=8),
+    tags=("dedup", "scale"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance self-join at levenshtein <= 8 (Ed-Join, Xiao
+    et al. 2008): candidates ONLY from collisions among each document's
+    k*q + 1 rarest positional q-grams (lossless by the q-gram lemma — see
+    operators/dedup.py::edit_distance_pairs), plus a |len| <= k band;
+    verification is Spark's BANDED 3-arg levenshtein (O(k*n) diagonal DP,
+    -1 above the bound), never the full O(n*m) matrix. The oracle is the
+    NAIVE length-banded all-pairs ground truth, so a MATCH proves the
+    prefix filter lossless — the character-level sibling of
+    dedup_jaccard_prefix_filter, and the edit-distance join shape that
+    survives 100 TB (all-pairs DP is quadratic in documents AND in
+    length)."""
+    return D.edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), k=8, q=4).orderBy("id_a", "id_b")
+
+
+@register(
     "dedup_substring_spans",
     oracle=D.substring_spans_oracle(k=8, min_count=2),
     tags=("dedup", "text"),
