@@ -513,7 +513,8 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
 
 
 def incremental_components_update(state: DataFrame,
-                                  new_pairs: DataFrame) -> DataFrame:
+                                  new_pairs: DataFrame,
+                                  return_delta: bool = False) -> DataFrame:
     """Merge a batch of new verified pairs into an EXISTING components
     table in O(batch), not O(corpus) — the incremental form of
     connected_components (r05 verdict #7; dedup_clusters rebuilt the
@@ -561,7 +562,7 @@ def incremental_components_update(state: DataFrame,
     # edges entirely inside one existing component contract away; nothing
     # to relabel or insert then
     if tiny.isEmpty():
-        return state
+        return state.limit(0) if return_delta else state
     reps = lookup.select(F.col("cluster_id").alias("node")).distinct()
     relabel = _ckpt(tiny.join(reps, "node")
                     .withColumnRenamed("node", "cluster_id"))
@@ -570,12 +571,57 @@ def incremental_components_update(state: DataFrame,
         .select(F.col("node").alias("doc_id"),
                 F.col("new_label").alias("cluster_id"))
     )
+    if return_delta:
+        # only the rows whose assignment changed (touched-cluster members
+        # with a NEW label) plus the fresh inserts — the O(touched) payload
+        # a versioned state store appends per ingest
+        relabeled = (
+            state.join(F.broadcast(relabel.filter(
+                F.col("new_label") != F.col("cluster_id"))), "cluster_id")
+            .select("doc_id", F.col("new_label").alias("cluster_id"))
+        )
+        return relabeled.unionByName(fresh)
     updated = (
         state.join(F.broadcast(relabel), "cluster_id", "left")
         .select("doc_id",
                 F.coalesce("new_label", "cluster_id").alias("cluster_id"))
     )
     return updated.unionByName(fresh)
+
+
+def components_state_write(spark, path: str, delta: DataFrame,
+                           note: str = "") -> int:
+    """Append one ingest round's component-assignment DELTA to a
+    snapshot-versioned state store (operators/snapshots.py manifests —
+    immutable data files, O(files) driver work). Row payload per version
+    is O(touched + fresh), never the full state; the version stamp rides
+    in a __v column so reads can resolve last-writer-wins."""
+    from impalatogo_spark.operators import snapshots as SN
+
+    head = SN.head_version(path)
+    version = 0 if head is None else head + 1
+    return SN.snapshot_write(
+        spark, path,
+        delta.select("doc_id", "cluster_id",
+                     F.lit(version).alias("__v")),
+        note=note)
+
+
+def components_state_read(spark, path: str,
+                          version: int | None = None) -> DataFrame:
+    """Reconstruct the (doc_id, cluster_id) components table AS OF a
+    snapshot version (default head): union the delta files the manifest
+    lists, keep each doc's highest-version assignment. The per-doc pick is
+    a packed-struct max — (__v, cluster_id) is unique per doc per version,
+    so no engine-arbitrary tie (round-4 mode()/max_by rule)."""
+    from impalatogo_spark.operators import snapshots as SN
+
+    raw = SN.snapshot_read(spark, path, version)
+    return (
+        raw.groupBy("doc_id")
+        .agg(F.max(F.struct("__v", "cluster_id")).alias("m"))
+        .select("doc_id", F.col("m.cluster_id").alias("cluster_id"))
+    )
 
 
 def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
