@@ -456,3 +456,87 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_for_teardown(
         out.orderBy("segment", "event_type")
     )
+
+
+from impalatogo_spark.operators import dedup as _D  # noqa: E402
+
+
+@register(
+    "streaming_incremental_clusters",
+    # identical oracle to dedup_clusters_incremental / dedup_clusters:
+    # the streamed, snapshot-versioned maintenance must land on the exact
+    # full-recompute clustering
+    oracle=_D.clusters_oracle(_D.minhash_lsh_oracle(threshold=0.5)),
+    tags=("streaming", "dedup", "graph", "incremental"),
+)
+def streaming_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup CLUSTER maintenance: the corpus's last two
+    quarters (doc_id % 4 in {2, 3}) arrive as two file-source
+    micro-batches; each foreachBatch generates only the batch-INCIDENT
+    verified pairs (vs the cumulative corpus so far) and folds them into
+    the snapshot-versioned components state via the O(batch) contracted
+    merge (operators/dedup.py incremental_components_update
+    return_delta=True -> components_state_write). The final state must
+    equal the one-shot clustering of the WHOLE corpus — the same
+    full-recompute oracle dedup_clusters gates against.
+
+    At-least-once note (foreachBatch): a REPLAYED batch is absorbed with
+    no bookkeeping — its edges land entirely inside already-merged
+    components, so the contracted graph is empty and the delta written is
+    zero rows; duplicate rows in the cumulative store are likewise
+    harmless (signatures are per-doc mins, verification is per-distinct
+    (id, gram)). Contrast streaming_ingest_dedup's batch-id note: this
+    state merge is naturally idempotent, like the HLL register max."""
+    import os
+    import shutil
+    import tempfile
+
+    from impalatogo_spark.session import table
+    from impalatogo_spark.streaming.ingest import documents_stream
+
+    docs = table(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % 4 <= 1)
+
+    base = tempfile.mkdtemp(prefix="i2s_stream_cc_")
+    try:
+        in_dir = os.path.join(base, "in")
+        # one parquet file per ingest drop -> one micro-batch each
+        docs.filter(F.col("doc_id") % 4 == 2).coalesce(1) \
+            .write.parquet(in_dir)
+        docs.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+        state = os.path.join(base, "state")
+        cum_dir = os.path.join(base, "cum")
+        cand0 = _D.lsh_candidate_pairs(_D.lsh_band_buckets(
+            _D.minhash_signatures(_D.word_shingles(corpus0, distinct=False))))
+        pairs0 = _D.verify_jaccard(
+            cand0, _D.word_shingles(corpus0), 0.5).select("id_a", "id_b")
+        _D.components_state_write(
+            spark, state, _D.connected_components(pairs0), note="corpus")
+        corpus0.write.parquet(cum_dir)
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            cum = spark.read.parquet(cum_dir)
+            state_df = _D.components_state_read(spark, state)
+            pairs = _D.batch_incident_pairs(cum, batch_df)
+            delta = _D.incremental_components_update(
+                state_df, pairs, return_delta=True)
+            _D.components_state_write(
+                spark, state, delta, note=f"batch {batch_id}")
+            batch_df.write.mode("append").parquet(cum_dir)
+
+        q = (
+            documents_stream(spark, in_dir)
+            .writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "_ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        out = _D.components_state_read(spark, state).orderBy("doc_id")
+        return _materialize_for_teardown(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
