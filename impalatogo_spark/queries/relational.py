@@ -1466,7 +1466,7 @@ SELECT l_orderkey, l_linenumber,
        hex(l_returnflag)                                    AS hxs,
        decode(unhex(hex(l_returnflag)))                     AS uh,
        CAST(l_orderkey AS VARCHAR)                          AS cv,
-       round(fmod(CAST(l_extendedprice AS DOUBLE), 7.3), 6) AS fm,
+       CAST(round(l_extendedprice * 100) AS BIGINT) % 730   AS fm_cents,
        l_orderkey // 7                                      AS qt
 FROM lineitem WHERE l_orderkey <= 500
 """,
@@ -1475,9 +1475,13 @@ FROM lineitem WHERE l_orderkey <= 500
 def func_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Base-conversion + modulus subfamily (impala_functions.py:227-344):
     bin, hex (bigint + string), unhex roundtrip, conv (16->10 roundtrip,
-    oracle side is the decimal string itself — DuckDB has no conv()), fmod
-    (sign-of-dividend; positive data here, negative pinned in pytest since
-    DuckDB's fmod is floor-signed), quotient (truncating integer DIV)."""
+    oracle side is the decimal string itself — DuckDB has no conv()),
+    fmod over exact integer cents (for 2-decimal data, price mod 7.3 ==
+    (cents mod 730)/100 exactly; the DOUBLE form diverges between
+    engines at near-multiple boundaries — DuckDB's fmod(34594.7, 7.3)
+    returns 0.0 where Spark's % returns 7.29999..., found by the sf1
+    gate — and double fmod sign semantics stay pinned in pytest),
+    quotient (truncating integer DIV)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
     key = F.col("l_orderkey").cast("long")
     return li.select(
@@ -1488,7 +1492,8 @@ def func_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("l_returnflag")).alias("hxs"),
         F.decode(F.unhex(F.hex(F.col("l_returnflag"))), "UTF-8").alias("uh"),
         F.conv(F.hex(key), 16, 10).alias("cv"),
-        F.round(F.col("l_extendedprice").cast("double") % 7.3, 6).alias("fm"),
+        (F.round(F.col("l_extendedprice") * 100).cast("long") % 730)
+        .alias("fm_cents"),
         F.expr("CAST(l_orderkey AS BIGINT) DIV 7").alias("qt"),
     )
 

@@ -2038,11 +2038,14 @@ def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q79",
     oracle="""
 SELECT c_name, substr(n_name, 1, 8) AS city, o_orderkey,
-       round(amt, 2) AS amt, round(profit, 2) AS profit
+       round(amt_c4 / 10000.0, 2) AS amt,
+       round(profit_c4 / 10000.0, 2) AS profit
 FROM (
   SELECT o_orderkey, o_custkey, n_name,
-         sum(l_extendedprice * l_discount)       AS amt,
-         sum(l_extendedprice * (1 - l_discount)) AS profit
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT))         AS amt_c4,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS profit_c4
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -2051,7 +2054,7 @@ FROM (
   GROUP BY o_orderkey, o_custkey, n_name
 ) ms
 JOIN customer ON o_custkey = c_custkey
-ORDER BY c_name, o_orderkey, city
+ORDER BY c_name, o_orderkey, city, amt, profit
 LIMIT 100
 """,
     tags=("tpcds", "join"),
@@ -2059,20 +2062,28 @@ LIMIT 100
 def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q79 shape (tpcds-q79.test): per-(ticket, customer, store-city)
     coupon/profit rollup with store-dim filters, customer joined after the
-    aggregate (the reference's ms-subquery-then-customer plan)."""
+    aggregate (the reference's ms-subquery-then-customer plan).
+
+    Money sums are exact integer ten-thousandths (cents x discount-cents)
+    with ONE final division — the sf1 gate caught an order-dependent
+    double sum flipping a .005 rounding boundary. ORDER BY carries a full
+    row tie-break: substr(n_name, 1, 8) collides NATION_2/NATION_20, so
+    (c_name, o_orderkey, city) alone under-determines the LIMIT edge."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey").between(0, 2))
     c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
     ms = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("o_orderkey", "o_custkey", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("amt"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"),
+            F.sum(cents * disc_c).alias("amt_c4"),
+            F.sum(cents * (100 - disc_c)).alias("profit_c4"),
         )
     )
     return (
@@ -2081,10 +2092,10 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             F.substring("n_name", 1, 8).alias("city"),
             "o_orderkey",
-            F.round("amt", 2).alias("amt"),
-            F.round("profit", 2).alias("profit"),
+            F.round(F.col("amt_c4") / 10000.0, 2).alias("amt"),
+            F.round(F.col("profit_c4") / 10000.0, 2).alias("profit"),
         )
-        .orderBy("c_name", "o_orderkey", "city")
+        .orderBy("c_name", "o_orderkey", "city", "amt", "profit")
         .limit(100)
     )
 
@@ -2245,12 +2256,14 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpcds_q98",
     oracle="""
-SELECT p_partkey, p_name, p_type, itemrevenue,
-       round(itemrevenue * 100 / sum(itemrevenue) OVER (PARTITION BY p_type), 4)
+SELECT p_partkey, p_name, p_type,
+       round(ir_c4 / 10000.0, 2) AS itemrevenue,
+       round(ir_c4 * 100.0 / sum(ir_c4) OVER (PARTITION BY p_type), 4)
          AS revenueratio
 FROM (
   SELECT p_partkey, p_name, p_type,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS itemrevenue
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS ir_c4
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN part   ON l_partkey = p_partkey
@@ -2265,7 +2278,11 @@ ORDER BY p_type, p_partkey
 def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q98 shape (tpcds-q98.test): per-item revenue plus its share of
     the item-class total (sum-over-aggregate window), one month of sales in
-    three categories."""
+    three categories. Revenue accumulates as exact integer
+    ten-thousandths; itemrevenue and revenueratio are each ONE division
+    of identical integers (the sf1 gate caught the double-sum form
+    flipping a rounding boundary). The window sums BIGINTs, exact on both
+    engines."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
@@ -2275,22 +2292,21 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(
         F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO")
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
     t = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "p_type")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "itemrevenue"
-            )
-        )
+        .agg(F.sum(cents * (100 - disc_c)).alias("ir_c4"))
     )
     w = Window.partitionBy("p_type")
     return (
         t.select(
-            "p_partkey", "p_name", "p_type", "itemrevenue",
+            "p_partkey", "p_name", "p_type",
+            F.round(F.col("ir_c4") / 10000.0, 2).alias("itemrevenue"),
             F.round(
-                F.col("itemrevenue") * 100 / F.sum("itemrevenue").over(w), 4
+                F.col("ir_c4") * 100.0 / F.sum("ir_c4").over(w), 4
             ).alias("revenueratio"),
         )
         .orderBy("p_type", "p_partkey")
