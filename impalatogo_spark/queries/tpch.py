@@ -2038,8 +2038,8 @@ def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q79",
     oracle="""
 SELECT c_name, substr(n_name, 1, 8) AS city, o_orderkey,
-       round(amt_c4 / 10000.0, 2) AS amt,
-       round(profit_c4 / 10000.0, 2) AS profit
+       ((amt_c4 + 50) // 100) / 100.0 AS amt,
+       ((profit_c4 + 50) // 100) / 100.0 AS profit
 FROM (
   SELECT o_orderkey, o_custkey, n_name,
          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -2065,10 +2065,13 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the reference's ms-subquery-then-customer plan).
 
     Money sums are exact integer ten-thousandths (cents x discount-cents)
-    with ONE final division — the sf1 gate caught an order-dependent
-    double sum flipping a .005 rounding boundary. ORDER BY carries a full
-    row tie-break: substr(n_name, 1, 8) collides NATION_2/NATION_20, so
-    (c_name, o_orderkey, city) alone under-determines the LIMIT edge."""
+    rounded to cents in INTEGER arithmetic ((x + 50) div 100) before the
+    single final division — the sf1 gate caught an order-dependent double
+    sum flipping a .005 boundary, and round(x_c4/10000.0, 2) would hit
+    exact decimal ties where Spark HALF_UP and DuckDB binary rounding
+    disagree (see tpcds_q98). ORDER BY carries a full row tie-break:
+    substr(n_name, 1, 8) collides NATION_2/NATION_20, so (c_name,
+    o_orderkey, city) alone under-determines the LIMIT edge."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
@@ -2092,8 +2095,8 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             F.substring("n_name", 1, 8).alias("city"),
             "o_orderkey",
-            F.round(F.col("amt_c4") / 10000.0, 2).alias("amt"),
-            F.round(F.col("profit_c4") / 10000.0, 2).alias("profit"),
+            (F.expr("(amt_c4 + 50) div 100") / 100.0).alias("amt"),
+            (F.expr("(profit_c4 + 50) div 100") / 100.0).alias("profit"),
         )
         .orderBy("c_name", "o_orderkey", "city", "amt", "profit")
         .limit(100)
@@ -2257,9 +2260,9 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q98",
     oracle="""
 SELECT p_partkey, p_name, p_type,
-       round(ir_c4 / 10000.0, 2) AS itemrevenue,
-       round(ir_c4 * 100.0 / sum(ir_c4) OVER (PARTITION BY p_type), 4)
-         AS revenueratio
+       ((ir_c4 + 50) // 100) / 100.0 AS itemrevenue,
+       ir_c4 * 10000 // sum(ir_c4) OVER (PARTITION BY p_type)
+         AS revenueratio_bp
 FROM (
   SELECT p_partkey, p_name, p_type,
          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -2279,10 +2282,14 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q98 shape (tpcds-q98.test): per-item revenue plus its share of
     the item-class total (sum-over-aggregate window), one month of sales in
     three categories. Revenue accumulates as exact integer
-    ten-thousandths; itemrevenue and revenueratio are each ONE division
-    of identical integers (the sf1 gate caught the double-sum form
-    flipping a rounding boundary). The window sums BIGINTs, exact on both
-    engines."""
+    ten-thousandths and every rounding happens in INTEGER arithmetic
+    before the single final division: the sf1 gate caught BOTH float
+    forms — the double sum flipped a .005 boundary, and the
+    integer-sum-then-round(x/10000.0, 2) form hit exact decimal ties
+    (9342.425) where Spark's HALF_UP-on-shortest-repr rounds UP while
+    DuckDB rounds the binary value DOWN. itemrevenue is half-up integer
+    cents / 100.0; the class share is integer basis points (floor div on
+    both engines). The window sums BIGINTs, exact on both sides."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
@@ -2303,11 +2310,13 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("p_type")
     return (
         t.select(
+            "p_partkey", "p_name", "p_type", "ir_c4",
+            F.sum("ir_c4").over(w).alias("__den"),
+        )
+        .select(
             "p_partkey", "p_name", "p_type",
-            F.round(F.col("ir_c4") / 10000.0, 2).alias("itemrevenue"),
-            F.round(
-                F.col("ir_c4") * 100.0 / F.sum("ir_c4").over(w), 4
-            ).alias("revenueratio"),
+            (F.expr("(ir_c4 + 50) div 100") / 100.0).alias("itemrevenue"),
+            F.expr("(ir_c4 * 10000) div __den").alias("revenueratio_bp"),
         )
         .orderBy("p_type", "p_partkey")
     )
