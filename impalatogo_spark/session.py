@@ -109,6 +109,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # present in the input (hdfs-table-sink.cc); Spark's STATIC default
     # would wipe every partition of the target instead.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Engine join policy (matches get_spark): prefer broadcast joins for
+    # dimension sides up to 64 MB, like the reference's planner which
+    # broadcasts by cost/stat estimate (DistributedPlanner.java). The sf1
+    # growth audit found the vanilla 10 MB default flipping the TPC-H/DS
+    # order/customer joins to shuffle joins a full SF before necessary
+    # (SCALE_AUDIT_r06.md 'join-transition' class) — the driver's session
+    # must plan like the engine's own.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

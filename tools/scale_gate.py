@@ -122,7 +122,8 @@ def main() -> int:
     qs, osql = m.queries(), m.oracle_sql()
     report: dict[str, dict] = {}
     fails = 0
-    names = [n for n in sorted(qs) if args.filter in n]
+    filters = [f for f in args.filter.split(",") if f] or [""]
+    names = [n for n in sorted(qs) if any(f in n for f in filters)]
     for idx, name in enumerate(names):
         rec: dict = {}
         report[name] = rec
