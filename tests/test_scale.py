@@ -169,12 +169,15 @@ def test_runtime_bloom_filter_reaches_probe_side(spark, sf_dir):
     }
     old = {k: spark.conf.get(k, None) for k in confs}
     try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
         li = table(spark, sf_dir, "lineitem")
         o = table(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
+        # confs AFTER table(): ensure_session_confs pins the engine's
+        # 64 MB broadcast threshold (r06 join policy), which would undo
+        # the -1 this test needs to force a shuffle join
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         j = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderpriority")
