@@ -2038,8 +2038,8 @@ def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q79",
     oracle="""
 SELECT c_name, substr(n_name, 1, 8) AS city, o_orderkey,
-       ((amt_c4 + 50) // 100) / 100.0 AS amt,
-       ((profit_c4 + 50) // 100) / 100.0 AS profit
+       (amt_c4 + 50) // 100 AS amt_cents,
+       (profit_c4 + 50) // 100 AS profit_cents
 FROM (
   SELECT o_orderkey, o_custkey, n_name,
          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -2054,7 +2054,7 @@ FROM (
   GROUP BY o_orderkey, o_custkey, n_name
 ) ms
 JOIN customer ON o_custkey = c_custkey
-ORDER BY c_name, o_orderkey, city, amt, profit
+ORDER BY c_name, o_orderkey, city, amt_cents, profit_cents
 LIMIT 100
 """,
     tags=("tpcds", "join"),
@@ -2065,11 +2065,13 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the reference's ms-subquery-then-customer plan).
 
     Money sums are exact integer ten-thousandths (cents x discount-cents)
-    rounded to cents in INTEGER arithmetic ((x + 50) div 100) before the
-    single final division — the sf1 gate caught an order-dependent double
-    sum flipping a .005 boundary, and round(x_c4/10000.0, 2) would hit
-    exact decimal ties where Spark HALF_UP and DuckDB binary rounding
-    disagree (see tpcds_q98). ORDER BY carries a full row tie-break:
+    rounded to cents in INTEGER arithmetic ((x + 50) div 100) and EMITTED
+    as BIGINT cents — r07 closed the money-double class structurally: no
+    binary double ever reaches the driver's %.6g hash formatter (the sf1
+    gate had caught an order-dependent double sum flipping a .005
+    boundary, and round(x_c4/10000.0, 2) hit exact decimal ties where
+    Spark HALF_UP and DuckDB binary rounding disagree — see tpcds_q98).
+    ORDER BY carries a full row tie-break:
     substr(n_name, 1, 8) collides NATION_2/NATION_20, so (c_name,
     o_orderkey, city) alone under-determines the LIMIT edge."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2095,10 +2097,10 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             F.substring("n_name", 1, 8).alias("city"),
             "o_orderkey",
-            (F.expr("(amt_c4 + 50) div 100") / 100.0).alias("amt"),
-            (F.expr("(profit_c4 + 50) div 100") / 100.0).alias("profit"),
+            F.expr("(amt_c4 + 50) div 100").alias("amt_cents"),
+            F.expr("(profit_c4 + 50) div 100").alias("profit_cents"),
         )
-        .orderBy("c_name", "o_orderkey", "city", "amt", "profit")
+        .orderBy("c_name", "o_orderkey", "city", "amt_cents", "profit_cents")
         .limit(100)
     )
 
@@ -2260,7 +2262,7 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q98",
     oracle="""
 SELECT p_partkey, p_name, p_type,
-       ((ir_c4 + 50) // 100) / 100.0 AS itemrevenue,
+       (ir_c4 + 50) // 100 AS itemrevenue_cents,
        ir_c4 * 10000 // sum(ir_c4) OVER (PARTITION BY p_type)
          AS revenueratio_bp
 FROM (
@@ -2287,9 +2289,11 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms — the double sum flipped a .005 boundary, and the
     integer-sum-then-round(x/10000.0, 2) form hit exact decimal ties
     (9342.425) where Spark's HALF_UP-on-shortest-repr rounds UP while
-    DuckDB rounds the binary value DOWN. itemrevenue is half-up integer
-    cents / 100.0; the class share is integer basis points (floor div on
-    both engines). The window sums BIGINTs, exact on both sides."""
+    DuckDB rounds the binary value DOWN. r07 closed the class structurally
+    (driver red r06): itemrevenue_cents is half-up integer cents emitted
+    as BIGINT — no double ever crosses the driver's %.6g hash boundary;
+    the class share is integer basis points (floor div on both engines).
+    The window sums BIGINTs, exact on both sides."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
@@ -2315,7 +2319,7 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "p_partkey", "p_name", "p_type",
-            (F.expr("(ir_c4 + 50) div 100") / 100.0).alias("itemrevenue"),
+            F.expr("(ir_c4 + 50) div 100").alias("itemrevenue_cents"),
             F.expr("(ir_c4 * 10000) div __den").alias("revenueratio_bp"),
         )
         .orderBy("p_type", "p_partkey")
