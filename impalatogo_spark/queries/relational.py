@@ -1876,25 +1876,81 @@ FROM t GROUP BY 1
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile battery (continuous interpolation + discrete) over
-    integer cents — interpolation between exact integers is one IEEE
-    multiply+add, so values are engine-identical. Complements the
-    appx_median sketch path with the exact form (SQL entry:
-    percentile_cont/percentile_disc WITHIN GROUP)."""
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        WITH t AS (SELECT o_orderstatus,
-                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-                   FROM orders)
-        SELECT o_orderstatus,
-               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 4) AS p25,
-               round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY cents), 4) AS p50,
-               round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY cents), 4) AS p90,
-               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
-                   AS p50_disc
-        FROM t GROUP BY o_orderstatus
-        """,
+    integer cents, computed by PER-GROUP RANK SELECTION over the two-level
+    global-row-number scan (operators/scale.py) instead of Spark's
+    buffering percentile_cont ObjectHashAggregate: with only 3 groups the
+    builtin's final merge holds ~N/3 values per task — the r06 sf1 audit
+    measured 257 s at sf1 vs 2.1 s at sf0.1 (buffer pressure, an executor
+    OOM at 100 TB). Here the sort is a range-partitioned scan with full
+    parallelism; the per-group (start, n) table is 3 rows broadcast back,
+    and the percentile is linear interpolation between the two bracketing
+    ranks. Interpolation mirrors DuckDB's quantile_cont lerp form
+    (lo*(crn-rn) + hi*(rn-frn), rn = p*(n-1) in IEEE double) so the
+    rounded values stay engine-identical. percentile_disc(0.5) is the
+    element at 1-based rank (n+1) div 2 — both engines' lower-middle
+    tie rule. (SQL entry still serves percentile_cont/percentile_disc
+    WITHIN GROUP via Spark builtins for tiny inputs.)"""
+    from impalatogo_spark.operators.scale import global_row_number
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    d = global_row_number(t, ["o_orderstatus", "cents", "o_orderkey"], out="grn")
+    stats = d.groupBy("o_orderstatus").agg(
+        F.min("grn").alias("start"), F.count(F.lit(1)).alias("n")
+    )
+    j = d.join(F.broadcast(stats), "o_orderstatus")
+
+    def pos(p: float):
+        return F.lit(p) * (F.col("n") - 1).cast("double")
+
+    picks = []
+    for tag, p in (("25", 0.25), ("50", 0.5), ("90", 0.9)):
+        picks.append(
+            F.max(
+                F.when(
+                    F.col("grn") == F.col("start") + F.floor(pos(p)),
+                    F.col("cents"),
+                )
+            ).alias(f"lo{tag}")
+        )
+        picks.append(
+            F.max(
+                F.when(
+                    F.col("grn") == F.col("start") + F.ceil(pos(p)),
+                    F.col("cents"),
+                )
+            ).alias(f"hi{tag}")
+        )
+    agg = j.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        *picks,
+        F.max(
+            F.when(
+                F.col("grn") == F.col("start") + F.expr("(n + 1) DIV 2") - 1,
+                F.col("cents"),
+            )
+        ).alias("disc50"),
+    )
+
+    def lerp(tag: str, p: float):
+        rn = pos(p)
+        frn, crn = F.floor(rn).cast("double"), F.ceil(rn).cast("double")
+        lo = F.col(f"lo{tag}").cast("double")
+        hi = F.col(f"hi{tag}").cast("double")
+        val = F.when(crn == frn, lo).otherwise(
+            lo * (crn - rn) + hi * (rn - frn)
+        )
+        return F.round(val, 4).alias(f"p{tag}")
+
+    return agg.select(
+        "o_orderstatus",
+        lerp("25", 0.25),
+        lerp("50", 0.5),
+        lerp("90", 0.9),
+        F.col("disc50").alias("p50_disc"),
     )
 
 
