@@ -3960,12 +3960,38 @@ GROUP BY 1, 2
 def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substitute-product discovery: per (type, size) block, count
     cross-brand part pairs priced within 10% of each other (candidate
-    substitutions for assortment/pricing analysis). The (type, size)
-    blocking key bounds the pairwise price comparison to per-block
-    quadratics — same record-linkage shape as customers_er_blocking —
-    and all price math is integer cents with a milli-scaled relative gap
-    (trunc division on positives matches DuckDB's integer `/` after
-    CAST)."""
+    substitutions for assortment/pricing analysis).
+
+    Scale shape (rewritten r07): the sf1 audit measured the bare block
+    self-join at 22x wall on 10x data, and banding CANNOT fix it — at sf1
+    95% of all block pairs qualify (63.4M of 66.6M), so any enumeration is
+    Theta(N^2) because the ANSWER is. This form never materializes a pair:
+    every output is computed by RANK ARITHMETIC in O(N log N):
+
+    - n_pairs: for each part x (rank r by (cents, pk) in its block), the
+      qualifying partners ordered after x are those with cents <=
+      floor(1.1*cents_x) — a searchsorted count. Data rows and probe rows
+      (val = (cents*11) div 10) are unioned and a per-block running count
+      of data rows gives cnt_le(probe); after(x) = cnt_le - r. The same
+      pass partitioned by (block, brand) gives same-brand counts;
+      n_pairs = sum(after_block - after_brand).
+    - min_gap_milli: the minimizing cross-brand pair is always a part and
+      the LAST element of the previous brand-run in (cents, pk) order
+      (exchange argument: any closer middle element yields a <= gap pair
+      nearer in order), so runs + one lag over the run table enumerate a
+      linear candidate superset; the exact integer predicate filters it.
+    - sample_partkey = min(a.pk) over pairs = min pk among PARTICIPANTS
+      (parts with any qualifying cross-brand partner): the min-pk
+      participant's partner necessarily has a larger pk. Participation =
+      after-count + before-count > 0, before via the lo-side probe
+      val = ceil(10*cents/11) - 1.
+
+    All price math is integer cents; the milli gap is trunc division on
+    positives (matches DuckDB's integer `/` after CAST). The oracle stays
+    the naive quadratic ground truth, so the gate proves the rank
+    arithmetic exact."""
+    from impalatogo_spark.session import tracked_persist
+
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
         "p_brand",
@@ -3973,26 +3999,128 @@ def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    diff = F.abs(F.col("a.cents") - F.col("b.cents"))
-    lo = F.least(F.col("a.cents"), F.col("b.cents"))
-    return (
-        a.join(
-            b,
-            (F.col("a.p_type") == F.col("b.p_type"))
-            & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    wb = W.partitionBy("p_type", "p_size").orderBy("cents", "p_partkey")
+    wbr = W.partitionBy("p_type", "p_size", "p_brand").orderBy("cents", "p_partkey")
+    d = tracked_persist(
+        p.withColumn("r", F.row_number().over(wb))
+        .withColumn("rb", F.row_number().over(wbr))
+        .withColumn("hi", F.expr("(cents * 11) DIV 10"))
+        .withColumn("lo1", F.expr("(cents * 10 + 10) DIV 11 - 1"))
+    )
+
+    def cnt_pass(keys: list) -> DataFrame:
+        """Per-part searchsorted counts within the `keys` partitions:
+        cnth = #elements with cents <= floor(1.1*cents_x),
+        cntl = #elements with cents <  ceil(10*cents_x/11)."""
+        data = d.select(
+            *keys,
+            F.col("cents").alias("val"),
+            F.lit(0).alias("isp"),
+            F.lit(None).cast("long").alias("pk"),
+            F.lit(None).cast("string").alias("kind"),
         )
-        .where((F.col("a.p_brand") != F.col("b.p_brand")) & (diff * 10 <= lo))
-        .groupBy(
-            F.col("a.p_type").alias("p_type"),
-            F.col("a.p_size").cast("int").alias("p_size"),
+        probes = d.select(
+            *keys,
+            F.col("p_partkey").alias("pk"),
+            F.explode(
+                F.array(
+                    F.struct(F.col("hi").alias("val"), F.lit("h").alias("kind")),
+                    F.struct(F.col("lo1").alias("val"), F.lit("l").alias("kind")),
+                )
+            ).alias("pr"),
+        ).select(
+            *keys,
+            F.col("pr.val").alias("val"),
+            F.lit(1).alias("isp"),
+            "pk",
+            F.col("pr.kind").alias("kind"),
         )
+        wv = (
+            W.partitionBy(*keys)
+            .orderBy("val", "isp")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        c = data.unionByName(probes).withColumn(
+            "cum", F.sum(1 - F.col("isp")).over(wv)
+        )
+        return (
+            c.where(F.col("isp") == 1)
+            .groupBy("pk")
+            .agg(
+                F.max(F.when(F.col("kind") == "h", F.col("cum"))).alias("cnth"),
+                F.max(F.when(F.col("kind") == "l", F.col("cum"))).alias("cntl"),
+            )
+        )
+
+    blk = cnt_pass(["p_type", "p_size"]).withColumnsRenamed(
+        {"cnth": "cnth_k", "cntl": "cntl_k"}
+    )
+    br = cnt_pass(["p_type", "p_size", "p_brand"]).withColumnsRenamed(
+        {"cnth": "cnth_b", "cntl": "cntl_b"}
+    )
+    stats = (
+        d.join(blk, d.p_partkey == blk.pk)
+        .drop("pk")
+        .join(br, d.p_partkey == br.pk)
+        .drop("pk")
+        .withColumn(
+            "after_cross",
+            (F.col("cnth_k") - F.col("r")) - (F.col("cnth_b") - F.col("rb")),
+        )
+        .withColumn(
+            "before_cross",
+            (F.col("r") - F.col("cntl_k")) - (F.col("rb") - F.col("cntl_b")),
+        )
+    )
+    agg = stats.groupBy("p_type", "p_size").agg(
+        F.sum("after_cross").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(
+                F.col("after_cross") + F.col("before_cross") > 0,
+                F.col("p_partkey"),
+            )
+        ).alias("sample_partkey"),
+    )
+
+    # min-gap candidates: each part vs the last element of the previous
+    # same-brand run in (cents, pk) order within its block
+    wcum = wb.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_brand = F.lag("p_brand").over(wb)
+    runs_rows = d.withColumn(
+        "run",
+        F.sum(
+            F.when(
+                prev_brand.isNull() | (prev_brand != F.col("p_brand")), 1
+            ).otherwise(0)
+        ).over(wcum),
+    )
+    run_tbl = runs_rows.groupBy("p_type", "p_size", "run").agg(
+        F.max("cents").alias("run_last")
+    )
+    wrun = W.partitionBy("p_type", "p_size").orderBy("run")
+    run_tbl = run_tbl.withColumn("prev_last", F.lag("run_last").over(wrun))
+    gaps = (
+        runs_rows.join(run_tbl, ["p_type", "p_size", "run"])
+        .where(
+            F.col("prev_last").isNotNull()
+            & ((F.col("cents") - F.col("prev_last")) * 10 <= F.col("prev_last"))
+        )
+        .groupBy("p_type", "p_size")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.min(F.expr("abs(a.cents - b.cents) * 1000 DIV least(a.cents, b.cents)"))
-            .alias("min_gap_milli"),
-            F.min(F.col("a.p_partkey")).alias("sample_partkey"),
+            F.min(
+                F.expr("(cents - prev_last) * 1000 DIV prev_last")
+            ).alias("min_gap_milli")
+        )
+    )
+    return (
+        agg.where(F.col("n_pairs") > 0)
+        .join(gaps, ["p_type", "p_size"])
+        .select(
+            "p_type",
+            F.col("p_size").cast("int").alias("p_size"),
+            "n_pairs",
+            F.col("min_gap_milli").cast("long").alias("min_gap_milli"),
+            F.col("sample_partkey").cast("long").alias("sample_partkey"),
         )
     )
 

@@ -406,3 +406,51 @@ def test_global_row_number_permutation_over_checkpointed_input(spark, sf_dir):
         rns = [x["rn"] for x in r.select("rn").collect()]
         assert len(set(rns)) == n and max(rns) == n and min(rns) == 1
     release_persisted()
+
+
+def test_part_substitution_rank_arithmetic_vs_brute_force(spark, tmp_path):
+    """part_substitution_candidates (r07) computes pair counts / min gap /
+    sample key by rank arithmetic with NO pair enumeration — this pins it
+    against the naive quadratic oracle on adversarial data the TPC-H
+    distribution never produces: equal cents across brands (gap 0, pk
+    ties), pairs exactly AT the 10% boundary ((b-a)*10 == a) and one cent
+    outside, single-brand blocks (no cross pairs -> excluded), singleton
+    blocks, and same-brand runs that hide the nearest cross-brand
+    neighbor several rows back."""
+    import duckdb
+
+    from impalatogo_spark.queries import all_queries
+    from impalatogo_spark.session import release_persisted
+
+    rows = []
+    # block A: cross-brand equal cents + pk ties -> min gap 0
+    rows += [(1, "B#1", "T1", 1, 500.00), (2, "B#2", "T1", 1, 500.00),
+             (3, "B#1", "T1", 1, 505.00)]
+    # block B: exactly at boundary: 1000 & 1100 cents -> (1100-1000)*10 == 1000
+    rows += [(10, "B#1", "T2", 2, 10.00), (11, "B#2", "T2", 2, 11.00),
+             (12, "B#3", "T2", 2, 11.01)]  # 12 vs 10 is just OUTSIDE
+    # block C: single brand only -> no output row
+    rows += [(20, "B#9", "T3", 3, 100.00), (21, "B#9", "T3", 3, 101.00)]
+    # block D: singleton
+    rows += [(30, "B#1", "T4", 4, 50.00)]
+    # block E: same-brand run hides nearest cross neighbor 3 rows back
+    rows += [(40, "B#2", "T5", 5, 200.00), (41, "B#1", "T5", 5, 201.00),
+             (42, "B#1", "T5", 5, 202.00), (43, "B#1", "T5", 5, 203.00),
+             (44, "B#2", "T5", 5, 219.00)]
+    pdf = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_type string, p_size int, p_retailprice double"
+    )
+    sf = str(tmp_path)
+    pdf.coalesce(1).write.parquet(f"{sf}/part.parquet")
+
+    q = all_queries()["part_substitution_candidates"]
+    got = sorted(
+        tuple(r) for r in q.spark_fn(spark, sf).collect()
+    )
+    release_persisted()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{sf}/part.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want, f"{got} != {want}"
