@@ -96,7 +96,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """Make any externally-created SparkSession (e.g. the grading driver's)
     safe for this engine's queries: nanos-typed parquet must be readable and
     timestamp rendering must be UTC to match the tz-naive data + oracle.
-    Both are runtime SQL confs, settable post-creation."""
+    Both are runtime SQL confs, settable post-creation.
+
+    Pinned ONCE per session (sentinel conf): table() calls this on every
+    read, and the r06 unconditional re-pin silently clobbered any value a
+    client SET mid-session (the engine's own SET path, or a test tuning
+    broadcast thresholds — commit 1f11a58 had to reorder around exactly
+    that). First touch of a vanilla session still gets the full engine
+    policy; afterwards an explicit SET wins until the session ends."""
+    if spark.conf.get("spark.i2s.sessionConfsApplied", None) == "true":
+        return
+    spark.conf.set("spark.i2s.sessionConfsApplied", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Impala semantics (pre-ANSI): bad casts -> NULL, no overflow errors
@@ -115,8 +125,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # growth audit found the vanilla 10 MB default flipping the TPC-H/DS
     # order/customer joins to shuffle joins a full SF before necessary
     # (SCALE_AUDIT_r06.md 'join-transition' class) — the driver's session
-    # must plan like the engine's own.
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # must plan like the engine's own. Memory envelope: Spark's estimate
+    # is COMPRESSED parquet size, so a 64 MB build side can expand to a
+    # few hundred MB of executor heap per concurrent build — measured safe
+    # at sf1 on local[32]/128G; size executor memory accordingly on a real
+    # cluster (r06 ADVICE). Pinned only when still at Spark's 10 MB
+    # default: a session that already chose a threshold (any non-default
+    # value, e.g. a test's -1 or a tuned SET before first table()) keeps
+    # its choice.
+    cur = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    if cur in (None, "10MB", "10485760", "10485760b"):
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -169,15 +169,16 @@ def test_runtime_bloom_filter_reaches_probe_side(spark, sf_dir):
     }
     old = {k: spark.conf.get(k, None) for k in confs}
     try:
+        # confs BEFORE table(): ensure_session_confs (r07) pins the engine
+        # join policy at most once per session and never overrides a
+        # deliberately-set threshold, so the -1 shuffle-join override
+        # survives the table() calls
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         li = table(spark, sf_dir, "lineitem")
         o = table(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
-        # confs AFTER table(): ensure_session_confs pins the engine's
-        # 64 MB broadcast threshold (r06 join policy), which would undo
-        # the -1 this test needs to force a shuffle join
-        for k, v in confs.items():
-            spark.conf.set(k, v)
         j = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderpriority")
@@ -454,3 +455,33 @@ def test_part_substitution_rank_arithmetic_vs_brute_force(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want, f"{got} != {want}"
+
+
+def test_session_conf_set_survives_table_calls(spark, sf_dir):
+    """Regression (r06 verdict #4 / ADVICE): ensure_session_confs used to
+    re-pin its five confs on EVERY table() call, silently clobbering any
+    value a client SET mid-session. It now pins once per session (sentinel
+    conf) and never overrides a non-default broadcast threshold."""
+    from impalatogo_spark.session import ensure_session_confs, table
+
+    ensure_session_confs(spark)  # make sure the first-touch pin happened
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        table(spark, sf_dir, "nation").count()
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+        # a fresh session with a PRE-first-touch deliberate SET keeps it too
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+        table(s2, sf_dir, "nation").count()
+        assert s2.conf.get("spark.sql.autoBroadcastJoinThreshold") == "1MB"
+        # ...while a vanilla fresh session gets the engine's 64 MB policy
+        # (newSession inherits the builder spelling "64MB"; an externally
+        # built vanilla session gets the pin's byte form)
+        s3 = spark.newSession()
+        table(s3, sf_dir, "nation").count()
+        assert s3.conf.get("spark.sql.autoBroadcastJoinThreshold") in (
+            "64MB", str(64 * 1024 * 1024)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
