@@ -662,15 +662,34 @@ def edit_distance_pairs(docs: DataFrame, k: int = 8, q: int = 4) -> DataFrame:
     with multiplicity, so indexing only each document's k*q + 1 RAREST
     (gram, occurrence#) elements under one global rarity order guarantees
     every qualifying pair collides in prefixes — the same prefix-filter
-    proof as dedup_jaccard_prefix_filter, over q-gram multisets. Requires
-    |text| > q*(k+1) - 1 (holds for the documents table's 44-char floor
-    with q=4, k=8). A |len_a - len_b| <= k band is applied too (k edits
-    change length by at most k). Verification is Spark's BANDED 3-arg
+    proof as dedup_jaccard_prefix_filter, over q-gram multisets. The lemma
+    needs |G| > k*q, i.e. |text| > q*(k+1) - 1; docs at or below that
+    floor (where the bound goes non-positive and a qualifying pair may
+    share ZERO grams) are routed through an UNCONDITIONAL length-banded
+    pairing instead (r07, ADVICE: the 44-char floor of the documents
+    table was an empirical property, not enforced) — their partners are
+    themselves short (|len| band), so that block stays tiny. A
+    |len_a - len_b| <= k band is applied everywhere (k edits change
+    length by at most k). Verification is Spark's BANDED 3-arg
     levenshtein (O(k*n) diagonal DP, -1 above k), never the full O(n*m)
     matrix. The oracle is the NAIVE length-banded all-pairs ground truth,
-    so the gate proves the prefix filter lossless."""
+    so the gate proves the prefix filter lossless.
+
+    Shuffle shape (r07 constant-factor cut — this was the registry's
+    largest shuffle, 557 MB at sf1, with the gram stream crossing THREE
+    exchanges): ONE repartition of the raw doc table pins
+    hash(doc_id) partitioning for the whole gram pipeline —
+    HashPartitioning(doc_id) satisfies the (doc_id, g) and (doc_id)
+    clustering both windows require, so occ-numbering and rarity-ranking
+    are partition-local sorts with no exchange; the (gram, occ) document
+    frequencies come from a co-partitioned per-doc count + sequence
+    explode (no window output consumed twice) and join back as a
+    BROADCAST (the df table is vocab-bounded: alphabet^q x max-occ, not
+    data-sized). The gram stream itself is never shuffled."""
     d = docs.select("doc_id", "text", F.length("text").alias("n"))
-    grams = d.select(
+    floor_len = q * (k + 1) - 1
+    dp = d.filter(F.col("n") > floor_len).repartition("doc_id")
+    grams = dp.select(
         "doc_id", "n",
         F.posexplode(F.expr(
             f"transform(sequence(1, n - {q - 1}), i -> substring(text, i, {q}))"
@@ -679,16 +698,26 @@ def edit_distance_pairs(docs: DataFrame, k: int = 8, q: int = 4) -> DataFrame:
     w_occ = Window.partitionBy("doc_id", "g").orderBy("pos")
     elems = grams.select(
         "doc_id", "n", "g", F.row_number().over(w_occ).alias("occ"))
-    df_tab = elems.groupBy("g", "occ").agg(
-        F.count(F.lit(1)).alias("df"))
+    df_tab = (
+        grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .select("g", F.explode(F.expr("sequence(1, c)")).alias("occ"))
+        .groupBy("g", "occ").agg(F.count(F.lit(1)).alias("df"))
+    )
     w_rank = Window.partitionBy("doc_id").orderBy("df", "g", "occ")
-    prefix = (
-        elems.join(df_tab, ["g", "occ"])
+    # tracked_persist: the self-join consumes prefix twice, and with no
+    # exchange at the prefix output (the whole point of the r07 rewrite)
+    # ReuseExchange can no longer dedup the two sides — without the
+    # persist the entire gram pipeline (explode + two sorts + df agg)
+    # executes once per side. The prefix is k*q+1 skinny rows per doc.
+    from impalatogo_spark.session import tracked_persist
+
+    prefix = tracked_persist(
+        elems.join(F.broadcast(df_tab), ["g", "occ"])
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= k * q + 1)
         .select("doc_id", "n", "g", "occ")
     )
-    cand = (
+    cand_main = (
         prefix.alias("a")
         .join(prefix.alias("b"),
               (F.col("a.g") == F.col("b.g"))
@@ -697,8 +726,24 @@ def edit_distance_pairs(docs: DataFrame, k: int = 8, q: int = 4) -> DataFrame:
               & (F.abs(F.col("a.n") - F.col("b.n")) <= k))
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
-        .distinct()
     )
+    # docs at/below the q-gram floor: unconditional length-banded pairs
+    # (both members are short — |len| <= floor+k — so this block is tiny;
+    # the broadcast nested-loop is over the SHORT side only, never the
+    # corpus)
+    short = d.filter(F.col("n") <= floor_len)
+    near = d.filter(F.col("n") <= floor_len + k)
+    cand_short = (
+        F.broadcast(short.select(F.col("doc_id").alias("s_id"),
+                                 F.col("n").alias("s_n")))
+        .join(near.select(F.col("doc_id").alias("o_id"),
+                          F.col("n").alias("o_n")),
+              (F.col("s_id") != F.col("o_id"))
+              & (F.abs(F.col("s_n") - F.col("o_n")) <= k))
+        .select(F.least("s_id", "o_id").alias("id_a"),
+                F.greatest("s_id", "o_id").alias("id_b"))
+    )
+    cand = cand_main.union(cand_short).distinct()
     ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
     tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
     return (

@@ -593,3 +593,50 @@ def test_incremental_components_snapshot_versioned_state(spark, sf_dir,
     # delta payloads are strictly smaller than the full state (O(touched))
     assert d1.count() < state1.count()
     release_persisted()
+
+
+def test_edit_distance_pairs_lossless_on_short_docs(spark):
+    """ADVICE r06: the Ed-Join q-gram prefix filter's losslessness needs
+    |text| > q*(k+1)-1 (35 chars at k=8, q=4) — below that the shared-gram
+    bound goes non-positive and a qualifying pair may share ZERO grams.
+    r07 routes such docs through an unconditional length-banded pairing;
+    this pins the fix with docs the driver data never has: short pairs
+    with NO common q-gram, short-vs-long pairs straddling the floor, and
+    long pairs still caught by the prefix path."""
+    from impalatogo_spark.operators.dedup import edit_distance_pairs
+    from impalatogo_spark.session import release_persisted
+
+    rows = [
+        # ed(1,2)=4, len 8: NO shared 4-gram ("abcdabcd" vs "wxyzwxyz" ed=8 > k?
+        # use closer: "abcdefgh" vs "abxxefgh" shares grams; the zero-share case:
+        (1, "aaaa"), (2, "bbbb"),              # ed=4 <= 8, zero shared grams
+        (3, "aaaa"),                           # ed(1,3)=0
+        (4, "aaaabbbbccccddddeeeeffffgggghhhhiiiijjjj"),  # len 40 > floor
+        (5, "aaaabbbbccccddddeeeeffffgggghhhhiiiijjkk"),  # ed(4,5)=2 via prefix path
+        (6, "aaaabbbbccccddddeeeeffffggggzzzz"),          # len 32 <= floor (35)
+        (7, "aaaabbbbccccddddeeeeffffgggg"),              # len 28, ed(6,7)=4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.ed)
+        for r in edit_distance_pairs(docs, k=8, q=4).collect()
+    )
+    release_persisted()
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)
+            FROM docs a JOIN docs b
+              ON b.doc_id > a.doc_id
+             AND abs(length(a.text) - length(b.text)) <= 8
+            WHERE levenshtein(a.text, b.text) <= 8
+            """
+        ).fetchall()
+    )
+    assert got == want, f"{got} != {want}"
+    assert (1, 2, 4) in got  # the zero-shared-gram short pair the old filter dropped
