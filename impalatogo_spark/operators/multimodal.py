@@ -254,6 +254,114 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def fake_resize_8x8(df: DataFrame) -> DataFrame:
+    """8x8 twin of fake_resize_4x4 (64 ints in 0..255): four salted md5
+    digests of the payload concatenated — the wide-thumbnail decode stub
+    the auto-width phash path (r07) uses once the corpus outgrows the
+    16-bit hash space. Same Arrow-batched plumbing; swap `_thumb` for the
+    real 8x8 resizer."""
+
+    def _thumb(payload: bytes) -> list[int]:
+        out: list[int] = []
+        for salt in (b"", b"a", b"b", b"c"):
+            out.extend(hashlib.md5(salt + payload).digest())
+        return out
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumbnail": pdf["payload"].map(lambda b: _thumb(bytes(b))),
+                }
+            )
+
+    return df.mapInPandas(resize, THUMB_SCHEMA)
+
+
+def ahash_64_halves(df: DataFrame) -> DataFrame:
+    """64-bit aHash over the 8x8 thumbnail, emitted as TWO 32-bit halves
+    (h0 = bits 0..31, h1 = bits 32..63): bit i set iff 64*pixel_i >
+    sum(pixels) — integer-exact like ahash_16. Halves keep every shift
+    strictly below the BIGINT sign bit on both engines (the morton-code
+    rule: never build a value that needs bit 63)."""
+    total = F.aggregate("thumbnail", F.lit(0), lambda a, x: a + x)
+    out = df.withColumn("__total", total)
+    h0 = F.expr(
+        "aggregate(sequence(0, 31), 0L, (acc, i) -> acc +"
+        " IF(64 * thumbnail[i] > __total, shiftleft(1L, i), 0L))"
+    )
+    h1 = F.expr(
+        "aggregate(sequence(32, 63), 0L, (acc, i) -> acc +"
+        " IF(64 * thumbnail[i] > __total, shiftleft(1L, i - 32), 0L))"
+    )
+    return out.select("doc_id", h0.alias("h0"), h1.alias("h1"))
+
+
+def phash_near_dup_pairs_64(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """64-bit twin of phash_near_dup_pairs: 4 bands of 16 bits (two per
+    half; <= 3 differing bits guarantee >= 1 equal band — same pigeonhole),
+    exact Hamming verify as the sum of the halves' popcounts."""
+    bands = hashes.select(
+        "doc_id", "h0", "h1",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            "CASE WHEN band < 2 THEN shiftright(h0, band * 16)"
+            " ELSE shiftright(h1, (band - 2) * 16) END"
+        ).bitwiseAND(65535),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.h0").alias("h0a"), F.col("a.h1").alias("h1a"),
+            F.col("b.h0").alias("h0b"), F.col("b.h1").alias("h1b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("h0a").bitwiseXOR(F.col("h0b")))
+        + F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# Corpora at or below this doc count keep the 16-bit 4x4 aHash (the
+# 64-bit space would yield zero fake-hash pairs on a tiny corpus);
+# above it the 64-bit 8x8 path takes over — at a FIXED 16-bit width the
+# hash space saturates (sf1 audit: 14.6M qualifying pairs / 257 MB
+# shuffle at 50k docs, a testdata-artifact answer that itself grows
+# quadratically) while 64 bits keeps the true answer realistic.
+AUTO_PHASH_SMALL = 5_000
+
+
+def phash_pairs_auto(payload_docs: DataFrame, n_docs: int,
+                     max_hamming: int = 3) -> DataFrame:
+    """Auto-width perceptual-hash near-dup pairs: 16-bit nibble bands for
+    small corpora, 64-bit 16-bit-band halves above AUTO_PHASH_SMALL (pass
+    the RAW documents count; the oracle mirrors the branch with a
+    count(*) gate)."""
+    if n_docs <= AUTO_PHASH_SMALL:
+        return phash_near_dup_pairs(ahash_16(fake_resize_4x4(payload_docs)),
+                                    max_hamming)
+    return phash_near_dup_pairs_64(ahash_64_halves(fake_resize_8x8(payload_docs)),
+                                   max_hamming)
+
+
 def phash_dedup_oracle(max_hamming: int = 3) -> str:
     """DuckDB twin: thumbnail ints from the md5 hex pairs, integer-exact
     aHash bits, nibble-banded candidates, exact Hamming verify."""
@@ -284,6 +392,87 @@ cand AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
+def phash_dedup_auto_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of phash_pairs_auto: BOTH width branches in one query,
+    each gated by a scalar count(*) subquery pushed into its source CTE's
+    WHERE — the inactive branch's scan emits zero rows, so its banded
+    join never enumerates (the gate predicate is uncorrelated and DuckDB
+    evaluates it once). Shifts are fully parenthesized and the 64-bit
+    hash lives in two 32-bit halves (never bit 63)."""
+    hexpos = "strpos('0123456789abcdef', substr({s}, {p}, 1)) - 1"
+
+    def pairs(src: str) -> str:
+        return ", ".join(
+            f"CAST(({hexpos.format(s=src, p=2 * i + 1)}) * 16"
+            f" + ({hexpos.format(s=src, p=2 * i + 2)}) AS INT)"
+            for i in range(16)
+        )
+
+    bits16 = " + ".join(
+        f"CASE WHEN 16 * tb[{i + 1}] > list_sum(tb) THEN {1 << i} ELSE 0 END"
+        for i in range(16)
+    )
+    h0bits = " + ".join(
+        f"CASE WHEN 64 * tb[{i + 1}] > list_sum(tb)"
+        f" THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+        for i in range(32)
+    )
+    h1bits = " + ".join(
+        f"CASE WHEN 64 * tb[{i + 1}] > list_sum(tb)"
+        f" THEN (CAST(1 AS BIGINT) << {i - 32}) ELSE 0 END"
+        for i in range(32, 64)
+    )
+    return f"""
+WITH st AS (SELECT doc_id, md5(text) AS h FROM documents
+            WHERE (SELECT count(*) FROM documents) <= {AUTO_PHASH_SMALL}),
+spx AS (SELECT doc_id, [{pairs('h')}] AS tb FROM st),
+sah AS (SELECT doc_id, CAST({bits16} AS INT) AS ahash FROM spx),
+sb AS (
+  SELECT doc_id, ahash, CAST(gs.band AS INT) AS band,
+         (ahash >> (4 * CAST(gs.band AS INT))) & 15 AS nib
+  FROM sah, (SELECT unnest(range(4)) AS band) gs
+),
+scand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.ahash AS ha, y.ahash AS hb
+  FROM sb x JOIN sb y
+    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id
+),
+bt AS (SELECT doc_id, md5(text) AS hx0, md5('a' || text) AS hx1,
+              md5('b' || text) AS hx2, md5('c' || text) AS hx3
+       FROM documents
+       WHERE (SELECT count(*) FROM documents) > {AUTO_PHASH_SMALL}),
+bpx AS (SELECT doc_id,
+               [{pairs('hx0')}, {pairs('hx1')}, {pairs('hx2')}, {pairs('hx3')}]
+                 AS tb
+        FROM bt),
+bah AS (SELECT doc_id, CAST({h0bits} AS BIGINT) AS h0,
+               CAST({h1bits} AS BIGINT) AS h1 FROM bpx),
+bb AS (
+  SELECT doc_id, h0, h1, CAST(gs.band AS INT) AS band,
+         (CASE WHEN CAST(gs.band AS INT) < 2
+               THEN (h0 >> (16 * CAST(gs.band AS INT)))
+               ELSE (h1 >> (16 * (CAST(gs.band AS INT) - 2))) END) & 65535
+           AS bkey
+  FROM bah, (SELECT unnest(range(4)) AS band) gs
+),
+bcand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.h0 AS h0a, x.h1 AS h1a, y.h0 AS h0b, y.h1 AS h1b
+  FROM bb x JOIN bb y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM scand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+UNION ALL
+SELECT id_a, id_b,
+       CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS INT)
+         AS hamming
+FROM bcand
+WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= {max_hamming}
 """
 
 

@@ -96,6 +96,38 @@ def cosine_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
 N_SIGN_BANDS = 10
 SIGN_BAND_BITS = 6
 
+# Auto band sizing (r07, verdict #8): the density knob used to be manual —
+# at a fixed width, expected random-collision candidates grow ~n^2 * 2^-bits
+# and the sf1 audit put the banded families in the SUPER shuffle-growth
+# class. The width now steps with the corpus row count (an INTEGER step
+# table, engine-identical, so the DuckDB oracle mirrors the chosen width by
+# computing the same CASE over count(*)); wider bands = fewer bands (the 64
+# signature dims are the budget: n_bands = 64 div bits). Recall at each
+# step is the documented 1-(1-p^bits)^bands; precision stays 1.0 (exact
+# cosine verify). Extend the table, not the formula, for larger fleets.
+AUTO_BAND_STEPS = ((5_000, 6), (25_000, 8))
+AUTO_BAND_MAX_BITS = 10
+
+
+def auto_band_plan(n_rows: int) -> tuple[int, int]:
+    """(n_bands, band_bits) for a corpus of n_rows vectors."""
+    for thresh, bits in AUTO_BAND_STEPS:
+        if n_rows <= thresh:
+            return 64 // bits, bits
+    return 64 // AUTO_BAND_MAX_BITS, AUTO_BAND_MAX_BITS
+
+
+def auto_band_bits_case_sql(count_src: str) -> str:
+    """The step table as a DuckDB scalar: CASE over count(*) FROM count_src.
+    MUST stay in lockstep with AUTO_BAND_STEPS/auto_band_plan."""
+    branches = " ".join(
+        f"WHEN count(*) <= {t} THEN {bits}" for t, bits in AUTO_BAND_STEPS
+    )
+    return (
+        f"(SELECT CASE {branches} ELSE {AUTO_BAND_MAX_BITS} END"
+        f" FROM {count_src})"
+    )
+
 
 def sign_band_key(emb: Column, band: int, bits: int) -> Column:
     """Pack the sign bits of one contiguous chunk of dimensions into an int.
@@ -190,6 +222,37 @@ def sign_bands_oracle(
         )
         selects.append(f"SELECT vec_id, {i} AS band, {terms} AS bkey FROM e")
     return "\n  UNION ALL ".join(selects)
+
+
+def sign_band_pairs_auto(
+    corpus: DataFrame, threshold: float, n_rows: int
+) -> DataFrame:
+    """sign_band_pairs with the width chosen by the auto step table for a
+    corpus of n_rows vectors (pass the RAW base-table count — cheap, and
+    the oracle can mirror it with a count(*) CASE; a derived-corpus count
+    would re-execute the upstream pipeline just to size the bands)."""
+    nb, bits = auto_band_plan(n_rows)
+    return sign_band_pairs(corpus, threshold, n_bands=nb, band_bits=bits)
+
+
+def sign_bands_auto_oracle(count_src: str = "embeddings") -> str:
+    """Dynamic-width DuckDB twin of sign_bands_oracle over CTE
+    `e(vec_id, emb)`: the band width comes from the SAME integer step
+    table (auto_band_bits_case_sql) computed over count_src, so the
+    banding is bit-identical to sign_band_pairs_auto at every SF.
+    generate_series bounds are static (DuckDB rejects lateral column
+    params there) and filtered down to the chosen width."""
+    return f"""
+  SELECT vec_id, gb.band AS band,
+         sum(CASE WHEN emb[gb.band * p.bits + gk.k + 1] > 0
+                  THEN (1 << gk.k) ELSE 0 END) AS bkey
+  FROM e,
+       (SELECT {auto_band_bits_case_sql(count_src)} AS bits) p,
+       generate_series(0, 10) AS gb(band),
+       generate_series(0, {AUTO_BAND_MAX_BITS - 1}) AS gk(k)
+  WHERE gb.band < (64 // p.bits) AND gk.k < p.bits
+  GROUP BY vec_id, gb.band
+"""
 
 
 def _plane_component(table_i: int, plane: int, dim: int) -> float:

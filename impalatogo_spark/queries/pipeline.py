@@ -219,7 +219,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 b AS (
-  {S.sign_bands_oracle()}
+  {S.sign_bands_auto_oracle("embeddings")}
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -244,9 +244,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle mirrors the banding exactly (sign tests have no float
     arithmetic, so the candidate set is bit-identical across engines); the
     all-pairs exact form survives as cosine_pairs(), the subset-asserting
-    oracle twin in tests/test_similarity.py."""
-    e = S.with_double_embedding(_t(spark, sf_dir, "embeddings"))
-    return S.sign_band_pairs(e, threshold=0.45)
+    oracle twin in tests/test_similarity.py. Band width auto-steps with
+    the corpus row count (r07: at a fixed width random-collision
+    candidates grow ~n^2 * 2^-bits — the sf1 SUPER class; the step table
+    is mirrored in the oracle as a CASE over count(*))."""
+    raw = _t(spark, sf_dir, "embeddings")
+    e = S.with_double_embedding(raw)
+    return S.sign_band_pairs_auto(e, threshold=0.45, n_rows=raw.count())
 
 
 # ===========================================================================
@@ -1561,7 +1565,7 @@ FROM k1
 JOIN embeddings em ON em.vec_id = k1.doc_id
 ANTI JOIN neardup ON k1.doc_id = neardup.id_b
 ORDER BY k1.doc_id
-""".replace("{sign_bands}", S.sign_bands_oracle()),
+""".replace("{sign_bands}", S.sign_bands_auto_oracle("embeddings")),
     tags=("pipeline", "multimodal", "dedup"),
 )
 def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1586,8 +1590,12 @@ def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(
         k1.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     ).select("vec_id", "embedding")
+    # band width from the RAW embeddings count (cheap; mirrored by the
+    # oracle's count(*) CASE — a survivor count would re-run the gates)
     neardup = (
-        S.sign_band_pairs(corpus, threshold=0.45)
+        S.sign_band_pairs_auto(
+            corpus, threshold=0.45, n_rows=_t(spark, sf_dir, "embeddings").count()
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -2120,19 +2128,26 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_phash_dedup",
-    oracle=M.phash_dedup_oracle(max_hamming=3),
+    oracle=M.phash_dedup_auto_oracle(max_hamming=3),
     tags=("multimodal", "dedup"),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup detection over the binary payload
-    column: decode -> 4x4 thumbnail (Arrow-batched mapInPandas; the decode
+    column: decode -> thumbnail (Arrow-batched mapInPandas; the decode
     is the repo's deterministic fake, the plumbing is real) -> integer-
-    exact aHash -> nibble-banded candidate join -> exact Hamming verify
-    (<= 3). The image-modality twin of dedup_simhash_pairs: banded, never
+    exact aHash -> banded candidate join -> exact Hamming verify (<= 3).
+    The image-modality twin of dedup_simhash_pairs: banded, never
     all-pairs, and the whole chain (including the Python decode stage) is
-    reproduced bit-for-bit by the DuckDB oracle."""
-    docs = M.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return M.phash_near_dup_pairs(M.ahash_16(M.fake_resize_4x4(docs)))
+    reproduced bit-for-bit by the DuckDB oracle. Hash width auto-steps
+    with corpus size (r07): a fixed 16-bit space saturates — the sf1
+    audit measured a 14.6M-pair quadratically-growing answer at 50k docs
+    — so corpora above AUTO_PHASH_SMALL use the 64-bit 8x8 path (two
+    32-bit halves, 16-bit bands); the oracle mirrors the branch with a
+    count(*) gate."""
+    raw = _t(spark, sf_dir, "documents")
+    return M.phash_pairs_auto(
+        M.attach_binary_payload(raw), n_docs=raw.count(), max_hamming=3
+    )
 
 
 @register(

@@ -640,3 +640,61 @@ def test_edit_distance_pairs_lossless_on_short_docs(spark):
     )
     assert got == want, f"{got} != {want}"
     assert (1, 2, 4) in got  # the zero-shared-gram short pair the old filter dropped
+
+
+def test_auto_band_step_table():
+    """r07 auto-width knobs: the sign-band step table and its SQL twin
+    stay in lockstep, and widths step where the thresholds say."""
+    from impalatogo_spark.operators.similarity import (
+        AUTO_BAND_MAX_BITS, AUTO_BAND_STEPS, auto_band_plan,
+        auto_band_bits_case_sql,
+    )
+
+    assert auto_band_plan(500) == (10, 6)      # sf0.001-0.1: status quo
+    assert auto_band_plan(5000) == (10, 6)
+    assert auto_band_plan(20000) == (8, 8)     # sf1
+    assert auto_band_plan(10**7) == (64 // AUTO_BAND_MAX_BITS, AUTO_BAND_MAX_BITS)
+    sql = auto_band_bits_case_sql("embeddings")
+    for thresh, bits in AUTO_BAND_STEPS:
+        assert f"<= {thresh} THEN {bits}" in sql
+    assert f"ELSE {AUTO_BAND_MAX_BITS}" in sql
+    # n_bands * bits never exceeds the 64 signature dims
+    for n in (1, 5000, 20000, 10**7):
+        nb, bits = auto_band_plan(n)
+        assert nb * bits <= 64
+
+
+def test_phash_auto_width_branches(spark):
+    """The 64-bit phash path must agree with a brute-force Hamming join on
+    its own hashes, and the auto switch must pick the wide path above
+    AUTO_PHASH_SMALL."""
+    from pyspark.sql import functions as F
+
+    from impalatogo_spark.operators import multimodal as M
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload-"), (F.col("id") % 50).cast("string")).alias("text"),
+    )
+    pay = M.attach_binary_payload(docs)
+    wide = M.phash_near_dup_pairs_64(
+        M.ahash_64_halves(M.fake_resize_8x8(pay)), max_hamming=3
+    )
+    h = M.ahash_64_halves(M.fake_resize_8x8(pay))
+    a = h.selectExpr("doc_id AS id_a", "h0 AS h0a", "h1 AS h1a")
+    b = h.selectExpr("doc_id AS id_b", "h0 AS h0b", "h1 AS h1b")
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("h0a").bitwiseXOR(F.col("h0b")))
+                + F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+    got = sorted(map(tuple, wide.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and len(got) > 0  # id%50 duplicates guarantee pairs
