@@ -86,12 +86,16 @@ class LdapAuthenticator:
     """The DN-mapping + bind policy of SaslLdapCheckPass
     (authentication.cc:187-240), directory-agnostic.
 
-    DN construction precedence (exactly the reference's):
-      1. `domain`      -> append @domain unless the user already has an @
-      2. `base_dn`     -> uid=<user>,<base_dn>
-      3. `bind_pattern`-> pattern with #UID replaced by the user
-      4. none          -> the raw username
-    Empty passwords are rejected unless allow_anonymous_binds
+    DN construction (one of, matching the reference):
+      * `domain`      -> append @domain unless the user already has an @
+      * `base_dn`     -> uid=<user>,<base_dn>
+      * `bind_pattern`-> pattern with #UID replaced by the user
+      * none          -> the raw username
+    Setting MORE than one is a startup error, exactly the reference's
+    InitAuth validation (authentication.cc ~901-906 rejects combining
+    --ldap_domain/--ldap_baseDN/--ldap_bind_pattern; r06 ADVICE — the
+    silent precedence this class used to apply was NOT reference
+    behavior). Empty passwords are rejected unless allow_anonymous_binds
     (authentication.cc:188 'Disable anonymous binds')."""
 
     def __init__(self, directory, uri: str = "",
@@ -104,6 +108,11 @@ class LdapAuthenticator:
             raise ValueError(
                 f"--ldap_uri must start with one of {LDAP_URI_PREFIXES}: "
                 f"{uri!r}")
+        n_set = sum(1 for v in (domain, base_dn, bind_pattern) if v)
+        if n_set > 1:
+            raise ValueError(
+                "at most one of --ldap_domain, --ldap_baseDN and "
+                "--ldap_bind_pattern may be set (authentication.cc InitAuth)")
         self.directory = directory
         self.uri = uri
         self.domain = domain

@@ -102,7 +102,7 @@ class BeeswaxServer:
 
     def __init__(self, spark, sf_dir: str | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 core: I2SServer | None = None, sasl_check=None):
+                 core: I2SServer | None = None, sasl_check=None, tls=None):
         self.core = core or I2SServer(spark, sf_dir=sf_dir)
         self._host, self._port = host, port
         self._tcp = None
@@ -110,6 +110,8 @@ class BeeswaxServer:
         # optional PLAIN authenticator (user, password) -> bool, same
         # contract as HS2ThriftServer.sasl_check (e.g. auth.LdapAuthenticator)
         self.sasl_check = sasl_check
+        # optional tls.TlsConfig (thrift-server.cc EnableSsl)
+        self._tls = tls
 
     def start(self) -> tuple[str, int]:
         outer = self
@@ -148,6 +150,10 @@ class BeeswaxServer:
             daemon_threads = True
 
         self._tcp = TCP((self._host, self._port), Handler)
+        if self._tls is not None:
+            from .tls import wrap_tcp_server
+
+            wrap_tcp_server(self._tcp, self._tls)
         self._thread = threading.Thread(target=self._tcp.serve_forever,
                                         name="beeswax-server", daemon=True)
         self._thread.start()
@@ -342,12 +348,20 @@ class BeeswaxClient:
     test driver; the reference analogue is impala-shell's beeswax mode)."""
 
     def __init__(self, host: str, port: int, timeout: float = 300.0,
-                 sasl_plain: tuple[str, str] | None = None):
+                 sasl_plain: tuple[str, str] | None = None,
+                 tls: bool | str = False):
+        """tls: False = plaintext, True = TLS unverified (impala-shell
+        --ssl default), a path = CA bundle to verify (--ca_cert)."""
         import socket
 
         from .thrift_hs2 import sasl_client_handshake
 
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if tls:
+            from .tls import wrap_client_socket
+
+            self._sock = wrap_client_socket(
+                self._sock, ca_file=tls if isinstance(tls, str) else None)
         self._rfile = self._sock.makefile("rb")
         self._wfile = self._sock.makefile("wb")
         if sasl_plain is not None:

@@ -595,16 +595,15 @@ def components_state_write(spark, path: str, delta: DataFrame,
     snapshot-versioned state store (operators/snapshots.py manifests —
     immutable data files, O(files) driver work). Row payload per version
     is O(touched + fresh), never the full state; the version stamp rides
-    in a __v column so reads can resolve last-writer-wins."""
+    in a __v column so reads can resolve last-writer-wins. The stamp is
+    applied INSIDE snapshot_write from the version it actually commits
+    (r06 ADVICE: recomputing head+1 here could diverge from the manifest
+    under a concurrent writer)."""
     from impalatogo_spark.operators import snapshots as SN
 
-    head = SN.head_version(path)
-    version = 0 if head is None else head + 1
     return SN.snapshot_write(
-        spark, path,
-        delta.select("doc_id", "cluster_id",
-                     F.lit(version).alias("__v")),
-        note=note)
+        spark, path, delta.select("doc_id", "cluster_id"), note=note,
+        stamp=lambda d, v: d.withColumn("__v", F.lit(v)))
 
 
 def components_state_read(spark, path: str,

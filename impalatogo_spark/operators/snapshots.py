@@ -96,9 +96,16 @@ def find_note(path: str, note: str) -> int | None:
 
 
 def snapshot_write(spark: SparkSession, path: str, df: DataFrame,
-                   note: str = "") -> int:
+                   note: str = "", stamp=None) -> int:
     """Commit `df` as a new snapshot: write immutable data files, then a
     manifest = parent's files + the new ones. Returns the new version.
+
+    `stamp` (optional, (df, version) -> df) lets a caller embed the
+    version snapshot_write is ABOUT to commit into the row payload —
+    atomically, from the same head read (r06 ADVICE: callers that
+    recomputed head+1 themselves could stamp a __v that diverged from the
+    committed manifest version under a concurrent writer, corrupting
+    last-writer-wins resolution).
 
     The data write is a normal distributed parquet write (parallelism =
     df's partitioning); only the manifest append is driver-side, and it is
@@ -106,6 +113,9 @@ def snapshot_write(spark: SparkSession, path: str, df: DataFrame,
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
     parent = head_version(path)
     files = list(_read_snapshot(path, parent)["files"]) if parent is not None else []
+    version = 0 if parent is None else parent + 1
+    if stamp is not None:
+        df = stamp(df, version)
 
     batch_dir = os.path.join(path, _DATA_DIR, uuid.uuid4().hex[:12])
     df.write.parquet(batch_dir)
@@ -114,7 +124,6 @@ def snapshot_write(spark: SparkSession, path: str, df: DataFrame,
         for f in os.listdir(batch_dir)
         if f.endswith(".parquet")
     )
-    version = 0 if parent is None else parent + 1
     manifest = {
         "version": version,
         "parent": parent,

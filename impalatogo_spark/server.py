@@ -626,11 +626,15 @@ class I2SServer:
                  host: str = "127.0.0.1", port: int = 0,
                  idle_session_timeout_s: float | None = None,
                  fetch_window_rows: int = 4096,
-                 fetch_idle_timeout_s: float | None = 3600.0):
+                 fetch_idle_timeout_s: float | None = 3600.0,
+                 tls=None):
         self._spark = spark
         self._sf_dir = sf_dir
         self._host = host
         self._port = port
+        # optional tls.TlsConfig: the port becomes TLS-only (reference
+        # thrift-server.cc EnableSsl)
+        self._tls = tls
         # bounded result window (rows) per statement + the idle-query reap
         # for abandoned fetches (reference --idle_query_timeout)
         self.fetch_window_rows = int(fetch_window_rows)
@@ -749,6 +753,10 @@ class I2SServer:
                         pass
 
         self._tcp = TCP((self._host, self._port), Handler)
+        if self._tls is not None:
+            from .tls import wrap_tcp_server
+
+            wrap_tcp_server(self._tcp, self._tls)
         self._thread = threading.Thread(
             target=self._tcp.serve_forever, name="i2s-server", daemon=True
         )
@@ -1245,8 +1253,16 @@ class I2SClient:
     connect mode and tests both use this; the reference analogue is the
     shell's ImpalaClient over HS2)."""
 
-    def __init__(self, host: str, port: int, timeout: float = 120.0):
+    def __init__(self, host: str, port: int, timeout: float = 120.0,
+                 tls: bool | str = False):
+        """tls: False = plaintext, True = TLS without verification, a path
+        = CA bundle to verify against (shell --ssl / --ca_cert)."""
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if tls:
+            from .tls import wrap_client_socket
+
+            self._sock = wrap_client_socket(
+                self._sock, ca_file=tls if isinstance(tls, str) else None)
         self._rfile = self._sock.makefile("rb")
         self.session: str | None = None
 

@@ -695,7 +695,7 @@ class HS2ThriftServer:
 
     def __init__(self, spark, sf_dir: str | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 core: I2SServer | None = None, sasl_check=None):
+                 core: I2SServer | None = None, sasl_check=None, tls=None):
         self.core = core or I2SServer(spark, sf_dir=sf_dir)
         self._host, self._port = host, port
         self._tcp = None
@@ -703,6 +703,9 @@ class HS2ThriftServer:
         # optional PLAIN authenticator (user, password) -> bool; None =
         # accept-all, the reference daemon's default no-auth posture
         self.sasl_check = sasl_check
+        # optional tls.TlsConfig: TLS-only port; SASL-PLAIN composes
+        # inside the channel (thrift-server.cc EnableSsl + authentication)
+        self._tls = tls
         # per-session negotiated HS2 protocol version (OpenSession)
         self._proto: dict[str, int] = {}
 
@@ -740,6 +743,10 @@ class HS2ThriftServer:
             daemon_threads = True
 
         self._tcp = TCP((self._host, self._port), Handler)
+        if self._tls is not None:
+            from .tls import wrap_tcp_server
+
+            wrap_tcp_server(self._tcp, self._tls)
         self._thread = threading.Thread(target=self._tcp.serve_forever,
                                         name="hs2-thrift-server", daemon=True)
         self._thread.start()
@@ -1031,8 +1038,17 @@ class HS2ThriftServer:
 
 class HS2ThriftClient:
     def __init__(self, host: str, port: int, timeout: float = 300.0,
-                 sasl_plain: tuple[str, str] | None = None):
+                 sasl_plain: tuple[str, str] | None = None,
+                 tls: bool | str = False):
+        """tls: False = plaintext, True = TLS without verification
+        (impala-shell --ssl default), a path = CA bundle to verify against
+        (--ca_cert)."""
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if tls:
+            from .tls import wrap_client_socket
+
+            self._sock = wrap_client_socket(
+                self._sock, ca_file=tls if isinstance(tls, str) else None)
         self._rfile = self._sock.makefile("rb")
         self._wfile = self._sock.makefile("wb")
         if sasl_plain is not None:

@@ -85,14 +85,18 @@ class WebUI:
     """HTTP debug endpoints over a serving core (I2SServer)."""
 
     def __init__(self, core: I2SServer, host: str = "127.0.0.1",
-                 port: int = 0, statestore=None):
+                 port: int = 0, statestore=None, tls=None):
         self.core = core
         self._host, self._port = host, port
+        # optional tls.TlsConfig -> HTTPS-only webserver (reference
+        # webserver.cc --webserver_certificate_file)
+        self._tls = tls
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._started = time.time()
         self._log_ring = install_log_ring()
         self._varz_options: list[tuple] | None = None
+        self._varz_lock = threading.Lock()
         # when this process also hosts the statestored role, its debug
         # pages (/statestore_topics, /statestore_subscribers) serve here —
         # the reference statestored runs its own webserver
@@ -182,9 +186,15 @@ class WebUI:
                             if isinstance(v, int) and v},
             })
             stack.append((d, i))
-        return {"query_id": qid, "state": rec.get("state"),
-                "statement": rec.get("sql"),
-                "num_nodes": len(nodes), "nodes": nodes}
+        out = {"query_id": qid, "state": rec.get("state"),
+               "statement": rec.get("sql"),
+               "num_nodes": len(nodes), "nodes": nodes}
+        if not nodes and rec.get("state") == "RUNNING":
+            # r06 ADVICE: metrics_tree is snapshotted at EOS, so an
+            # in-flight query legitimately has no captured plan yet —
+            # say so instead of looking like a plan-less statement
+            out["note"] = "plan available after completion"
+        return out
 
     @staticmethod
     def _plan_svg(dag: dict) -> str:
@@ -332,6 +342,53 @@ class WebUI:
                 "tables": tables, "session_views": sess,
                 "num_tables": len(tables)}
 
+    def catalog_object(self, name: str) -> dict | None:
+        """Single catalog object drill-down (catalogd's /catalog_object
+        page, www/catalog_object.tmpl + ?object_type=TABLE&object_name=):
+        full schema with partition/bucket flags, table metadata (provider,
+        location, owner), computed stats when present, and the partition
+        list for partitioned tables — all from the shared Spark catalog,
+        the layer standing in for the reference's Thrift catalog objects
+        (JniCatalog)."""
+        spark = self.core._spark
+        try:
+            tbl = spark.catalog.getTable(name)
+        except Exception:
+            return None
+        cols = [{"column": c.name, "type": c.dataType,
+                 "nullable": c.nullable, "partition_key": c.isPartition,
+                 "bucket_key": c.isBucket}
+                for c in spark.catalog.listColumns(name)]
+        detail: dict[str, str] = {}
+        try:
+            for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {name}").collect():
+                key = (r["col_name"] or "").strip()
+                if key and key not in ("", "# Detailed Table Information",
+                                       "# col_name"):
+                    val = (r["data_type"] or "").strip()
+                    if key in ("Catalog", "Database", "Table", "Type",
+                               "Provider", "Location", "Owner",
+                               "Created Time", "Statistics", "View Text"):
+                        detail[key] = val
+        except Exception:
+            pass  # temp views of other sessions / concurrent drop
+        partitions: list[dict] = []
+        if any(c["partition_key"] for c in cols):
+            try:
+                partitions = [{"partition": r[0]} for r in spark.sql(
+                    f"SHOW PARTITIONS {name}").collect()]
+            except Exception:
+                pass  # datasource tables without partition metadata
+        return {"name": name,
+                "object_type": ("VIEW" if tbl.tableType in
+                                ("TEMPORARY", "VIEW") else "TABLE"),
+                "database": (tbl.namespace[0] if tbl.namespace else ""),
+                "is_temporary": tbl.isTemporary,
+                "schema": cols, "num_columns": len(cols),
+                "detail": detail, "partitions": partitions,
+                "num_partitions": len(partitions)}
+
     def logs(self) -> dict:
         """Tail of the daemon's INFO log (the reference /logs page tails
         the glog stream): session/query lifecycle, admission decisions."""
@@ -358,9 +415,10 @@ class WebUI:
             "fetch_idle_timeout_s": core.fetch_idle_timeout_s,
             "idle_session_timeout_s": core.idle_session_timeout_s,
         }
-        if self._varz_options is None:
-            self._varz_options = list(
-                Engine(core._spark).default_configuration())
+        with self._varz_lock:  # r06 ADVICE: one build under concurrent GETs
+            if self._varz_options is None:
+                self._varz_options = list(
+                    Engine(core._spark).default_configuration())
         opts = [
             {"option": k, "default": v, "doc": d}
             for k, v, d in self._varz_options
@@ -506,6 +564,40 @@ class WebUI:
                         + "</pre>" + ui._plan_svg(dag),
                         "text/html")
                     return
+                if page == "catalog_object":
+                    qs = parse_qs(parsed.query)
+                    name = (qs.get("object_name") or qs.get("name")
+                            or [""])[0]
+                    if not name:
+                        self._send(400, json.dumps(
+                            {"error": "missing object_name"}),
+                            "application/json")
+                        return
+                    data = ui.catalog_object(name)
+                    if data is None:
+                        self._send(404, json.dumps(
+                            {"error": f"unknown catalog object {name}"}),
+                            "application/json")
+                        return
+                    if as_json:
+                        self._send(200, json.dumps(data, default=str),
+                                   "application/json")
+                        return
+                    parts = [f"<h1>{html.escape(name)} "
+                             f"({html.escape(data['object_type'])})</h1>"]
+                    for key in ("database", "is_temporary"):
+                        parts.append(f"<p>{key}: "
+                                     f"{html.escape(str(data[key]))}</p>")
+                    parts.append(_table(data["schema"], "schema"))
+                    if data["detail"]:
+                        parts.append(_table(
+                            [{"property": k, "value": v}
+                             for k, v in data["detail"].items()], "detail"))
+                    if data["partitions"]:
+                        parts.append(_table(data["partitions"],
+                                            "partitions"))
+                    self._send(200, "".join(parts), "text/html")
+                    return
                 if page not in _PAGES:
                     self._send(404, json.dumps({"error": "not found"}),
                                "application/json")
@@ -538,6 +630,12 @@ class WebUI:
                 self.wfile.write(data)
 
         self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        if self._tls is not None:
+            # wrap the LISTENER: accept() then hands each connection an
+            # SSLSocket whose handshake runs lazily on its handler thread
+            self._httpd.socket = self._tls.server_context().wrap_socket(
+                self._httpd.socket, server_side=True,
+                do_handshake_on_connect=False)
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         name="i2s-webui", daemon=True)
         self._thread.start()

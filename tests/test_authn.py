@@ -28,15 +28,15 @@ def _auth(entries, **kw):
     return LdapAuthenticator(FakeDirectory(entries), **kw)
 
 
-def test_bind_name_precedence_matches_reference():
-    """authentication.cc:220-232: domain wins over baseDN wins over
-    bind_pattern; domain is not appended when the user already has an @."""
-    a = _auth({}, domain="corp.example.com", base_dn="dc=x",
-              bind_pattern="uid=#UID")
+def test_bind_name_mapping_matches_reference():
+    """authentication.cc:220-232 DN mapping, one flag at a time (setting
+    more than one is a startup error since r07 — see
+    test_conflicting_dn_flags_rejected_at_startup); domain is not
+    appended when the user already has an @."""
+    a = _auth({}, domain="corp.example.com")
     assert a.bind_name("alice") == "alice@corp.example.com"
     assert a.bind_name("bob@other.org") == "bob@other.org"
-    b = _auth({}, base_dn="ou=people,dc=example,dc=com",
-              bind_pattern="uid=#UID")
+    b = _auth({}, base_dn="ou=people,dc=example,dc=com")
     assert b.bind_name("alice") == "uid=alice,ou=people,dc=example,dc=com"
     c = _auth({}, bind_pattern="cn=#UID,ou=eng,dc=example,dc=com")
     assert c.bind_name("carol") == "cn=carol,ou=eng,dc=example,dc=com"
@@ -182,3 +182,19 @@ def test_shell_ldap_flags_end_to_end(tmp_path):
             srv.wait(timeout=30)
         except subprocess.TimeoutExpired:
             srv.kill()
+
+
+def test_conflicting_dn_flags_rejected_at_startup():
+    """authentication.cc InitAuth rejects setting more than one of
+    --ldap_domain/--ldap_baseDN/--ldap_bind_pattern (r06 ADVICE: silent
+    precedence was not reference behavior)."""
+    with pytest.raises(ValueError, match="at most one"):
+        _auth({}, domain="corp.example", base_dn="dc=example")
+    with pytest.raises(ValueError, match="at most one"):
+        _auth({}, base_dn="dc=example", bind_pattern="uid=#UID")
+    with pytest.raises(ValueError, match="at most one"):
+        _auth({}, domain="corp.example", bind_pattern="uid=#UID")
+    # one at a time stays fine
+    for kw in ({"domain": "corp"}, {"base_dn": "dc=x"},
+               {"bind_pattern": "#UID"}):
+        _auth({}, **kw)

@@ -456,3 +456,51 @@ def test_query_plan_dag_matches_executed_metrics(stack):
             _get(base + "/query_plan?id=999999")
     finally:
         c.close()
+
+
+def test_catalog_object_detail_page(stack, spark, sf_dir, tmp_path):
+    """Per-object drill-down (catalogd /catalog_object,
+    www/catalog_object.tmpl): schema with partition flags, table metadata,
+    computed stats, and the partition list for a partitioned table —
+    r06 verdict 'What's missing' #2."""
+    core, _, base = stack
+    spark.sql("CREATE DATABASE IF NOT EXISTS i2s_catobj")
+    try:
+        spark.sql(
+            "CREATE TABLE i2s_catobj.parts (id BIGINT, v STRING) "
+            "USING parquet PARTITIONED BY (lang STRING) "
+            f"LOCATION '{tmp_path}/parts'"
+        )
+        spark.sql(
+            "INSERT INTO i2s_catobj.parts PARTITION (lang='en') VALUES (1, 'a')"
+        )
+        spark.sql(
+            "INSERT INTO i2s_catobj.parts PARTITION (lang='fr') VALUES (2, 'b')"
+        )
+        spark.sql("ANALYZE TABLE i2s_catobj.parts COMPUTE STATISTICS")
+        data = _get_json(f"{base}/catalog_object?object_name=i2s_catobj.parts")
+        assert data["object_type"] == "TABLE"
+        assert data["database"] == "i2s_catobj"
+        cols = {c["column"]: c for c in data["schema"]}
+        assert cols["id"]["type"] == "bigint"
+        assert cols["lang"]["partition_key"] is True
+        assert not cols["id"]["partition_key"]
+        assert data["num_partitions"] == 2
+        assert any("lang=en" in p["partition"] for p in data["partitions"])
+        assert "Statistics" in data["detail"]  # COMPUTE STATS surfaced
+        assert data["detail"].get("Provider", "").lower() == "parquet"
+        # HTML rendering carries the schema table
+        ctype, body = _get(f"{base}/catalog_object?object_name=i2s_catobj.parts")
+        assert "text/html" in ctype and "partition_key" in body
+        # unknown object -> 404
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/catalog_object?object_name=i2s_catobj.nope&json")
+        assert ei.value.code == 404
+        # missing name -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/catalog_object?json")
+        assert ei.value.code == 400
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS i2s_catobj CASCADE")

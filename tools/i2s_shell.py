@@ -176,10 +176,11 @@ class RemoteShell:
     local; SQL / SET / EXPLAIN / profile run on the server's session."""
 
     def __init__(self, host: str, port: int, sf_dir: str | None,
-                 delimited: bool = False, output_delimiter: str = "\t"):
+                 delimited: bool = False, output_delimiter: str = "\t",
+                 tls: bool | str = False):
         from impalatogo_spark.server import I2SClient
 
-        self.client = I2SClient(host, port)
+        self.client = I2SClient(host, port, tls=tls)
         self.client.open_session(sf_dir=sf_dir)
         self.history: list[str] = []
         self.delimited = delimited
@@ -279,6 +280,22 @@ def _serve(args) -> None:
     from impalatogo_spark.session import get_spark
 
     host, port = _parse_hostport(args.listen)
+    tls = None
+    if args.ssl_server_certificate or args.ssl_private_key:
+        # TLS on every door (reference thrift-server.cc EnableSsl +
+        # webserver.cc --webserver_certificate_file); both flags required,
+        # matching the reference's startup validation
+        if not (args.ssl_server_certificate and args.ssl_private_key):
+            raise SystemExit("--ssl_server_certificate and --ssl_private_key"
+                             " must be set together")
+        from impalatogo_spark.tls import TlsConfig
+
+        tls = TlsConfig(
+            certificate_file=args.ssl_server_certificate,
+            private_key_file=args.ssl_private_key,
+            minimum_version=args.ssl_minimum_version,
+            cipher_list=args.ssl_cipher_list)
+        print("ssl enabled on all serving ports", flush=True)
     sasl_check = None
     if args.ldap_uri or args.ldap_fake_directory:
         # LDAP-shaped auth on both thrift doors (authentication.cc
@@ -296,7 +313,8 @@ def _serve(args) -> None:
             fake_directory_path=args.ldap_fake_directory)
         print("ldap authentication enabled on thrift doors", flush=True)
     spark = get_spark("i2s-server")
-    server = I2SServer(spark, sf_dir=args.sf_dir, host=host, port=port)
+    server = I2SServer(spark, sf_dir=args.sf_dir, host=host, port=port,
+                       tls=tls)
     bound_host, bound_port = server.start()
     # exact marker line, parsed by connect-mode scripts and tests
     print(f"i2s-server listening on {bound_host}:{bound_port}", flush=True)
@@ -306,7 +324,7 @@ def _serve(args) -> None:
         # /queries /sessions /admission /metrics over the same core
         from impalatogo_spark.webui import WebUI
 
-        webui = WebUI(server, host=bound_host, port=args.webui_port)
+        webui = WebUI(server, host=bound_host, port=args.webui_port, tls=tls)
         web_host, web_port = webui.start()
         print(f"webui listening on {web_host}:{web_port}", flush=True)
     hs2 = None
@@ -316,7 +334,7 @@ def _serve(args) -> None:
         from impalatogo_spark.thrift_hs2 import HS2ThriftServer
 
         hs2 = HS2ThriftServer(spark, host=bound_host, port=args.hs2_port,
-                              core=server, sasl_check=sasl_check)
+                              core=server, sasl_check=sasl_check, tls=tls)
         hs2_host, hs2_port = hs2.start()
         print(f"hs2-thrift listening on {hs2_host}:{hs2_port}", flush=True)
     beeswax = None
@@ -325,7 +343,7 @@ def _serve(args) -> None:
 
         beeswax = BeeswaxServer(spark, host=bound_host,
                                 port=args.beeswax_port, core=server,
-                                sasl_check=sasl_check)
+                                sasl_check=sasl_check, tls=tls)
         bw_host, bw_port = beeswax.start()
         print(f"beeswax listening on {bw_host}:{bw_port}", flush=True)
     try:
@@ -392,6 +410,26 @@ def main() -> None:
     ap.add_argument("--connect", "-i", metavar="HOST:PORT",
                     help="connect to a --listen server instead of starting "
                          "an in-process engine")
+    ap.add_argument("--ssl_server_certificate", default=None, metavar="PEM",
+                    help="with --listen: serve ALL ports (JSON, HS2, "
+                         "Beeswax, webui) over TLS with this certificate "
+                         "(reference --ssl_server_certificate); plaintext "
+                         "clients are refused")
+    ap.add_argument("--ssl_private_key", default=None, metavar="PEM",
+                    help="private key for --ssl_server_certificate "
+                         "(reference --ssl_private_key)")
+    ap.add_argument("--ssl_minimum_version", default="tlsv1.2",
+                    help="minimum TLS version (reference "
+                         "--ssl_minimum_version; tlsv1.2 or tlsv1.3)")
+    ap.add_argument("--ssl_cipher_list", default=None,
+                    help="OpenSSL cipher list (reference --ssl_cipher_list)")
+    ap.add_argument("--ssl", action="store_true",
+                    help="with --connect: TLS to the server without "
+                         "verification (impala-shell --ssl)")
+    ap.add_argument("--ca_cert", default=None, metavar="PEM",
+                    help="with --connect --ssl: verify the server "
+                         "certificate against this CA bundle "
+                         "(impala-shell --ca_cert)")
     args = ap.parse_args()
     if args.listen:
         _serve(args)
@@ -400,7 +438,8 @@ def main() -> None:
         host, port = _parse_hostport(args.connect)
         shell = RemoteShell(host, port, args.sf_dir,
                             delimited=args.delimited,
-                            output_delimiter=args.output_delimiter)
+                            output_delimiter=args.output_delimiter,
+                            tls=(args.ca_cert or True) if args.ssl else False)
     else:
         shell = Shell(args.sf_dir, delimited=args.delimited,
                       output_delimiter=args.output_delimiter)
