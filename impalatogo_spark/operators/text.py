@@ -278,20 +278,26 @@ FROM j
 
 
 def contamination_pairs(
-    df: DataFrame, text_col: str = "text", bench_mod: int = 100, n: int = 3
+    df: DataFrame, text_col: str = "text", bench_mod: int = 100, n: int = 3,
+    bench_cap: int = 5000,
 ) -> DataFrame:
     """Benchmark-contamination detection: for every document, the fraction of
     its distinct word n-grams that also appear in a "benchmark" document
-    (here the deterministic stand-in doc_id % bench_mod == 0; in production a
-    fixed eval corpus). Reports pairs with containment >= 10%, compared in
-    exact integer arithmetic (overlap * 10 >= n_sh) — no float threshold
-    boundary.
+    (here the deterministic stand-in doc_id % bench_mod == 0 AND doc_id <
+    bench_cap; in production a fixed eval corpus). Reports pairs with
+    containment >= 10%, compared in exact integer arithmetic
+    (overlap * 10 >= n_sh) — no float threshold boundary.
 
     Scale shape: the benchmark side of the shingle join is broadcast — real
     decontamination corpora (eval benchmarks) are MB-sized against TB-scale
     training data, so the join is map-side with zero shuffle of the big
     side; the only shuffle is the (doc_id, bench_id) overlap count, already
-    reduced to matching shingles.
+    reduced to matching shingles. `bench_cap` keeps the stand-in benchmark
+    FIXED-SIZE like a real one (r07: the unbounded doc_id % mod benchmark
+    grew 1% OF THE CORPUS, and the sf1 audit measured the overlap shuffle
+    in the SUPER class — 90x on 10x data — purely from the stand-in's
+    growth; below the cap, i.e. every driver SF up to sf0.1, behavior is
+    unchanged).
     """
     from impalatogo_spark.operators import split_words
 
@@ -319,7 +325,10 @@ def contamination_pairs(
     )
     # the benchmark side shingles only its own 1% — the filter reaches the
     # scan instead of re-deriving from the full exploded relation
-    bench = _shingled(df.filter(F.col("doc_id") % bench_mod == 0)).select(
+    bench = _shingled(
+        df.filter((F.col("doc_id") % bench_mod == 0)
+                  & (F.col("doc_id") < bench_cap))
+    ).select(
         F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s")
     )
     m = (
@@ -343,7 +352,8 @@ def contamination_pairs(
     )
 
 
-def contamination_oracle(bench_mod: int = 100, n: int = 3) -> str:
+def contamination_oracle(bench_mod: int = 100, n: int = 3,
+                         bench_cap: int = 5000) -> str:
     grams = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
     return f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -353,7 +363,8 @@ sh AS (SELECT doc_id,
                    ELSE []::VARCHAR[] END) AS sh
        FROM w),
 e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
-bench AS (SELECT doc_id AS bench_id, s FROM e WHERE doc_id % {bench_mod} = 0),
+bench AS (SELECT doc_id AS bench_id, s FROM e
+          WHERE doc_id % {bench_mod} = 0 AND doc_id < {bench_cap}),
 m AS (SELECT e.doc_id, bench_id, count(*) AS overlap, max(n_sh) AS n_sh
       FROM e JOIN bench USING (s) WHERE e.doc_id <> bench_id
       GROUP BY e.doc_id, bench_id)
