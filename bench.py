@@ -255,6 +255,9 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "dedup_edit_distance",
     "corpus_preference_pairs",
     "corpus_unigram_drift",
+    # round 7: scalable exact grouped percentiles (grouped_percentiles
+    # rank-selection operator — the SLO-tail readout)
+    "events_value_percentiles",
 ]
 RUNS = 3
 

@@ -187,6 +187,102 @@ def global_running_sum(
     )
 
 
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    tie_col: str,
+    ps: tuple = (0.25, 0.5, 0.9),
+    disc: tuple = (0.5,),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT grouped percentiles (continuous + discrete) that scale to few
+    huge groups — the reusable form of the r07 agg_percentiles de-funnel.
+
+    Spark's exact percentile is a buffering ObjectHashAggregate: with G
+    groups each final-merge task holds ~N/G values (the r06 sf1 audit
+    measured 122x wall on 10x data at G=3 — an executor OOM at 100 TB).
+    Here the sort is operators/scale.global_row_number's range-partitioned
+    two-level scan with full parallelism regardless of G; the per-group
+    (start, n) table is G rows broadcast back, and each percentile is
+    selected by its two bracketing ranks.
+
+    percentile_cont mirrors DuckDB's quantile_cont lerp form exactly
+    (rn = p*(n-1) in IEEE double; value = lo*(crn-rn) + hi*(rn-frn)), so
+    `round(result, 4)` stays engine-identical over integer inputs.
+    percentile_disc picks 1-based rank (n+1) div 2 at p=0.5 — both
+    engines' lower-middle rule — and generally ceil(p*n) via the same
+    integer form. value_col MUST be integer-typed (cents); tie_col must
+    make (group, value, tie) a strict total order.
+
+    Output: group_cols + round(p{100p}, 4) DOUBLE per ps +
+    p{100p}_disc BIGINT per disc."""
+    order = [*group_cols, value_col, tie_col]
+    d = global_row_number(df, order, out="__grn",
+                          num_partitions=num_partitions)
+    stats = d.groupBy(*group_cols).agg(
+        F.min("__grn").alias("__start"), F.count(F.lit(1)).alias("__n")
+    )
+    j = d.join(F.broadcast(stats), group_cols)
+
+    def pos(p: float):
+        return F.lit(p) * (F.col("__n") - 1).cast("double")
+
+    def tag(p: float) -> str:
+        t = f"{p * 100:g}".replace(".", "_")
+        return t
+
+    picks = []
+    for p in ps:
+        picks.append(
+            F.max(
+                F.when(F.col("__grn") == F.col("__start") + F.floor(pos(p)),
+                       F.col(value_col))
+            ).alias(f"__lo{tag(p)}")
+        )
+        picks.append(
+            F.max(
+                F.when(F.col("__grn") == F.col("__start") + F.ceil(pos(p)),
+                       F.col(value_col))
+            ).alias(f"__hi{tag(p)}")
+        )
+    for p in disc:
+        # 1-based rank ceil(p*n) in exact integer arithmetic for the
+        # rational p values used in practice (p = a/b); Fraction over the
+        # DECIMAL string — float(0.9).as_integer_ratio() would give the
+        # 2^53-denominator binary expansion
+        from fractions import Fraction
+
+        fr = Fraction(str(p))
+        num, den = fr.numerator, fr.denominator
+        picks.append(
+            F.max(
+                F.when(
+                    F.col("__grn") == F.col("__start")
+                    + F.expr(f"(__n * {num} + {den - 1}) DIV {den}") - 1,
+                    F.col(value_col),
+                )
+            ).alias(f"__d{tag(p)}")
+        )
+    agg = j.groupBy(*group_cols).agg(F.max("__n").alias("__n"), *picks)
+
+    def lerp(p: float):
+        rn = pos(p)
+        frn, crn = F.floor(rn).cast("double"), F.ceil(rn).cast("double")
+        lo = F.col(f"__lo{tag(p)}").cast("double")
+        hi = F.col(f"__hi{tag(p)}").cast("double")
+        val = F.when(crn == frn, lo).otherwise(
+            lo * (crn - rn) + hi * (rn - frn)
+        )
+        return F.round(val, 4).alias(f"p{tag(p)}")
+
+    out_cols = [*group_cols]
+    out_cols += [lerp(p) for p in ps]
+    out_cols += [F.col(f"__d{tag(p)}").alias(f"p{tag(p)}_disc")
+                 for p in disc]
+    return agg.select(*out_cols)
+
+
 def ntile_from_rank(rank_col, n_total_col, n: int):
     """ntile(n) bucket (1-based) computed arithmetically from an exact
     global rank and the total row count — SQL ntile semantics (first

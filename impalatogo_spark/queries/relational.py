@@ -1890,67 +1890,52 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     element at 1-based rank (n+1) div 2 — both engines' lower-middle
     tie rule. (SQL entry still serves percentile_cont/percentile_disc
     WITHIN GROUP via Spark builtins for tiny inputs.)"""
-    from impalatogo_spark.operators.scale import global_row_number
+    from impalatogo_spark.operators.scale import grouped_percentiles
 
     t = _t(spark, sf_dir, "orders").select(
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderkey",
     )
-    d = global_row_number(t, ["o_orderstatus", "cents", "o_orderkey"], out="grn")
-    stats = d.groupBy("o_orderstatus").agg(
-        F.min("grn").alias("start"), F.count(F.lit(1)).alias("n")
-    )
-    j = d.join(F.broadcast(stats), "o_orderstatus")
-
-    def pos(p: float):
-        return F.lit(p) * (F.col("n") - 1).cast("double")
-
-    picks = []
-    for tag, p in (("25", 0.25), ("50", 0.5), ("90", 0.9)):
-        picks.append(
-            F.max(
-                F.when(
-                    F.col("grn") == F.col("start") + F.floor(pos(p)),
-                    F.col("cents"),
-                )
-            ).alias(f"lo{tag}")
-        )
-        picks.append(
-            F.max(
-                F.when(
-                    F.col("grn") == F.col("start") + F.ceil(pos(p)),
-                    F.col("cents"),
-                )
-            ).alias(f"hi{tag}")
-        )
-    agg = j.groupBy("o_orderstatus").agg(
-        F.max("n").alias("n"),
-        *picks,
-        F.max(
-            F.when(
-                F.col("grn") == F.col("start") + F.expr("(n + 1) DIV 2") - 1,
-                F.col("cents"),
-            )
-        ).alias("disc50"),
+    return grouped_percentiles(
+        t, ["o_orderstatus"], "cents", "o_orderkey",
+        ps=(0.25, 0.5, 0.9), disc=(0.5,),
     )
 
-    def lerp(tag: str, p: float):
-        rn = pos(p)
-        frn, crn = F.floor(rn).cast("double"), F.ceil(rn).cast("double")
-        lo = F.col(f"lo{tag}").cast("double")
-        hi = F.col(f"hi{tag}").cast("double")
-        val = F.when(crn == frn, lo).otherwise(
-            lo * (crn - rn) + hi * (rn - frn)
-        )
-        return F.round(val, 4).alias(f"p{tag}")
 
-    return agg.select(
-        "o_orderstatus",
-        lerp("25", 0.25),
-        lerp("50", 0.5),
-        lerp("90", 0.9),
-        F.col("disc50").alias("p50_disc"),
+@register(
+    "events_value_percentiles",
+    oracle="""
+WITH t AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type,
+       round(quantile_cont(cents, 0.5),  4) AS p50,
+       round(quantile_cont(cents, 0.95), 4) AS p95,
+       round(quantile_cont(cents, 0.99), 4) AS p99,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_disc
+FROM t GROUP BY 1
+""",
+    tags=("aggregation", "percentile", "events"),
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type latency/value tail percentiles (p50/p95/p99 + the
+    discrete median) — the SLO readout an event pipeline tails — via the
+    scalable operators/scale.grouped_percentiles rank-selection form:
+    few-huge-groups exact percentiles with NO buffering aggregate (the
+    builtin form is an executor OOM at 100 TB; see agg_percentiles).
+    Integer cents in, DuckDB-lerp-form interpolation, full-parallelism
+    range-partitioned sort."""
+    from impalatogo_spark.operators.scale import grouped_percentiles
+
+    t = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    return grouped_percentiles(
+        t, ["event_type"], "cents", "event_id",
+        ps=(0.5, 0.95, 0.99), disc=(0.5,),
     )
 
 
