@@ -258,6 +258,12 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     # round 7: scalable exact grouped percentiles (grouped_percentiles
     # rank-selection operator — the SLO-tail readout)
     "events_value_percentiles",
+    # round 7 (session 2): template-family k-core mining, classifier
+    # calibration (ECE), per-source token caps, l-diversity release audit
+    "dedup_template_kcore",
+    "quality_calibration_ece",
+    "corpus_source_caps",
+    "privacy_l_diversity",
 ]
 RUNS = 3
 

@@ -1435,3 +1435,85 @@ def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
         .select("id", F.array_distinct(grams).alias("arr"))
         .withColumn("n", F.size("arr"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the near-dup pair graph (template/boilerplate mining)
+# ---------------------------------------------------------------------------
+
+def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """k-core peeling over an undirected pair graph (Seidman 1983 cores;
+    Matula & Beck 1983 peeling): repeatedly drop nodes with degree < k, a
+    fixed `rounds` times, then report surviving nodes with their in-core
+    degree. On a near-dup pair graph the dense residue is the TEMPLATE /
+    boilerplate families (spam farms, mirrored layouts) that per-pair dedup
+    under-reports — the standard dense-subgraph curation signal.
+
+    A fixed round count (not a fixpoint loop) keeps the operator a single
+    declarative plan the DuckDB oracle unrolls as chained CTEs; each round
+    is monotone, so round R is a superset of the true k-core and equals it
+    once a round removes nothing (rounds=3 converges on every SF of the
+    synthetic corpus — asserted in tests/test_dedup.py).
+
+    Scale shape per round: degree = map-side-combined count over the two
+    endpoint projections (shuffle carries (node, partial)), survivors
+    filter, then two semi joins back to the edge list — O(E) per round,
+    partitionable by node, no all-pairs step. The edge frame is
+    LOCAL-CHECKPOINTED each round, not merely persisted: every round
+    references e three times (two degree projections + the semi-join
+    probe), so without a lineage cut the LOGICAL plan grows ~6^rounds
+    copies of the upstream pair-derivation subtree — at 3 rounds over the
+    LSH pipeline the plan string overflowed 2^31 chars and OOM'd the
+    driver. Same mechanism as connected_components' per-iteration _ckpt."""
+    from impalatogo_spark.session import tracked_persist
+
+    e = _ckpt(pairs.select("id_a", "id_b"))
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("id_a").alias("node"))
+            .unionAll(e.select(F.col("id_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = tracked_persist(deg.filter(F.col("deg") >= k).select("node"))
+        e = _ckpt(
+            e.join(alive.select(F.col("node").alias("id_a")), "id_a",
+                   "left_semi")
+            .join(alive.select(F.col("node").alias("id_b")), "id_b",
+                  "left_semi")
+        )
+    final_deg = (
+        e.select(F.col("id_a").alias("doc_id"))
+        .unionAll(e.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return final_deg.filter(F.col("core_deg") >= k).orderBy("doc_id")
+
+
+def kcore_oracle(pairs_sql: str, k: int = 2, rounds: int = 3) -> str:
+    """DuckDB twin: the peel loop unrolled as chained CTEs (degree -> alive
+    -> SEMI-join edge filter per round), same fixed round count. Every
+    multiply-referenced CTE is AS MATERIALIZED — DuckDB inlines CTEs by
+    default, and inlining e{r} (3 refs/round) re-derives the whole LSH
+    pipeline 3^rounds times."""
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+d{r} AS (SELECT node, count(*) AS deg FROM (
+  SELECT id_a AS node FROM e{r} UNION ALL SELECT id_b AS node FROM e{r})
+  GROUP BY node),
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e{r}.id_a, e{r}.id_b FROM e{r}
+  SEMI JOIN a{r} ON e{r}.id_a = a{r}.node
+  SEMI JOIN a{r} AS a{r}b ON e{r}.id_b = a{r}b.node)""")
+    return f"""
+WITH pairs AS ({pairs_sql}),
+e0 AS MATERIALIZED (SELECT id_a, id_b FROM pairs),{",".join(steps)},
+dfin AS (SELECT node, count(*) AS deg FROM (
+  SELECT id_a AS node FROM e{rounds}
+  UNION ALL SELECT id_b AS node FROM e{rounds}) GROUP BY node)
+SELECT node AS doc_id, CAST(deg AS BIGINT) AS core_deg
+FROM dfin WHERE deg >= {k} ORDER BY doc_id
+"""

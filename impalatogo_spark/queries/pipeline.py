@@ -6397,3 +6397,277 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(positives * 10000) div probes").alias("positive_bp"))
         .orderBy("is_member")
     )
+
+
+# ===========================================================================
+# Round 7 (session 2): dense-template mining, classifier calibration,
+# source-cap curation, l-diversity release audit
+# ===========================================================================
+
+@register(
+    "dedup_template_kcore",
+    oracle=D.kcore_oracle(D.minhash_lsh_oracle(threshold=0.5), k=2, rounds=3),
+    tags=("dedup", "graph", "quality"),
+)
+def dedup_template_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate family mining: k-core peeling (k=2, 3 unrolled
+    rounds) over the MinHash-LSH verified near-dup pair graph. Pairwise
+    dedup keeps one doc per PAIR; the dense residue the peel isolates is
+    the mirrored-layout / spam-template families where a curation pipeline
+    wants cluster-level policy (drop all, keep canonical) instead. Same
+    verified-pair derivation as dedup_clusters; peel mechanics + scale
+    notes in operators/dedup.py::kcore_peel. Oracle unrolls the identical
+    rounds as chained CTEs, so the gate is value-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = tracked_persist(D.word_shingles(docs))
+    pairs = D.verify_jaccard(cand, sh, threshold=0.5)
+    return D.kcore_peel(pairs, k=2, rounds=3)
+
+
+def _classifier_hex_poly(col: str = "tok") -> str:
+    """DuckDB stand-in for conv(substring(md5(tok),1,4),16,10) — the
+    classifier weight hash (same polynomial classifier_scores_oracle
+    uses)."""
+    return " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+@register(
+    "quality_calibration_ece",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (SELECT doc_id, ({_classifier_hex_poly()}) % 101 - 50 AS wt FROM w),
+cls AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_int
+        FROM s GROUP BY doc_id),
+lab AS (SELECT doc_id,
+               CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                         >= len(string_split(text, ' '))
+                    THEN 1 ELSE 0 END AS label
+        FROM documents),
+per AS (SELECT c.doc_id,
+               ((c.score_int + 50 * c.n_tokens) * 1000000) // (100 * c.n_tokens)
+                 AS conf_ppm,
+               l.label
+        FROM cls c JOIN lab l ON l.doc_id = c.doc_id),
+bins AS (SELECT least(conf_ppm // 100000, 9) AS bin,
+                count(*) AS n_docs,
+                CAST(sum(conf_ppm) AS BIGINT) // count(*) AS avg_conf_ppm,
+                (CAST(sum(label) AS BIGINT) * 1000000) // count(*) AS pos_rate_ppm
+         FROM per GROUP BY 1),
+g AS (SELECT bin, n_docs, avg_conf_ppm, pos_rate_ppm,
+             abs(avg_conf_ppm - pos_rate_ppm) AS gap_ppm
+      FROM bins),
+e AS (SELECT CAST(sum(n_docs * gap_ppm) AS BIGINT) // CAST(sum(n_docs) AS BIGINT)
+        AS ece_ppm FROM g)
+SELECT bin, n_docs, avg_conf_ppm, pos_rate_ppm, gap_ppm, e.ece_ppm
+FROM g, e ORDER BY bin
+""",
+    tags=("pipeline", "quality", "validation"),
+)
+def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    hashing-trick quality classifier, judged against the integer
+    repetition-gate label (distinct tokens >= half of tokens, the
+    Gopher-style duplicate-word heuristic — the weak-supervision agreement
+    readout a pipeline checks before trusting a score threshold at corpus
+    scale; Naeini et al. 2015's ECE, in exact integer ppm). Confidence =
+    the classifier's mean token weight mapped to [0, 1e6] ppm, binned into
+    deciles; per bin: count, mean confidence, empirical positive rate,
+    |gap|; ECE = doc-weighted mean |gap|. All arithmetic is BIGINT
+    (ppm scaling + floor division mirrored with DuckDB //), so the gate is
+    value-exact. Scale shape: one token explode with map-side-combined
+    per-doc sums, a doc-grain join, a 10-group aggregate — shuffle carries
+    (doc, partials), never tokens; the 10-row bin table is persisted (two
+    consumers: the report rows and the ECE reduction) and the 1-row ECE
+    broadcast back."""
+    docs = _t(spark, sf_dir, "documents")
+    cls = X.classifier_scores(docs).select("doc_id", "n_tokens", "score_int")
+    toks = F.split("text", " ")
+    lab = docs.select(
+        "doc_id",
+        F.when(2 * F.size(F.array_distinct(toks)) >= F.size(toks), 1)
+        .otherwise(0).alias("label"),
+    )
+    per = cls.join(lab, "doc_id").select(
+        F.expr("((score_int + 50 * n_tokens) * 1000000) div (100 * n_tokens)")
+        .alias("conf_ppm"),
+        "label",
+    )
+    bins = per.groupBy(
+        F.least(F.expr("conf_ppm div 100000"), F.lit(9).cast("long")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("conf_ppm").alias("sum_conf"),
+        F.sum("label").alias("n_pos"),
+    )
+    g = tracked_persist(
+        bins.select(
+            "bin",
+            "n_docs",
+            F.expr("sum_conf div n_docs").alias("avg_conf_ppm"),
+            F.expr("(n_pos * 1000000) div n_docs").alias("pos_rate_ppm"),
+        ).withColumn("gap_ppm", F.abs(F.col("avg_conf_ppm") - F.col("pos_rate_ppm")))
+    )
+    ece = g.agg(
+        F.expr("sum(n_docs * gap_ppm) div sum(n_docs)").alias("ece_ppm")
+    )
+    return (
+        g.crossJoin(F.broadcast(ece))
+        .select("bin", "n_docs", "avg_conf_ppm", "pos_rate_ppm", "gap_ppm",
+                "ece_ppm")
+        .orderBy("bin")
+    )
+
+
+@register(
+    "corpus_source_caps",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (SELECT doc_id, ({_classifier_hex_poly()}) % 101 - 50 AS wt FROM w),
+cls AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_int
+        FROM s GROUP BY doc_id),
+base AS (SELECT d.doc_id, d.source, c.n_tokens, c.score_int
+         FROM documents d JOIN cls c ON c.doc_id = d.doc_id),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 50 AS cap_tokens FROM base),
+cum AS (SELECT source, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY score_int DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM base)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS source_tokens,
+       CAST(sum(CASE WHEN cum_tokens <= cap_tokens THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_docs,
+       CAST(sum(CASE WHEN cum_tokens <= cap_tokens THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       max(cap_tokens) AS cap_tokens
+FROM cum, tot GROUP BY source ORDER BY source
+""",
+    tags=("pipeline", "sampling", "quality"),
+)
+def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-share caps (the RefinedWeb/CCNet 'no domain
+    dominates' curation step): every source is capped at 2% of total
+    corpus tokens; within a source, documents are kept in QUALITY order
+    (classifier score descending, doc_id tie-break) until the cap — so an
+    over-represented domain contributes only its best slice while small
+    clean sources survive whole (the synthetic corpus's 20 uniform
+    sources sit at 5% each, so the cap BINDS — the gate exercises real
+    truncation, not a vacuous pass-through). Reports per-source kept/total docs and tokens
+    against the cap. Integer-exact: token counts are BIGINT, the cap is a
+    floor division, the keep test compares cumulative BIGINTs.
+
+    Scale shape: one token explode for the classifier scores (map-side
+    combine), a doc-grain join back to (doc, source), a per-source window
+    (hash exchange on source — at 100 TB sources number in the millions,
+    so partitions stay balanced), the scalar total broadcast. The base
+    frame is persisted: the corpus total and the window scan both consume
+    it."""
+    docs = _t(spark, sf_dir, "documents")
+    cls = X.classifier_scores(docs).select("doc_id", "n_tokens", "score_int")
+    base = tracked_persist(
+        docs.select("doc_id", "source").join(cls, "doc_id")
+    )
+    tot = base.agg(F.expr("sum(n_tokens) div 50").alias("cap_tokens"))
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("score_int"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    kept = F.col("cum_tokens") <= F.col("cap_tokens")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("source_tokens"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long")
+            .alias("kept_tokens"),
+            F.max("cap_tokens").alias("cap_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+           AS bal_bucket,
+         c_mktsegment AS sens
+  FROM customer
+),
+grp AS (
+  SELECT c_nationkey, bal_bucket, count(*) AS sz,
+         count(DISTINCT sens) AS l_div
+  FROM q GROUP BY c_nationkey, bal_bucket
+),
+tot AS (SELECT count(*) AS n_rows FROM q),
+ls AS (SELECT unnest([2, 3, 5]) AS l)
+SELECT l,
+       (SELECT count(*) FROM grp) AS qi_groups,
+       CAST(sum(CASE WHEN l_div < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(sum(CASE WHEN l_div < l THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_l,
+       (sum(CASE WHEN l_div < l THEN sz ELSE 0 END) * 10000)
+         // (SELECT n_rows FROM tot) AS at_risk_bp
+FROM ls, grp
+GROUP BY l ORDER BY l
+""",
+    tags=("pipeline", "privacy", "validation"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion to
+    privacy_k_anonymity: k-anonymity bounds GROUP SIZE but a uniform
+    sensitive value inside a large group still leaks — distinct
+    l-diversity requires every quasi-identifier class (nation,
+    balance-bucket; deliberately coarser than the k-audit's QI set) to
+    contain >= l distinct sensitive values (market segment). For l in
+    {2, 3, 5}: classes below l, rows in them, at-risk share in basis
+    points. One groupBy builds (size, distinct-sensitive) per class;
+    every l reads the same tiny class table — shuffle O(classes), all
+    integer."""
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000)"
+               " div 100000").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("sens"),
+    )
+    grp = tracked_persist(
+        cu.groupBy("c_nationkey", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("sz"),
+             F.countDistinct("sens").alias("l_div"))
+    )
+    tot = cu.agg(F.count(F.lit(1)).alias("n_rows"))
+    ngrp = grp.agg(F.count(F.lit(1)).alias("qi_groups"))
+    ls = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(3), F.lit(5))).alias("l")
+    )
+    per_l = (
+        ls.crossJoin(grp)
+        .groupBy("l")
+        .agg(
+            F.sum(F.when(F.col("l_div") < F.col("l"), 1).otherwise(0))
+            .cast("long").alias("groups_below_l"),
+            F.sum(F.when(F.col("l_div") < F.col("l"), F.col("sz")).otherwise(0))
+            .cast("long").alias("rows_below_l"),
+        )
+    )
+    return (
+        per_l.crossJoin(F.broadcast(ngrp)).crossJoin(F.broadcast(tot))
+        .select(
+            "l", "qi_groups", "groups_below_l", "rows_below_l",
+            F.expr("(rows_below_l * 10000) div n_rows").alias("at_risk_bp"),
+        )
+        .orderBy("l")
+    )

@@ -698,3 +698,39 @@ def test_phash_auto_width_branches(spark):
     got = sorted(map(tuple, wide.collect()))
     want = sorted(map(tuple, brute.collect()))
     assert got == want and len(got) > 0  # id%50 duplicates guarantee pairs
+
+
+def test_kcore_peel_matches_true_core_on_crafted_graph(spark):
+    # triangle {1,2,3} (true 2-core), chain 4-5-6 (peels away in 2 rounds:
+    # endpoints first, then the middle edge), pendant 7 hanging off the
+    # triangle (degree 1, removed round 1), 4-cycle {10,11,12,13} (2-core).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (1, 7),
+         (10, 11), (11, 12), (12, 13), (10, 13)],
+        ["id_a", "id_b"],
+    )
+    out = {r.doc_id: r.core_deg
+           for r in D.kcore_peel(pairs, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2, 10: 2, 11: 2, 12: 2, 13: 2}
+
+
+def test_kcore_peel_rounds_converged_on_corpus(spark, sf_dir):
+    # the registered query uses rounds=3; assert one more round removes
+    # nothing on the real LSH pair graph (the docstring's convergence claim).
+    from impalatogo_spark.session import release_persisted, table
+
+    docs = table(spark, sf_dir, "documents")
+    sig_sh = D.word_shingles(docs, distinct=False)
+    cand = D.lsh_candidate_pairs(
+        D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    sh = D.word_shingles(docs).persist()
+    pairs = D.verify_jaccard(cand, sh, threshold=0.5).persist()
+    r3 = sorted((r.doc_id, r.core_deg)
+                for r in D.kcore_peel(pairs, k=2, rounds=3).collect())
+    r4 = sorted((r.doc_id, r.core_deg)
+                for r in D.kcore_peel(pairs, k=2, rounds=4).collect())
+    assert r3 == r4
+    assert len(r3) > 0  # non-vacuous: the synthetic corpus has dense families
+    sh.unpersist()
+    pairs.unpersist()
+    release_persisted()
