@@ -264,6 +264,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "quality_calibration_ece",
     "corpus_source_caps",
     "privacy_l_diversity",
+    "ann_topk_mmr",
 ]
 RUNS = 3
 

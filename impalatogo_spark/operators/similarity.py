@@ -1857,3 +1857,162 @@ def pca_project(df: DataFrame, emb_col: str = "embedding",
         .alias(f"pc{c}")
         for c in range(n_components)
     ])
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+def mmr_topk(corpus: DataFrame, n_queries: int = 3, n_cand: int = 12,
+             k: int = 5, lam_num: int = 7, lam_den_minus: int = 3) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: per query, greedily select k
+    results maximizing lambda*relevance - (1-lambda)*max-similarity-to-
+    already-selected — the standard RAG/retrieval diversification that
+    stops near-duplicate passages from crowding a result list.
+
+    Determinism/oracle discipline: every cosine is quantized to an e4
+    integer (round(cos*10000) as BIGINT) BEFORE the greedy, lambda=0.7 is
+    the integer pair (7, 3) (argmax of 7*rel - 3*maxsim == argmax of
+    0.7*rel - 0.3*maxsim), and every argmax carries a vec_id tie-break —
+    so selection is bit-deterministic and the DuckDB oracle (mmr_oracle,
+    greedy steps unrolled as chained CTEs) reproduces it exactly.
+
+    Scale shape: the distributed work is the candidate stage (broadcast
+    queries x partitioned corpus, per-query top-n_cand window) — the same
+    plan as brute_force_topk; the greedy then runs on O(q * n_cand^2)
+    rows, partitioned by q_id (bounded per query, never corpus-sized).
+    Candidate, pair, and per-step selected frames are LOCAL-CHECKPOINTED,
+    not merely persisted: each greedy step references the selected set
+    three times (anti-join, max-sim probe, union) and the candidate/pair
+    frames once per step, and a persist leaves the 64-dim cosine
+    expression trees inlined in the LOGICAL plan — the nesting grew
+    analysis time to ~100 s for k=5 until the lineage cut (same plan-size
+    class as kcore_peel / connected_components)."""
+    from pyspark.sql import Window as W
+
+    from impalatogo_spark.session import tracked_local_checkpoint as _ckpt
+
+    e = with_double_embedding(corpus)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = e.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
+        "q_id", "vec_id", "embedding",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")) * 10000)
+        .cast("long").alias("rel_e4"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("rel_e4"), F.asc("vec_id"))
+    cande = _ckpt(
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_cand)
+        .select("q_id", "vec_id", "rel_e4", "embedding")
+    )
+    cand = cande.select("q_id", "vec_id", "rel_e4")
+    a = cande.select("q_id", F.col("vec_id").alias("vid_a"),
+                     F.col("embedding").alias("emb_a"))
+    b = cande.select("q_id", F.col("vec_id").alias("vid_b"),
+                     F.col("embedding").alias("emb_b"))
+    simp = _ckpt(
+        a.join(b, "q_id")
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .select(
+            "q_id", "vid_a", "vid_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")) * 10000)
+            .cast("long").alias("sim_e4"),
+        )
+    )
+    sel = _ckpt(
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("q_id", "vec_id", "rel_e4",
+                F.lit(1).alias("step"),
+                (F.lit(lam_num) * F.col("rel_e4")).alias("mmr_e4"))
+    )
+    for step in range(2, k + 1):
+        msim = (
+            simp.join(
+                sel.select("q_id", F.col("vec_id").alias("vid_b")),
+                ["q_id", "vid_b"],
+            )
+            .groupBy("q_id", "vid_a")
+            .agg(F.max("sim_e4").alias("maxsim_e4"))
+        )
+        rem = cand.join(sel.select("q_id", "vec_id"), ["q_id", "vec_id"],
+                        "left_anti")
+        pick_w = W.partitionBy("q_id").orderBy(F.desc("mmr_e4"),
+                                               F.asc("vec_id"))
+        pick = (
+            rem.join(msim, (rem["q_id"] == msim["q_id"])
+                     & (rem["vec_id"] == msim["vid_a"]))
+            .select(rem["q_id"], rem["vec_id"], rem["rel_e4"],
+                    (F.lit(lam_num) * rem["rel_e4"]
+                     - F.lit(lam_den_minus) * msim["maxsim_e4"])
+                    .alias("mmr_e4"))
+            .withColumn("rnk", F.row_number().over(pick_w))
+            .filter(F.col("rnk") == 1)
+            .select("q_id", "vec_id", "rel_e4",
+                    F.lit(step).alias("step"), "mmr_e4")
+        )
+        sel = _ckpt(sel.unionByName(pick))
+    return sel.select("q_id", "step", "vec_id", "rel_e4", "mmr_e4").orderBy(
+        "q_id", "step")
+
+
+def mmr_oracle(n_queries: int = 3, n_cand: int = 12, k: int = 5,
+               lam_num: int = 7, lam_den_minus: int = 3) -> str:
+    """DuckDB twin of mmr_topk: identical e4 quantization, greedy steps
+    unrolled as chained CTEs (multiply-referenced ones MATERIALIZED —
+    DuckDB inlines by default and each step reads the selected set twice)."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    rel = cos.format(a="q_emb", b="emb")
+    sim = cos.format(a="a.emb", b="b.emb")
+    steps = []
+    for s in range(2, k + 1):
+        prev = f"sel{s - 1}"
+        steps.append(f"""
+p{s} AS MATERIALIZED (
+  SELECT q_id, vec_id, rel_e4, {s} AS step, mmr_e4 FROM (
+    SELECT c.q_id, c.vec_id, c.rel_e4,
+           {lam_num} * c.rel_e4 - {lam_den_minus} * m.maxsim_e4 AS mmr_e4,
+           row_number() OVER (PARTITION BY c.q_id
+             ORDER BY {lam_num} * c.rel_e4
+                      - {lam_den_minus} * m.maxsim_e4 DESC, c.vec_id) AS rnk
+    FROM cand c
+    ANTI JOIN {prev} sl ON sl.q_id = c.q_id AND sl.vec_id = c.vec_id
+    JOIN (SELECT sp.q_id, sp.vid_a, max(sp.sim_e4) AS maxsim_e4
+          FROM simp sp JOIN {prev} se
+            ON se.q_id = sp.q_id AND se.vec_id = sp.vid_b
+          GROUP BY sp.q_id, sp.vid_a) m
+      ON m.q_id = c.q_id AND m.vid_a = c.vec_id
+  ) WHERE rnk = 1),
+sel{s} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM p{s})""")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, vec_id, emb,
+         CAST(round(({rel}) * 10000) AS BIGINT) AS rel_e4
+  FROM q JOIN e ON q_id <> vec_id
+),
+cande AS MATERIALIZED (
+  SELECT q_id, vec_id, rel_e4, emb FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY rel_e4 DESC, vec_id) AS rnk
+    FROM scored) WHERE rnk <= {n_cand}
+),
+cand AS MATERIALIZED (SELECT q_id, vec_id, rel_e4 FROM cande),
+simp AS MATERIALIZED (
+  SELECT a.q_id, a.vec_id AS vid_a, b.vec_id AS vid_b,
+         CAST(round(({sim}) * 10000) AS BIGINT) AS sim_e4
+  FROM cande a JOIN cande b
+    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT q_id, vec_id, rel_e4, 1 AS step, {lam_num} * rel_e4 AS mmr_e4
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY rel_e4 DESC, vec_id) AS rnk FROM cand)
+  WHERE rnk = 1),{",".join(steps)}
+SELECT q_id, step, vec_id, rel_e4, mmr_e4
+FROM sel{k} ORDER BY q_id, step
+"""

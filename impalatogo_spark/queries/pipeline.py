@@ -6671,3 +6671,23 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+@register(
+    "ann_topk_mmr",
+    oracle=S.mmr_oracle(n_queries=3, n_cand=12, k=5),
+    tags=("similarity", "retrieval"),
+)
+def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 retrieval (Carbonell & Goldstein 1998):
+    exact-cosine top-12 candidates per query (vec_id < 3), then the
+    greedy maximal-marginal-relevance re-rank with lambda = 0.7 — the
+    RAG-serving step that stops near-duplicate passages from crowding a
+    result list. All similarities quantized to e4 integers before the
+    greedy, every argmax vec_id-tie-broken, so the unrolled-CTE DuckDB
+    oracle is value-exact. Candidate stage is the distributed plan
+    (broadcast queries x partitioned corpus); the greedy touches only
+    O(queries x candidates^2) rows. Mechanics + scale notes in
+    operators/similarity.py::mmr_topk."""
+    return S.mmr_topk(_t(spark, sf_dir, "embeddings"), n_queries=3,
+                      n_cand=12, k=5)

@@ -734,3 +734,31 @@ def test_kcore_peel_rounds_converged_on_corpus(spark, sf_dir):
     sh.unpersist()
     pairs.unpersist()
     release_persisted()
+
+
+def test_mmr_selection_scores_non_increasing_and_diverge_from_pure_rel(
+        spark, sf_dir):
+    from impalatogo_spark.operators.similarity import mmr_topk
+    from impalatogo_spark.session import release_persisted, table
+
+    rows = mmr_topk(table(spark, sf_dir, "embeddings"),
+                    n_queries=3, n_cand=12, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(len(v) for v in by_q.values()) == {5}
+    for q, sel in by_q.items():
+        sel.sort(key=lambda r: r.step)
+        # greedy invariant: as the selected set grows every candidate's
+        # redundancy penalty is non-decreasing, so picked scores decrease
+        scores = [r.mmr_e4 for r in sel]
+        assert scores == sorted(scores, reverse=True), (q, scores)
+        # selections are distinct docs
+        assert len({r.vec_id for r in sel}) == 5
+    # MMR must actually rerank: some step-2 pick is NOT the rel-rank-2 doc
+    rel_order = {}
+    for q, sel in by_q.items():
+        rel_rank2 = sorted(by_q[q], key=lambda r: (-r.rel_e4, r.vec_id))[1]
+        rel_order[q] = rel_rank2.vec_id != [r for r in sel if r.step == 2][0].vec_id or None
+    assert any(v for v in rel_order.values())
+    release_persisted()
