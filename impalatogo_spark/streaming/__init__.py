@@ -540,3 +540,88 @@ def streaming_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFram
         return _materialize_for_teardown(out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_QUOTA_CAP_TOKENS = 700
+
+
+@register(
+    "streaming_source_quota",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id % 3, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       cum_tokens <= {_QUOTA_CAP_TOKENS} AS admitted
+FROM c ORDER BY doc_id
+""",
+    tags=("streaming", "stateful", "sampling"),
+)
+def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-source ingest quota, run as REAL Structured Streaming:
+    the corpus arrives as three micro-batches (doc_id % 3, one file per
+    trigger in mtime order) and source_quota_admission keeps one running
+    BIGINT of tokens per source across batches, admitting documents until
+    the source's {cap}-token quota fills — ingest-time admission control,
+    the streaming twin of corpus_source_caps (arrival order replaces
+    quality order). The deterministic batch split + in-batch doc_id order
+    make this custom stateful operator fully ORACLE-CHECKED (a windowed
+    cumulative sum over (doc_id % 3, doc_id)), not rows-only — the
+    exactly-once/state contract is what the gate proves."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from impalatogo_spark.session import table
+    from impalatogo_spark.streaming.events import run_available_now
+    from impalatogo_spark.streaming.ingest import (
+        documents_stream,
+        source_quota_admission,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = _tempfile.mkdtemp(prefix="i2s_stream_quota_")
+    # State-store partition count is frozen from spark.sql.shuffle.partitions
+    # at stream start — a vanilla session's 200 means 200 state store
+    # instances PER MICRO-BATCH for a one-BIGINT-per-source state (measured
+    # 2.2x the whole query's wall). Scope the conf to this stream (each run
+    # uses a fresh checkpoint, so the count may differ run to run) and
+    # restore the session's value — an explicit client SET survives.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(max(8, spark.sparkContext.defaultParallelism)))
+        in_dir = _os.path.join(base, "in")
+        seen: set[str] = set()
+        bumps: dict[str, int] = {}
+        for b in range(3):
+            docs.filter(F.col("doc_id") % 3 == b).coalesce(1) \
+                .write.mode("append").parquet(in_dir)
+            for f in set(_os.listdir(in_dir)) - seen:
+                bumps[f] = 30 * b
+            seen = set(_os.listdir(in_dir))
+        now = _time.time()
+        for f, bump in bumps.items():
+            if f.endswith(".parquet"):
+                _os.utime(_os.path.join(in_dir, f), (now + bump, now + bump))
+        out = run_available_now(
+            spark,
+            source_quota_admission(documents_stream(spark, in_dir),
+                                   _QUOTA_CAP_TOKENS),
+            "append",
+        )
+        # memory sink: rows already live off the tmp dir; safe to delete it
+        return _materialize_for_teardown(out.orderBy("doc_id"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _shutil.rmtree(base, ignore_errors=True)

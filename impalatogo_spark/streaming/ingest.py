@@ -171,3 +171,71 @@ def streaming_snapshot_ingest(stream: DataFrame, table_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source ingest quota (stateful admission control for a data pipeline)
+# ---------------------------------------------------------------------------
+
+def _quota_schemas():
+    from pyspark.sql import types as T
+
+    out = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("cum_tokens", T.LongType()),
+        T.StructField("admitted", T.BooleanType()),
+    ])
+    state = T.StructType([T.StructField("cum", T.LongType())])
+    return out, state
+
+
+def source_quota_admission(stream: DataFrame, cap_tokens: int) -> DataFrame:
+    """Stateful per-source token-quota admission (applyInPandasWithState):
+    every source carries a running token total across micro-batches; a
+    document is admitted iff its source's cumulative total (including the
+    doc) is still within the cap. The ingest-time twin of the batch
+    corpus_source_caps curation — arrival order replaces quality order,
+    because a stream cannot rank against documents it has not seen.
+
+    Deterministic contract (what the oracle mirrors): within a batch the
+    group's rows are processed in doc_id order (the Arrow chunks arrive in
+    arbitrary order — concat + sort first), across batches in file/mtime
+    order. State is ONE BIGINT per source — bounded by the source
+    cardinality, the cheapest stateful operator a pipeline runs."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema, state_schema = _quota_schemas()
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (source,) = key
+        cum = state.get[0] if state.exists else 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values("doc_id")
+        toks = pdf["text"].map(lambda t: len(t.split(" "))).astype("int64")
+        cums = toks.cumsum() + cum
+        state.update((int(cums.iloc[-1]),))
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+            "source": source,
+            "n_tokens": toks.to_numpy(),
+            "cum_tokens": cums.astype("int64").to_numpy(),
+            "admitted": (cums <= cap_tokens).to_numpy(),
+        })
+
+    return (
+        stream.select("doc_id", "source", "text")
+        .groupBy("source")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

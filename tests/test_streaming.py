@@ -391,3 +391,36 @@ def test_streaming_resume_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     b = {(r.doc_id, r.status)
          for r in spark.read.parquet(single).select("doc_id", "status").collect()}
     assert a == b
+
+
+def test_source_quota_prefix_admission_and_conf_restore(spark, sf_dir):
+    """Per source, admission must be a PREFIX of the (batch, doc_id) arrival
+    order (once a source's quota fills nothing later is admitted), the
+    running totals must be consistent, and the query must restore the
+    session's shuffle-partition conf (it scopes a lower value for the
+    state store)."""
+    from impalatogo_spark.queries import all_queries
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = all_queries()["streaming_source_quota"].spark_fn(
+        spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) >= 2
+    admitted_everywhere = rejected_somewhere = False
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.doc_id % 3, r.doc_id))
+        run = 0
+        flags = []
+        for r in rs:
+            run += r.n_tokens
+            assert r.cum_tokens == run, (src, r.doc_id)
+            assert r.admitted == (run <= 700)
+            flags.append(r.admitted)
+        # prefix property: no True after the first False
+        assert flags == sorted(flags, reverse=True), src
+        admitted_everywhere |= flags[0]
+        rejected_somewhere |= not flags[-1]
+    assert admitted_everywhere and rejected_somewhere
