@@ -265,6 +265,7 @@ HEADLINE = [f"tpch_q{i}" for i in range(1, 23)] + [
     "corpus_source_caps",
     "privacy_l_diversity",
     "ann_topk_mmr",
+    "privacy_t_closeness",
 ]
 RUNS = 3
 

@@ -6691,3 +6691,117 @@ def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py::mmr_topk."""
     return S.mmr_topk(_t(spark, sf_dir, "embeddings"), n_queries=3,
                       n_cand=12, k=5)
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+           AS bal_bucket,
+         c_mktsegment AS sens
+  FROM customer
+),
+cell AS (SELECT c_nationkey, bal_bucket, sens, count(*) AS cnt
+         FROM q GROUP BY 1, 2, 3),
+cls AS (SELECT c_nationkey, bal_bucket, count(*) AS n_c
+        FROM q GROUP BY 1, 2),
+gl AS (SELECT sens, count(*) AS g_s FROM q GROUP BY sens),
+tot AS (SELECT count(*) AS n_rows FROM q),
+grid AS (
+  SELECT cls.c_nationkey, cls.bal_bucket, cls.n_c, gl.sens, gl.g_s
+  FROM cls, gl
+),
+term AS (
+  SELECT g.c_nationkey, g.bal_bucket, g.n_c,
+         abs((COALESCE(cell.cnt, 0) * 1000000) // g.n_c
+             - (g.g_s * 1000000) // (SELECT n_rows FROM tot)) AS d
+  FROM grid g LEFT JOIN cell
+    ON cell.c_nationkey = g.c_nationkey
+   AND cell.bal_bucket = g.bal_bucket
+   AND cell.sens = g.sens
+),
+tvd AS (
+  SELECT c_nationkey, bal_bucket, max(n_c) AS n_c,
+         CAST(sum(d) AS BIGINT) // 2 AS tvd_ppm
+  FROM term GROUP BY 1, 2
+),
+ts AS (SELECT unnest([100000, 200000, 300000]) AS t)
+SELECT t,
+       (SELECT count(*) FROM tvd) AS qi_groups,
+       (SELECT max(tvd_ppm) FROM tvd) AS max_tvd_ppm,
+       CAST(sum(CASE WHEN tvd_ppm > t THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_above_t,
+       CAST(sum(CASE WHEN tvd_ppm > t THEN n_c ELSE 0 END) AS BIGINT)
+         AS rows_above_t,
+       (sum(CASE WHEN tvd_ppm > t THEN n_c ELSE 0 END) * 10000)
+         // (SELECT n_rows FROM tot) AS at_risk_bp
+FROM ts, tvd
+GROUP BY t ORDER BY t
+""",
+    tags=("pipeline", "privacy", "validation"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007), completing the
+    release trio with privacy_k_anonymity / privacy_l_diversity: l
+    distinct sensitive values still leak when a class's DISTRIBUTION is
+    skewed vs the population (the 'skewness attack'), so t-closeness
+    bounds the distance between each quasi-identifier class's sensitive
+    distribution and the global one. For the categorical sensitive
+    attribute the earth-mover distance reduces to total-variation =
+    half the L1 gap, computed here in exact integer ppm (per-cell shares
+    floor-divided identically on both engines). The absent-cell terms
+    matter (|0 - global share|), so the class x sensitive GRID is built
+    explicitly — shuffle O(classes x |S|), never O(rows). Reports, for
+    t in {10%, 20%, 30%}: classes above t, rows in them, at-risk basis
+    points, plus the corpus-wide max TVD."""
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000)"
+               " div 100000").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("sens"),
+    )
+    cell = cu.groupBy("c_nationkey", "bal_bucket", "sens").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    cls = cu.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("n_c"))
+    glob = cu.groupBy("sens").agg(F.count(F.lit(1)).alias("g_s"))
+    tot = cu.agg(F.count(F.lit(1)).alias("n_rows"))
+    grid = cls.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    term = (
+        grid.join(cell, ["c_nationkey", "bal_bucket", "sens"], "left")
+        .select(
+            "c_nationkey", "bal_bucket", "n_c",
+            F.expr("abs((coalesce(cnt, 0L) * 1000000) div n_c"
+                   " - (g_s * 1000000) div n_rows)").alias("d"),
+        )
+    )
+    tvd = tracked_persist(
+        term.groupBy("c_nationkey", "bal_bucket")
+        .agg(F.max("n_c").alias("n_c"),
+             F.expr("sum(d) div 2").alias("tvd_ppm"))
+    )
+    summary = tvd.agg(F.count(F.lit(1)).alias("qi_groups"),
+                      F.max("tvd_ppm").alias("max_tvd_ppm"))
+    ts = spark.range(1).select(F.explode(F.array(
+        F.lit(100000), F.lit(200000), F.lit(300000))).alias("t"))
+    per_t = (
+        ts.crossJoin(tvd)
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("tvd_ppm") > F.col("t"), 1).otherwise(0))
+            .cast("long").alias("groups_above_t"),
+            F.sum(F.when(F.col("tvd_ppm") > F.col("t"), F.col("n_c"))
+                  .otherwise(0)).cast("long").alias("rows_above_t"),
+        )
+    )
+    return (
+        per_t.crossJoin(F.broadcast(summary)).crossJoin(F.broadcast(tot))
+        .select(
+            "t", "qi_groups", "max_tvd_ppm", "groups_above_t",
+            "rows_above_t",
+            F.expr("(rows_above_t * 10000) div n_rows").alias("at_risk_bp"),
+        )
+        .orderBy("t")
+    )
