@@ -736,7 +736,12 @@ def contrastive_triplets(corpus: DataFrame, threshold: float = 0.45) -> DataFram
             F.col("id_b").alias("positive_id"),
             F.col("neg_id").alias("negative_id"),
             F.col("cos_sim").alias("pos_sim"),
-            "neg_sim",
+            # + 0.0 collapses IEEE negative zero: round() of a tiny
+            # negative cosine is -0.0 in DuckDB but +0.0 in Spark
+            # (BigDecimal HALF_UP), and the driver's %.6g renders them
+            # '-0' vs '0' — an sf1-exposed hash mismatch (one 50k-corpus
+            # negative sampled a near-orthogonal vector)
+            (F.col("neg_sim") + F.lit(0.0)).alias("neg_sim"),
         )
         .orderBy("anchor_id", "positive_id")
     )
@@ -778,7 +783,7 @@ j AS (
   FROM tt JOIN e a ON a.vec_id = tt.id_a JOIN e n ON n.vec_id = tt.neg_id
 )
 SELECT id_a AS anchor_id, id_b AS positive_id, neg_id AS negative_id,
-       cos_sim AS pos_sim, neg_sim
+       cos_sim AS pos_sim, neg_sim + 0.0 AS neg_sim
 FROM j WHERE neg_sim < cos_sim
 ORDER BY anchor_id, positive_id
 """
