@@ -624,7 +624,10 @@ def components_state_read(spark, path: str,
 
 
 def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5, *,
+                         b_cum: DataFrame | None = None,
+                         b_batch: DataFrame | None = None,
+                         sh_all: DataFrame | None = None) -> DataFrame:
     """Verified near-dup pairs with >= 1 endpoint in the incoming batch:
     batch-internal LSH pairs plus the batch x cumulative bucket join (the
     candidate shape of incremental_dedup_indexed — per-band shuffle is
@@ -633,11 +636,22 @@ def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
     verified pair of the grown corpus exactly once: signatures are
     per-document content hashes, so pair (a, b) collides independently of
     the rest of the corpus and is generated at the stage its LATER member
-    arrives."""
-    b_batch = lsh_band_buckets(minhash_signatures(
-        word_shingles(batch, distinct=False)))
-    b_cum = lsh_band_buckets(minhash_signatures(
-        word_shingles(cumulative, distinct=False)))
+    arrives.
+
+    b_cum / b_batch / sh_all (r07 optimization pass): precomputed band
+    buckets and shingles for the two sides — the SIGNATURE-STORE shape.
+    Signatures are per-document content hashes, so a caller ingesting
+    multiple rounds derives buckets/shingles ONCE for the whole corpus
+    (persisted), filters per round, and passes them in; the default path
+    re-derives the CUMULATIVE side from raw text every round, which is
+    O(corpus) re-hash work per ingest a real system avoids by keeping the
+    signature table. Results are bit-identical either way."""
+    if b_batch is None:
+        b_batch = lsh_band_buckets(minhash_signatures(
+            word_shingles(batch, distinct=False)))
+    if b_cum is None:
+        b_cum = lsh_band_buckets(minhash_signatures(
+            word_shingles(cumulative, distinct=False)))
     within = lsh_candidate_pairs(b_batch)
     cross = (
         b_cum.select(F.col("id").alias("id_a"), "band", "key")
@@ -647,7 +661,8 @@ def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
         .distinct()
     )
     cand = within.union(cross).distinct()
-    sh_all = word_shingles(batch).union(word_shingles(cumulative))
+    if sh_all is None:
+        sh_all = word_shingles(batch).union(word_shingles(cumulative))
     return verify_jaccard(cand, sh_all, threshold).select("id_a", "id_b")
 
 
@@ -812,6 +827,8 @@ def incremental_dedup_indexed(incoming: DataFrame, fp_old: DataFrame,
     """Incremental dedup against a PRECOMPUTED corpus index (the steady-state
     form — see build_corpus_index). Same per-doc status contract as
     incremental_dedup."""
+    from impalatogo_spark.session import tracked_persist
+
     fp_new = incoming.select("doc_id", F.md5("text").alias("fp"))
     exact = (
         fp_new.join(fp_old, "fp", "left_semi")
@@ -820,7 +837,12 @@ def incremental_dedup_indexed(incoming: DataFrame, fp_old: DataFrame,
     surv = fp_new.join(fp_old, "fp", "left_anti").select("doc_id")
     surv_docs = incoming.join(surv, "doc_id", "left_semi")
 
-    b_new = lsh_band_buckets(minhash_signatures(word_shingles(surv_docs, distinct=False)))
+    # ONE persisted shingle derivation for the surviving batch feeds both
+    # the signature pass and the verify union (min() over the distinct set
+    # equals min() over the multiset, and the anti-join + scan + explode
+    # upstream would otherwise run once per consumer — r07 pass)
+    sh_new = tracked_persist(word_shingles(surv_docs))
+    b_new = lsh_band_buckets(minhash_signatures(sh_new))
     cand = (
         b_new.select(F.col("id").alias("id_a"), "band", "key")
         .join(b_old.select(F.col("id").alias("id_b"), "band", "key"), ["band", "key"])
@@ -828,7 +850,7 @@ def incremental_dedup_indexed(incoming: DataFrame, fp_old: DataFrame,
         .distinct()
     )
     # disjoint id spaces, so one unioned shingle relation serves both sides
-    sh_all = word_shingles(surv_docs).union(sh_old)
+    sh_all = sh_new.union(sh_old)
     near = (
         verify_jaccard(cand, sh_all, threshold)
         .select(F.col("id_a").alias("doc_id"))
@@ -860,7 +882,15 @@ def incremental_dedup(incoming: DataFrame, corpus: DataFrame,
     inline (the oracle must see one query); the steady-state form joins the
     PERSISTED index instead — build_corpus_index + incremental_dedup_indexed,
     equivalence-tested in tests/test_scale.py."""
-    fp_old, b_old, sh_old = build_corpus_index(corpus)
+    from impalatogo_spark.session import tracked_persist
+
+    # corpus-side signature-store shape (r07 pass): one persisted shingle
+    # frame feeds the bucket derivation AND the verify union — signatures
+    # are identical off the distinct set (min is duplicate-insensitive),
+    # and the corpus scan + explode runs once instead of once per consumer
+    fp_old = corpus.select(F.md5("text").alias("fp")).distinct()
+    sh_old = tracked_persist(word_shingles(corpus))
+    b_old = lsh_band_buckets(minhash_signatures(sh_old))
     return incremental_dedup_indexed(incoming, fp_old, b_old, sh_old, threshold)
 
 

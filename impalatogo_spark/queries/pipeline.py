@@ -59,14 +59,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. Deterministic (md5) so the DuckDB oracle reproduces it
     exactly. Scale: one groupBy for signatures, bucketed join for candidates
     — never an all-pairs product."""
-    # signatures: NON-distinct shingles (min is duplicate-insensitive) ->
-    # no dedup shuffle before the signature groupBy. verify: distinct set,
-    # persisted (used on both sides of the intersection join). At 100 TB use
-    # DISK_ONLY or a checkpointed table instead of memory cache.
+    # ONE persisted shingle derivation feeds BOTH the signature pass and
+    # the verify joins: min() over the distinct shingle set equals min()
+    # over the multiset (duplicate-insensitive), so signatures off the
+    # persisted distinct frame are bit-identical while the scan + split +
+    # explode pipeline runs once instead of twice (r07 optimization pass).
+    # At 100 TB use DISK_ONLY or a checkpointed table instead of memory
+    # cache.
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     return D.verify_jaccard(cand, sh, threshold=0.5)
 
 
@@ -914,9 +916,10 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms agree on every (node, component-min) assignment, not just on
     partition counts (the pytest equivalence check's weaker form)."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
     return D.connected_components_star(pairs)
 
@@ -951,9 +954,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes the same fixpoint with a recursive CTE, so this
     iterative/graph operator still gets a full value-checked gate."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
     return D.connected_components(pairs)
 
@@ -983,21 +987,32 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair is generated exactly once, at the round its later member
     arrives."""
     docs = _t(spark, sf_dir, "documents")
-    b0 = docs.filter(F.col("doc_id") % 4 <= 1)
-    b1 = docs.filter(F.col("doc_id") % 4 == 2)
-    b2 = docs.filter(F.col("doc_id") % 4 == 3)
-    cand0 = D.lsh_candidate_pairs(
-        D.lsh_band_buckets(D.minhash_signatures(
-            D.word_shingles(b0, distinct=False))))
-    sh0 = tracked_persist(D.word_shingles(b0))
-    pairs0 = D.verify_jaccard(cand0, sh0, threshold=0.5).select(
-        "id_a", "id_b")
+    # SIGNATURE STORE (r07 optimization pass): buckets and shingles are
+    # per-document content hashes, so derive them ONCE over the full
+    # corpus (persisted) and FILTER per ingest round — the previous form
+    # re-derived the cumulative side from raw text every round (b0
+    # shingled+hashed 3x, b1 2x; 26.5 s -> the bucket/shingle pipelines
+    # run once). Bit-identical: filter(buckets(docs)) == buckets(batch),
+    # which is exactly why a real incremental system persists the
+    # signature table instead of re-hashing the grown corpus per ingest.
+    # minhash over the DISTINCT shingle set equals minhash over the
+    # multiset (min is duplicate-insensitive), so one shingle frame
+    # serves both the signature and the verify paths.
+    mod = F.col("id") % 4
+    sh = tracked_persist(D.word_shingles(docs))
+    bkts = tracked_persist(D.lsh_band_buckets(D.minhash_signatures(sh)))
+    cand0 = D.lsh_candidate_pairs(bkts.filter(mod <= 1))
+    pairs0 = D.verify_jaccard(cand0, sh.filter(mod <= 1),
+                              threshold=0.5).select("id_a", "id_b")
     state = D.connected_components(pairs0)
     state = D.incremental_components_update(
-        state, tracked_persist(D.batch_incident_pairs(b0, b1)))
+        state, tracked_persist(D.batch_incident_pairs(
+            None, None, b_cum=bkts.filter(mod <= 1),
+            b_batch=bkts.filter(mod == 2), sh_all=sh.filter(mod <= 2))))
     state = D.incremental_components_update(
-        state, tracked_persist(
-            D.batch_incident_pairs(b0.unionByName(b1), b2)))
+        state, tracked_persist(D.batch_incident_pairs(
+            None, None, b_cum=bkts.filter(mod <= 2),
+            b_batch=bkts.filter(mod == 3), sh_all=sh)))
     return state
 
 
@@ -1046,10 +1061,11 @@ def corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(
-        D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(
+        D.lsh_band_buckets(D.minhash_signatures(sh)))
     pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
     comp = tracked_persist(D.connected_components(pairs))
     q = docs.select(
@@ -1187,9 +1203,10 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break as a packed-struct max — no per-cluster sort window). The
     'which rows do I actually drop' step a curation pipeline ends with."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
     return D.near_dup_survivors(docs, D.connected_components(pairs))
 
@@ -2014,9 +2031,10 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer e4 sum (jaccard is already 4dp-rounded, so *10000 re-rounds to
     an exact BIGINT — no avg() half-boundary between engines)."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     pairs = D.verify_jaccard(cand, sh, threshold=0.5)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
@@ -2384,9 +2402,10 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-set-sized, tiny next to the corpus). Both inputs are the existing
     banded scale pipelines; the oracle composes their existing twins."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     m = D.verify_jaccard(cand, sh, threshold=0.5).select("id_a", "id_b")
     s = D.simhash_pairs_banded(D.simhash(docs), max_hamming=3).select(
         F.col("id_a").alias("s_a"), F.col("id_b").alias("s_b")
@@ -2722,9 +2741,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     run. Reuses the banded candidate generator; one extra integer groupBy
     over the pair set."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("id").alias("id_a"), "g")
     sb = sh.select(F.col("id").alias("id_b"), "g")
@@ -2975,9 +2995,10 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (singletons are the corpus remainder, derivable by count difference —
     identical convention on both engine and oracle sides)."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     pairs = tracked_persist(D.verify_jaccard(cand, sh, threshold=0.5))
     cc = D.connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(
@@ -3414,10 +3435,11 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the pair set is the banded LSH output (never all-pairs); the
     split map is a content-free hash projection joined on doc_id."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(
-        D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(
+        D.lsh_band_buckets(D.minhash_signatures(sh)))
     pairs = D.verify_jaccard(cand, sh, threshold=0.5)
     bucket = (
         F.conv(F.substring(
@@ -6419,9 +6441,10 @@ def dedup_template_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes in operators/dedup.py::kcore_peel. Oracle unrolls the identical
     rounds as chained CTEs, so the gate is value-exact."""
     docs = _t(spark, sf_dir, "documents")
-    sig_sh = D.word_shingles(docs, distinct=False)
-    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sig_sh)))
+    # one persisted shingle frame for signatures AND verify (min() is
+    # duplicate-insensitive, so the distinct set yields identical sigs)
     sh = tracked_persist(D.word_shingles(docs))
+    cand = D.lsh_candidate_pairs(D.lsh_band_buckets(D.minhash_signatures(sh)))
     pairs = D.verify_jaccard(cand, sh, threshold=0.5)
     return D.kcore_peel(pairs, k=2, rounds=3)
 

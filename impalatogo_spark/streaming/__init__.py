@@ -491,7 +491,7 @@ def streaming_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
     import tempfile
 
-    from impalatogo_spark.session import table
+    from impalatogo_spark.session import table, tracked_persist
     from impalatogo_spark.streaming.ingest import documents_stream
 
     docs = table(spark, sf_dir, "documents")
@@ -508,10 +508,13 @@ def streaming_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFram
 
         state = os.path.join(base, "state")
         cum_dir = os.path.join(base, "cum")
+        # one persisted shingle frame for signatures AND verify (min() is
+        # duplicate-insensitive, so the distinct set yields identical sigs)
+        sh0 = tracked_persist(_D.word_shingles(corpus0))
         cand0 = _D.lsh_candidate_pairs(_D.lsh_band_buckets(
-            _D.minhash_signatures(_D.word_shingles(corpus0, distinct=False))))
+            _D.minhash_signatures(sh0)))
         pairs0 = _D.verify_jaccard(
-            cand0, _D.word_shingles(corpus0), 0.5).select("id_a", "id_b")
+            cand0, sh0, 0.5).select("id_a", "id_b")
         _D.components_state_write(
             spark, state, _D.connected_components(pairs0), note="corpus")
         corpus0.write.parquet(cum_dir)
