@@ -253,13 +253,21 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sees its own filtered rows, and the query watermark is the
             # MIN across nodes — a purchase-only sentinel leaves the click
             # watermark (and therefore the join eviction) stuck
+            # parallelize(rows, 1): one slice up front — a 2-row
+            # createDataFrame().coalesce(1) makes the single write task
+            # drain all 32 (mostly empty) pickled python slices
+            # SEQUENTIALLY, one worker round-trip each (~4 s measured
+            # for the same shape in build_ivf_index)
             spark.createDataFrame(
-                [(int(1 << 60) + 2 * i, mx + datetime.timedelta(hours=hours),
-                  -1, "purchase"),
-                 (int(1 << 60) + 2 * i + 1, mx + datetime.timedelta(hours=hours),
-                  -1, "click")],
+                spark.sparkContext.parallelize(
+                    [(int(1 << 60) + 2 * i,
+                      mx + datetime.timedelta(hours=hours), -1, "purchase"),
+                     (int(1 << 60) + 2 * i + 1,
+                      mx + datetime.timedelta(hours=hours), -1, "click")],
+                    1,
+                ),
                 "event_id long, ts timestamp, user_id long, event_type string",
-            ).coalesce(1).write.mode("append").parquet(in_dir)
+            ).write.mode("append").parquet(in_dir)
             for f in set(_os.listdir(in_dir)) - seen:
                 bumps[f] = 30 * i
             seen = set(_os.listdir(in_dir))
