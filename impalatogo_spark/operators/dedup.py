@@ -379,13 +379,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     augmented with self-loops up front, so min over the CLOSED neighborhood
     replaces the usual propagate-then-least-with-own-label second join —
     two shuffles per round instead of three, and the static (self-looped)
-    edge side is persisted once and reused every round. Convergence is a
-    scalar aggregate over the just-checkpointed labels, not a join against
-    the previous round: labels only ever DECREASE, so an unchanged
-    sum(label) (decimal — no overflow at any node count) means fixpoint;
-    non-numeric ids fall back to a changed-row join probe. Each round's
-    labels are localCheckpoint-ed: iterative plans otherwise DOUBLE in size
-    per round, and an 11-round chain already produces a 2 GB plan string —
+    edge side is persisted once and reused every round. Round 1 is FUSED
+    with initialization (r07): initial labels are the identity, so the
+    first round is a single min(dst)-per-src aggregate over the edges —
+    no identity-label frame, no first join. Convergence is a scalar
+    aggregate over the round's labels, not a join against the previous
+    round: labels only ever DECREASE, so an unchanged sum(label) (decimal —
+    no overflow at any node count) means fixpoint; non-numeric ids fall
+    back to a changed-row join probe. Each round's labels are
+    localCheckpoint-ed LAZILY and materialized by that same convergence
+    aggregate — one job per round, and iterative plans otherwise DOUBLE in
+    size per round (an 11-round chain already produces a 2 GB plan string):
     lineage truncation is mandatory for any iterative DataFrame algorithm,
     not an optimization. At much larger graph scale, swap the loop body for
     the large-star/small-star transforms (Kiveris et al.) — same join/agg
@@ -399,11 +403,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = (
         sym.union(sym.select("src", F.col("src").alias("dst"))).distinct().persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .transform(_ckpt)
+    # ROUND 1 FUSED WITH INITIALIZATION (r07): the initial labels are the
+    # identity, so round 1's min over the closed neighborhood is just
+    # min(dst) per src — the separate identity-label frame (a distinct
+    # shuffle + eager checkpoint + sum probe) and the first join disappear.
+    # Per round, the checkpoint is LAZY and the convergence probe's
+    # aggregate materializes it: one job per round instead of two. The
+    # round-1 probe reads the convergence baseline sum(initial label) ==
+    # sum(node) out of the same aggregate.
+    labels = _ckpt(
+        edges.groupBy("src").agg(F.min("dst").alias("label"))
+        .withColumnRenamed("src", "node"),
+        eager=False,
     )
     numeric = dict(labels.dtypes)["label"] in (
         "tinyint", "smallint", "int", "bigint", "float", "double",
@@ -412,14 +423,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     def _label_sum(lb: DataFrame):
         return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_sum = _label_sum(labels) if numeric else None
-    for _ in range(max_iter):
-        new_labels = (
+    if numeric:
+        node_sum, prev_sum = labels.agg(
+            F.sum(F.col("node").cast("decimal(38,0)")),
+            F.sum(F.col("label").cast("decimal(38,0)")),
+        ).collect()[0]
+        done = prev_sum == node_sum
+    else:
+        # identity comparison needs no join: round-1 label vs own node id
+        done = labels.filter(F.col("label") != F.col("node")).limit(1).count() == 0
+    for _ in range(max_iter - 1):
+        if done:
+            break
+        new_labels = _ckpt(
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
-            .withColumnRenamed("src", "node")
-            .transform(_ckpt)
+            .withColumnRenamed("src", "node"),
+            eager=False,
         )
         if numeric:
             new_sum = _label_sum(new_labels)
@@ -435,8 +456,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 == 0
             )
         labels = new_labels
-        if done:
-            break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -544,8 +563,10 @@ def incremental_components_update(state: DataFrame,
         .distinct()
     )
     # endpoint -> existing cluster (broadcast the O(batch) endpoint set;
-    # the corpus-sized state scans map-side, output is O(batch))
-    lookup = _ckpt(state.join(F.broadcast(ids), "doc_id"))
+    # the corpus-sized state scans map-side, output is O(batch)). The
+    # checkpoint is lazy: the first consumer (the contracted graph's
+    # broadcast build) materializes it — no separate eager job.
+    lookup = _ckpt(state.join(F.broadcast(ids), "doc_id"), eager=False)
     la = lookup.select(F.col("doc_id").alias("id_a"),
                        F.col("cluster_id").alias("ca"))
     lb = lookup.select(F.col("doc_id").alias("id_b"),
@@ -565,7 +586,7 @@ def incremental_components_update(state: DataFrame,
         return state.limit(0) if return_delta else state
     reps = lookup.select(F.col("cluster_id").alias("node")).distinct()
     relabel = _ckpt(tiny.join(reps, "node")
-                    .withColumnRenamed("node", "cluster_id"))
+                    .withColumnRenamed("node", "cluster_id"), eager=False)
     fresh = (
         tiny.join(reps, "node", "left_anti")
         .select(F.col("node").alias("doc_id"),

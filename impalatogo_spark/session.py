@@ -157,20 +157,27 @@ _TRACKED_PERSISTS: list[DataFrame] = []
 _TRACKED_CHECKPOINT_IDS: set[int] = set()
 
 
-def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
-    """localCheckpoint(eager=True) with block accounting. The checkpoint's
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint with block accounting. The checkpoint's
     blocks live in the BlockManager (not the SQL cache manager), so
     release_persisted() can't reach them via df.unpersist(); recording the
     RDD ids the checkpoint registered lets the sweep drop exactly OUR
     blocks and nothing else — a long-lived cache created outside the
     tracked helpers is never touched (round-2 ADVICE: the previous global
-    getPersistentRDDs sweep killed those too)."""
+    getPersistentRDDs sweep killed those too).
+
+    eager=False registers the checkpoint lazily: the FIRST action over the
+    frame materializes it (Spark fills any partitions the action skipped at
+    end-of-job), so a caller that immediately follows the checkpoint with a
+    full-frame action (the connected-components convergence probe) pays ONE
+    job instead of two. The RDD's persist registration still happens at
+    call time, so the id bookkeeping below is unaffected."""
     spark = df.sparkSession
     try:
         before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     except Exception:
         before = set()
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     try:
         for rid in spark.sparkContext._jsc.getPersistentRDDs().keys():
             if rid not in before:

@@ -140,6 +140,24 @@ def test_connected_components_chain_diameter(spark):
     assert out.count() == 12
 
 
+def test_connected_components_string_ids(spark):
+    # non-numeric labels take the join/filter convergence probes, including
+    # the fused round-1 identity probe (r07): cover a graph that converges
+    # IN round 1 (star centered on the min id) and one that needs several
+    # more rounds (a path, propagated via lexicographic min)
+    star = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r.cluster_id for r in D.connected_components(star).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a"}
+    path = spark.createDataFrame(
+        [(chr(ord("a") + i), chr(ord("a") + i + 1)) for i in range(5)],
+        ["id_a", "id_b"],
+    )
+    out = {r.doc_id: r.cluster_id for r in D.connected_components(path).collect()}
+    assert out == {chr(ord("a") + i): "a" for i in range(6)}
+
+
 def test_sign_band_pairs_subset_of_exact_and_nonvacuous(spark, sf_dir):
     """The banded embedding near-dup path (the registered scale plan) must
     return a SUBSET of the all-pairs exact result (precision 1.0 — verify
