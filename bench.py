@@ -332,22 +332,46 @@ def main() -> None:
     with open(results_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_median_total",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": sf_val,
-                "min_total": min_total,
-                "loadavg_1m": [l["start_1m"] for l in loadavg],
-                "slowest5": {k: v for k, v in slowest},
-                "queries_file": "bench_results.json",
-            }
-        )
-    )
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    # Driver per-query channel (r07 verdict items 3/4). Tail window
+    # MEASURED from the driver's own artifacts: it parses the LAST 2000
+    # chars of output (BENCH_r01: a 1905-char final line parsed;
+    # BENCH_r02: a ~5.5 kB line came back `parsed: null` with the line's
+    # front truncated out of the recorded 2000-char tail). The full
+    # 218-entry map is ~5.5 kB and therefore can NEVER parse from the
+    # tail, so three channels, most complete first:
+    #  * bench_results.json — full medians + minima (committed artifact);
+    #  * a dedicated full-map stdout line (below) for any consumer that
+    #    keeps the whole stream — harmless in the tail, where its
+    #    truncated front can't shadow the final line;
+    #  * the final contract line inlines the largest SLOWEST-FIRST prefix
+    #    of the per-query map that keeps the line inside the window —
+    #    suite time concentrates in the slow tail, so these entries carry
+    #    nearly all of the per-query round-over-round signal.
+    print(json.dumps({"metric": "per_query_full", "unit": "sec",
+                      "queries": timings, "queries_min": minimums}))
+    base = {
+        "metric": "headline_suite_median_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "min_total": min_total,
+        "loadavg_1m": [l["start_1m"] for l in loadavg],
+        "slowest5": {k: v for k, v in slowest},
+        "queries_file": "bench_results.json",
+        "queries_omitted": 0,
+    }
+    qmap: dict[str, float] = {}
+    for k, v in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        qmap[k] = round(v, 2)
+        base["queries_omitted"] = len(timings) - len(qmap)
+        if len(json.dumps({**base, "queries": qmap},
+                          separators=(",", ":"))) > 1900:
+            del qmap[k]
+            base["queries_omitted"] = len(timings) - len(qmap)
+            break
+    print(json.dumps({**base, "queries": qmap}, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -395,6 +395,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the large-star/small-star transforms (Kiveris et al.) — same join/agg
     building blocks, fewer rounds on skewed high-degree components.
     """
+    if max_iter < 1:
+        # the fused init+round-1 aggregate always runs, so "0 rounds" has
+        # no meaning here — reject rather than silently doing one round
+        raise ValueError("connected_components: max_iter must be >= 1")
     sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
@@ -644,7 +648,8 @@ def components_state_read(spark, path: str,
     )
 
 
-def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
+def batch_incident_pairs(cumulative: DataFrame | None,
+                         batch: DataFrame | None,
                          threshold: float = 0.5, *,
                          b_cum: DataFrame | None = None,
                          b_batch: DataFrame | None = None,
@@ -660,19 +665,41 @@ def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
     arrives.
 
     b_cum / b_batch / sh_all (r07 optimization pass): precomputed band
-    buckets and shingles for the two sides — the SIGNATURE-STORE shape.
+    buckets and shingles for the two sides — the SIGNATURE-STORE shape;
+    pass EITHER both raw frames or the full precomputed trio (a partial
+    kwarg set with None raw frames is rejected up front).
     Signatures are per-document content hashes, so a caller ingesting
     multiple rounds derives buckets/shingles ONCE for the whole corpus
     (persisted), filters per round, and passes them in; the default path
     re-derives the CUMULATIVE side from raw text every round, which is
     O(corpus) re-hash work per ingest a real system avoids by keeping the
     signature table. Results are bit-identical either way."""
+    if (cumulative is None or batch is None) and (
+            b_cum is None or b_batch is None or sh_all is None):
+        raise ValueError(
+            "batch_incident_pairs: pass both raw frames (cumulative, batch) "
+            "or the full precomputed trio (b_cum, b_batch, sh_all)")
     if b_batch is None:
         b_batch = lsh_band_buckets(minhash_signatures(
             word_shingles(batch, distinct=False)))
     if b_cum is None:
         b_cum = lsh_band_buckets(minhash_signatures(
             word_shingles(cumulative, distinct=False)))
+    cand = batch_incident_candidates(b_cum, b_batch)
+    if sh_all is None:
+        sh_all = word_shingles(batch).union(word_shingles(cumulative))
+    return verify_jaccard(cand, sh_all, threshold).select("id_a", "id_b")
+
+
+def batch_incident_candidates(b_cum: DataFrame,
+                              b_batch: DataFrame) -> DataFrame:
+    """Candidate (id_a, id_b) pairs with >= 1 endpoint in the batch, from
+    precomputed band buckets: batch-internal LSH pairs plus the
+    batch x cumulative bucket join. Split out of batch_incident_pairs (r08)
+    so a MULTI-batch ingest can union every batch's candidates and verify
+    them in ONE Jaccard pass — candidates are pure content-hash products
+    (bucket keys are per-document signatures), so they are independent of
+    any clustering state and can all be generated up front."""
     within = lsh_candidate_pairs(b_batch)
     cross = (
         b_cum.select(F.col("id").alias("id_a"), "band", "key")
@@ -681,10 +708,7 @@ def batch_incident_pairs(cumulative: DataFrame, batch: DataFrame,
         .select("id_a", "id_b")
         .distinct()
     )
-    cand = within.union(cross).distinct()
-    if sh_all is None:
-        sh_all = word_shingles(batch).union(word_shingles(cumulative))
-    return verify_jaccard(cand, sh_all, threshold).select("id_a", "id_b")
+    return within.union(cross).distinct()
 
 
 def edit_distance_pairs(docs: DataFrame, k: int = 8, q: int = 4) -> DataFrame:

@@ -901,7 +901,11 @@ def bpe_merges(df: DataFrame, text_col: str = "text",
     reason BPE trains on word frequencies)."""
     wf = bpe_word_freqs(df, text_col)
     cur = wf.select("w", "freq", F.split("w", "").alias("syms"))
-    cur = cur.transform(_ckpt)
+    # LAZY checkpoints (r08, the CC one-job-per-round cut): the next
+    # round's pair-count argmax scans the full symbol table anyway, so it
+    # materializes the checkpoint as a side effect — one job per round
+    # instead of an eager checkpoint job PLUS the argmax job.
+    cur = cur.transform(lambda d: _ckpt(d, eager=False))
     merges: list[tuple[int, str, str, int]] = []
     for r in range(n_merges):
         best = (
@@ -914,7 +918,7 @@ def bpe_merges(df: DataFrame, text_col: str = "text",
         merges.append((r, best.lhs, best.rhs, best.pair_count))
         cur = cur.select(
             "w", "freq", _bpe_apply_merge(F.col("syms"), best.lhs, best.rhs).alias("syms")
-        ).transform(_ckpt)
+        ).transform(lambda d: _ckpt(d, eager=False))
     return merges
 
 

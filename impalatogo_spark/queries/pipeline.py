@@ -613,7 +613,7 @@ sessions AS (
              AS session_id
   FROM marked
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        round(sum(value), 4) AS session_value,
        CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
@@ -650,7 +650,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events
 GROUP BY event_type
@@ -972,10 +973,11 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus arrives in THREE ingest rounds (doc_id % 4: {0,1} = the
     initial corpus, 2 = batch one, 3 = batch two). Round 0 clusters the
     initial corpus once; each later batch contributes only its INCIDENT
-    verified pairs (batch-internal LSH + batch x cumulative bucket join)
-    and is merged into the persisted (doc_id, cluster_id) state by
+    verified pairs (batch-internal LSH + batch x cumulative bucket join),
+    and the two batches are merged into the persisted (doc_id, cluster_id)
+    state by ONE batched call to
     operators/dedup.py::incremental_components_update — connected
-    components run on the O(batch) CONTRACTED graph, touched components
+    components run on the O(batches) CONTRACTED graph, touched components
     relabel via a broadcast map, untouched components never shuffle.
 
     The oracle is the FULL RECOMPUTE over the whole corpus (the exact
@@ -1001,18 +1003,37 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod = F.col("id") % 4
     sh = tracked_persist(D.word_shingles(docs))
     bkts = tracked_persist(D.lsh_band_buckets(D.minhash_signatures(sh)))
+    # ONE verify pass for the whole query (r08): candidates are pure
+    # content-hash products (bucket keys are per-document signatures), so
+    # round 0's LSH pairs and BOTH ingest batches' incident candidates are
+    # state-independent and can be generated up front — the three Jaccard
+    # verify joins over the persisted shingle frame collapse to one.
+    # Verifying against the FULL shingle frame is value-identical (the
+    # verify join only touches a candidate's own endpoint ids), and the
+    # per-round pair sets come back out as endpoint filters: a pair
+    # belongs to the round of its LATER member, so round-0 pairs are
+    # exactly those with both endpoints in {0,1} and the ingest pairs are
+    # the rest.
     cand0 = D.lsh_candidate_pairs(bkts.filter(mod <= 1))
-    pairs0 = D.verify_jaccard(cand0, sh.filter(mod <= 1),
-                              threshold=0.5).select("id_a", "id_b")
+    cand2 = D.batch_incident_candidates(bkts.filter(mod <= 1),
+                                        bkts.filter(mod == 2))
+    cand3 = D.batch_incident_candidates(bkts.filter(mod <= 2),
+                                        bkts.filter(mod == 3))
+    verified = tracked_persist(
+        D.verify_jaccard(cand0.union(cand2).union(cand3).distinct(), sh,
+                         threshold=0.5).select("id_a", "id_b"))
+    pairs0 = verified.filter(
+        (F.col("id_a") % 4 <= 1) & (F.col("id_b") % 4 <= 1))
     state = D.connected_components(pairs0)
+    # BATCHED two-round contraction (r07 verdict #3): connected components
+    # over an edge-set union are order-independent (union-find merges are
+    # associative/commutative), so applying both batches' incident pairs
+    # in ONE contracted update equals the two sequential updates —
+    # equivalence pinned by tests/test_similarity.py — at half the
+    # per-ingest fixed cost (one contracted CC + one relabel, not two).
     state = D.incremental_components_update(
-        state, tracked_persist(D.batch_incident_pairs(
-            None, None, b_cum=bkts.filter(mod <= 1),
-            b_batch=bkts.filter(mod == 2), sh_all=sh.filter(mod <= 2))))
-    state = D.incremental_components_update(
-        state, tracked_persist(D.batch_incident_pairs(
-            None, None, b_cum=bkts.filter(mod <= 2),
-            b_batch=bkts.filter(mod == 3), sh_all=sh)))
+        state, verified.filter(
+            (F.col("id_a") % 4 >= 2) | (F.col("id_b") % 4 >= 2)))
     return state
 
 
@@ -1115,8 +1136,9 @@ ppm AS (
          coalesce(batch.c, 0) * 1000000 // tot.tb AS batch_ppm
   FROM corpus FULL OUTER JOIN batch ON corpus.w = batch.w, tot
 )
-SELECT word, corpus_ppm, batch_ppm,
-       abs(corpus_ppm - batch_ppm) AS drift_ppm
+SELECT word, CAST(corpus_ppm AS BIGINT) AS corpus_ppm,
+       CAST(batch_ppm AS BIGINT) AS batch_ppm,
+       CAST(abs(corpus_ppm - batch_ppm) AS BIGINT) AS drift_ppm
 FROM ppm
 ORDER BY drift_ppm DESC, word
 """,
@@ -1696,7 +1718,7 @@ c AS (
                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM t
 )
-SELECT doc_id, source, n_tokens, cum_tokens
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
 """,
     tags=("pipeline", "sampling"),
@@ -5506,8 +5528,10 @@ def sample_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
        round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
              / count(*) / 100, 4) AS avg_qty
 FROM lineitem WHERE l_orderkey % 100 <> 0
@@ -5798,8 +5822,8 @@ SELECT k,
          AS groups_below_k,
        CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
          AS rows_below_k,
-       (sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 10000)
-         // (SELECT n_rows FROM tot) AS at_risk_bp
+       CAST((sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 10000)
+            // (SELECT n_rows FROM tot) AS BIGINT) AS at_risk_bp
 FROM ks, grp
 GROUP BY k ORDER BY k
 """,
@@ -5978,8 +6002,8 @@ concatp AS (
 )
 SELECT strategy, CAST(sequences AS BIGINT) AS sequences,
        CAST(padding_tokens AS BIGINT) AS padding_tokens,
-       (padding_tokens * 10000)
-         // (sequences * {_PACK_SEQ}) AS waste_bp
+       CAST((padding_tokens * 10000)
+            // (sequences * {_PACK_SEQ}) AS BIGINT) AS waste_bp
 FROM (SELECT * FROM naive UNION ALL SELECT * FROM bucketed
       UNION ALL SELECT * FROM concatp)
 ORDER BY strategy
@@ -6257,8 +6281,8 @@ SELECT k,
        CAST((SELECT n_types FROM tot) AS BIGINT) AS vocab_types,
        CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT)
          AS covered_occurrences,
-       (sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) * 10000)
-         // (SELECT n_occ FROM tot) AS coverage_bp
+       CAST((sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) * 10000)
+            // (SELECT n_occ FROM tot) AS BIGINT) AS coverage_bp
 FROM ks, ranked
 GROUP BY k ORDER BY k
 """,
@@ -6353,7 +6377,7 @@ hits AS (
 )
 SELECT is_member, count(*) AS probes,
        CAST(sum(maybe) AS BIGINT) AS positives,
-       (sum(maybe) * 10000) // count(*) AS positive_bp
+       CAST((sum(maybe) * 10000) // count(*) AS BIGINT) AS positive_bp
 FROM hits GROUP BY is_member ORDER BY is_member
 """,
     tags=("sketch", "scale"),
@@ -6642,8 +6666,8 @@ SELECT l,
          AS groups_below_l,
        CAST(sum(CASE WHEN l_div < l THEN sz ELSE 0 END) AS BIGINT)
          AS rows_below_l,
-       (sum(CASE WHEN l_div < l THEN sz ELSE 0 END) * 10000)
-         // (SELECT n_rows FROM tot) AS at_risk_bp
+       CAST((sum(CASE WHEN l_div < l THEN sz ELSE 0 END) * 10000)
+            // (SELECT n_rows FROM tot) AS BIGINT) AS at_risk_bp
 FROM ls, grp
 GROUP BY l ORDER BY l
 """,
@@ -6758,8 +6782,8 @@ SELECT t,
          AS groups_above_t,
        CAST(sum(CASE WHEN tvd_ppm > t THEN n_c ELSE 0 END) AS BIGINT)
          AS rows_above_t,
-       (sum(CASE WHEN tvd_ppm > t THEN n_c ELSE 0 END) * 10000)
-         // (SELECT n_rows FROM tot) AS at_risk_bp
+       CAST((sum(CASE WHEN tvd_ppm > t THEN n_c ELSE 0 END) * 10000)
+            // (SELECT n_rows FROM tot) AS BIGINT) AS at_risk_bp
 FROM ts, tvd
 GROUP BY t ORDER BY t
 """,

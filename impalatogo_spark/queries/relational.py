@@ -627,7 +627,8 @@ def agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inline_view_limit",
     oracle="""
 SELECT v.o_custkey, count(*) AS n,
-       sum(CAST(round(v.o_totalprice * 100) AS BIGINT)) AS tp_cents
+       CAST(sum(CAST(round(v.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS tp_cents
 FROM (SELECT o_custkey, o_totalprice
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) v
 GROUP BY v.o_custkey
@@ -665,7 +666,8 @@ def inline_view_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_skew_salted",
     oracle="""
 SELECT o_orderpriority, count(*) AS n,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_quantity >= 45
 GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -807,7 +809,7 @@ WITH big_orders AS (
   SELECT o_custkey, count(*) AS n FROM orders
   WHERE o_totalprice > 50000 GROUP BY o_custkey
 )
-SELECT c_mktsegment, sum(n) AS big_order_cnt
+SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS big_order_cnt
 FROM customer JOIN big_orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
@@ -1526,12 +1528,18 @@ def perf_agg_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "perf_string_like",
     oracle="""
-SELECT sum(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END)  AS pre,
-       sum(CASE WHEN p_name LIKE '%widget' THEN 1 ELSE 0 END) AS suf,
-       sum(CASE WHEN p_name LIKE '%ol%' THEN 1 ELSE 0 END)    AS infix,
-       sum(CASE WHEN p_name LIKE 's%t' THEN 1 ELSE 0 END)     AS bound,
-       sum(CASE WHEN p_name = 'blue rod' THEN 1 ELSE 0 END)   AS eq,
-       sum(CASE WHEN upper(p_name) = 'BLUE ROD' THEN 1 ELSE 0 END) AS ueq
+SELECT CAST(sum(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS pre,
+       CAST(sum(CASE WHEN p_name LIKE '%widget' THEN 1 ELSE 0 END)
+            AS BIGINT) AS suf,
+       CAST(sum(CASE WHEN p_name LIKE '%ol%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS infix,
+       CAST(sum(CASE WHEN p_name LIKE 's%t' THEN 1 ELSE 0 END)
+            AS BIGINT) AS bound,
+       CAST(sum(CASE WHEN p_name = 'blue rod' THEN 1 ELSE 0 END)
+            AS BIGINT) AS eq,
+       CAST(sum(CASE WHEN upper(p_name) = 'BLUE ROD' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ueq
 FROM part
 """,
     tags=("perf", "string"),
@@ -1734,7 +1742,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        CAST(count(*) AS BIGINT) AS n,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -2258,7 +2267,8 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey,
        CAST(rank() OVER w AS BIGINT) AS rnk,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS run_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS run_cents
 FROM orders
 WHERE o_custkey % 50 = 7
 WINDOW w AS (PARTITION BY o_custkey

@@ -2038,8 +2038,8 @@ def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q79",
     oracle="""
 SELECT c_name, substr(n_name, 1, 8) AS city, o_orderkey,
-       (amt_c4 + 50) // 100 AS amt_cents,
-       (profit_c4 + 50) // 100 AS profit_cents
+       CAST((amt_c4 + 50) // 100 AS BIGINT) AS amt_cents,
+       CAST((profit_c4 + 50) // 100 AS BIGINT) AS profit_cents
 FROM (
   SELECT o_orderkey, o_custkey, n_name,
          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -2262,9 +2262,9 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q98",
     oracle="""
 SELECT p_partkey, p_name, p_type,
-       (ir_c4 + 50) // 100 AS itemrevenue_cents,
-       ir_c4 * 10000 // sum(ir_c4) OVER (PARTITION BY p_type)
-         AS revenueratio_bp
+       CAST((ir_c4 + 50) // 100 AS BIGINT) AS itemrevenue_cents,
+       CAST(ir_c4 * 10000 // sum(ir_c4) OVER (PARTITION BY p_type)
+            AS BIGINT) AS revenueratio_bp
 FROM (
   SELECT p_partkey, p_name, p_type,
          sum(CAST(round(l_extendedprice * 100) AS BIGINT)

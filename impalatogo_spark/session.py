@@ -21,6 +21,7 @@ local[32]):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -234,6 +235,28 @@ def release_persisted() -> int:
     except Exception:
         pass  # session stopped or JVM map unavailable
     return n
+
+
+@contextmanager
+def scoped_persists():
+    """Release exactly the frames tracked_persist registered INSIDE the
+    scope when it exits. For callers that invoke query operators in a loop
+    outside a harness's release_persisted() cadence — a foreachBatch
+    callback running incremental_dedup_indexed per micro-batch would
+    otherwise accumulate one cached shingle frame per batch for the life
+    of the stream (r07 ADVICE). Single-threaded use only (the driver-side
+    foreachBatch callback is): a concurrent tracked_persist from another
+    thread could land inside the scope and be released with it."""
+    mark = len(_TRACKED_PERSISTS)
+    try:
+        yield
+    finally:
+        while len(_TRACKED_PERSISTS) > mark:
+            df = _TRACKED_PERSISTS.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -426,7 +426,8 @@ def streaming_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment AS segment, e.event_type,
        count(*) AS n,
-       sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
 FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
 GROUP BY c.c_mktsegment, e.event_type
 ORDER BY segment, event_type

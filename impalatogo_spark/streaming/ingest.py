@@ -72,12 +72,18 @@ def streaming_incremental_dedup(stream: DataFrame, index_dir: str,
     need the whole corpus fingerprint set in executor memory."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from impalatogo_spark.session import scoped_persists
+
         spark = batch_df.sparkSession
-        fp_old, b_old, sh_old = read_corpus_index(spark, index_dir)
-        res = incremental_dedup_indexed(
-            batch_df, fp_old, b_old, sh_old, threshold
-        ).withColumn("batch_id", F.lit(batch_id))
-        res.write.mode("append").parquet(out_dir)
+        # scope the dedup pass's tracked persists (the batch shingle frame)
+        # to this micro-batch: a long-running stream never sees a harness's
+        # release_persisted(), so without the scope each batch leaks one
+        # cached frame for the stream's lifetime (r07 ADVICE)
+        with scoped_persists():
+            res = incremental_dedup_indexed(
+                batch_df, *read_corpus_index(spark, index_dir), threshold
+            ).withColumn("batch_id", F.lit(batch_id))
+            res.write.mode("append").parquet(out_dir)
         if update_index:
             kept = batch_df.join(
                 spark.read.parquet(out_dir)

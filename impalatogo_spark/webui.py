@@ -138,6 +138,15 @@ class WebUI:
         out = {k: v for k, v in rec.items() if not k.startswith("_")}
         if rec.get("state") == "RUNNING":
             out["elapsed_s"] = round(time.time() - rec["start_ts"], 3)
+        if op is None and rec.get("state") == "RUNNING":
+            # Planning/admission window: _execute_core registers the record
+            # RUNNING before the streaming operation exists, so a poll here
+            # must still see the progress keys (zero rows so far).
+            out["rows_produced"] = 0
+            out["rows_fetched"] = 0
+            out["profile"] = (f"Query: {rec.get('sql', '')[:200]}\n"
+                              "State: RUNNING\nRows produced so far: 0\n")
+            out["operators"] = []
         if op is not None:
             out["rows_produced"] = op.push_count
             out["rows_fetched"] = op.pos

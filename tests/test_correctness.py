@@ -97,6 +97,33 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         pytest.fail(f"{name}: value mismatch.\n spark-only: {only_s}\n duck-only: {only_d}")
 
 
+def test_no_hugeint_oracle_outputs(duck):
+    """No registered oracle may emit a HUGEINT (int128) output column.
+
+    DuckDB's sum(BIGINT) returns HUGEINT, and integer arithmetic on it
+    stays HUGEINT. The local duckdb client materializes that as a Python
+    int (so drive_contract passes), but the driver's oracle client
+    materializes it as Decimal/float, whose normalizer formats '%.6g'
+    ('8.62942e+06') while Spark's BIGINT goes through str() ('8629422') —
+    every row hashes differently though counts and column names match
+    (the r07 tpcds_q79/q98 red). CAST such columns to BIGINT in the
+    oracle. Binding the query is enough to get output types; nothing
+    executes here."""
+    offenders = {}
+    for name in sorted(QUERIES):
+        q = QUERIES[name]
+        if q.oracle is None:
+            continue
+        rel = duck.sql(q.oracle)
+        bad = [c for c, t in zip(rel.columns, rel.types)
+               if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles emitting HUGEINT output columns (CAST them to BIGINT so "
+        f"the driver's client normalizes them as integers): {offenders}")
+
+
 def test_every_headline_query_has_shuffle_budget():
     """New headline queries must ship with a measured shuffle budget at
     both SFs (run tools-free: measure shuffle_write_bytes at sf0.001 and

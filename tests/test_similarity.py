@@ -525,6 +525,38 @@ def test_incremental_components_update_semantics(spark):
     release_persisted()
 
 
+def test_incremental_components_batched_update_equals_sequential(spark):
+    """r08: dedup_clusters_incremental folds its two ingest rounds into
+    ONE incremental_components_update over the union of both batches'
+    incident pairs. Connected components over an edge-set union are
+    order-independent (union-find merges are associative/commutative), so
+    the batched update must equal the sequential chain row-exactly —
+    including a batch-2 edge that bridges a cluster first touched by
+    batch 1 (the case where sequencing could plausibly matter)."""
+    from impalatogo_spark.operators.dedup import (
+        connected_components,
+        incremental_components_update,
+    )
+    from impalatogo_spark.session import release_persisted
+
+    state = connected_components(spark.createDataFrame(
+        [(1, 3), (2, 7), (9, 11)], "id_a long, id_b long"))
+    b1 = [(3, 5), (5, 7), (20, 21), (8, 30)]
+    b2 = [(21, 9), (40, 41), (5, 40)]  # 5: relabeled by b1, bridged by b2
+    seq = incremental_components_update(
+        incremental_components_update(
+            state, spark.createDataFrame(b1, "id_a long, id_b long")),
+        spark.createDataFrame(b2, "id_a long, id_b long"))
+    batched = incremental_components_update(
+        state, spark.createDataFrame(b1 + b2, "id_a long, id_b long"))
+
+    def as_map(df):
+        return {r.doc_id: r.cluster_id for r in df.collect()}
+
+    assert as_map(batched) == as_map(seq)
+    release_persisted()
+
+
 def test_incremental_components_shuffle_is_batch_proportional(spark, sf_dir):
     """The merge step's executed shuffle must track the BATCH, not the
     corpus: against a 10x larger state (same batch of edges), shuffle-write
