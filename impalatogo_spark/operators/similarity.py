@@ -872,6 +872,112 @@ def kmeans_quantized(emb: DataFrame, k: int = 4, iters: int = 3,
     return out
 
 
+def _argmin_choices(cents: list, off: int, dsub: int) -> str:
+    """The exact-integer argmin SQL over slice(qa, off+1, dsub) against a
+    literal centroid table — kmeans_quantized's `choices` expression
+    generalized to a subrange (slice(qa, 1, len(qa)) IS qa, so offset 0 /
+    full width reproduces the original coarse expression value-for-value).
+    One rendered string per table: per-literal F.lit Columns cost a py4j
+    round-trip each (see kmeans_quantized)."""
+    sub = f"slice(qa, {off + 1}, {dsub})"
+    return (
+        "array(" + ", ".join(
+            f"named_struct('dist2', aggregate(zip_with({sub}, "
+            f"array({', '.join(f'{v}L' for v in cvec)}), "
+            "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + x), 'cluster', {cid})"
+            for cid, cvec in cents
+        ) + ")"
+    )
+
+
+def kmeans_multi_quantized(emb: DataFrame, tasks: list,
+                           scale: int = 1_000_000):
+    """SEVERAL independent exact-integer k-means trainings over (slices of)
+    the same quantized vectors, fused into one pass per round (r08, guide
+    §1.2 "remove passes"): product quantization trains m independent
+    subspace codebooks (plus a coarse quantizer for IVF-PQ), and running
+    them as m+1 sequential kmeans_quantized calls pays m+1 init collects,
+    one centroid-update job per task per round, and an m-way join of the
+    final code assignments on vec_id. Fused:
+
+      * ONE init collect — every task's init centroids are slices of the
+        first max(k) vec_ids' vectors (quantization is elementwise, so
+        slice-then-quantize == quantize-then-slice);
+      * ONE centroid-update job per round — each still-active task
+        contributes a (task, cluster, local-dim, val) branch (argmin
+        computed once per row behind the Generate barrier, then
+        posexplode of its slice) and one union-groupBy shuffles them all;
+      * ONE final projection computing every task's argmin — the m-way
+        vec_id join disappears.
+
+    Arithmetic is kmeans_quantized's, term for term (same argmin structs,
+    same subtract-positive-mod floor division), so per-task results are
+    bit-identical — pinned by tests/test_similarity.py — and the DuckDB
+    oracles (kmeans_cte_parts per task) are unchanged.
+
+    tasks: list of (name, k, iters, offset, dsub) — `name` becomes the
+    task's cluster column (+ `{name}_dist2`), offset/dsub its 0-based
+    slice of the quantized vector. Returns (assign, books): one DataFrame
+    with vec_id + every task's final assignment, and {name: cents} in
+    kmeans_quantized's (cid, vec) list format."""
+    q = _quantized(emb, scale)
+    kmax = max(k for _, k, _, _, _ in tasks)
+    init = q.orderBy("vec_id").limit(kmax).collect()
+    books: dict[str, list] = {
+        name: [(i, list(init[i].qa[off:off + dsub]))
+               for i in range(min(k, len(init)))]
+        for name, k, iters, off, dsub in tasks
+    }
+    n_updates = max(iters for _, _, iters, _, _ in tasks) - 1
+    for u in range(n_updates):
+        active = [t for t in tasks if t[2] - 1 > u]
+        branches = []
+        for tid, (name, _k, _it, off, dsub) in enumerate(active):
+            branches.append(
+                q.select(
+                    "qa",
+                    F.array_min(F.expr(_argmin_choices(books[name], off,
+                                                       dsub)))
+                    .getField("cluster").alias("cluster"),
+                ).select(
+                    F.lit(tid).alias("t"), "cluster",
+                    F.posexplode(F.expr(f"slice(qa, {off + 1}, {dsub})"))
+                    .alias("dim", "val"),
+                )
+            )
+        upd = branches[0]
+        for b in branches[1:]:
+            upd = upd.unionAll(b)
+        sums = (
+            upd.groupBy("t", "cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .select("t", "cluster", "dim",
+                    F.expr("(s - pmod(s, c)) div c").alias("val"))
+        )
+        by_task: dict[int, dict[int, dict[int, int]]] = {}
+        for r in sums.collect():
+            by_task.setdefault(r.t, {}).setdefault(r.cluster, {})[r.dim] = r.val
+        for tid, (name, _k, _it, _off, _dsub) in enumerate(active):
+            by_cluster = by_task.get(tid, {})
+            books[name] = [
+                (cid, [dims[d] for d in range(len(dims))])
+                for cid, dims in sorted(by_cluster.items())
+            ]
+    assign = q.select(
+        "vec_id", "qa",
+        *[F.array_min(F.expr(_argmin_choices(books[name], off, dsub)))
+          .alias(f"__best_{name}")
+          for name, _k, _it, off, dsub in tasks],
+    ).select(
+        "vec_id",
+        *[c for name, _k, _it, _off, _dsub in tasks
+          for c in (F.col(f"__best_{name}.cluster").alias(name),
+                    F.col(f"__best_{name}.dist2").alias(f"{name}_dist2"))],
+    )
+    return assign, books
+
+
 def kmeans_cte_parts(k: int = 4, iters: int = 3, scale: int = 1_000_000,
                      n_dims: int = 64, prefix: str = "",
                      offset: int = 0, source: str = "embeddings") -> list[str]:
@@ -950,21 +1056,18 @@ def pq_codes(emb: DataFrame, m: int = 4, n_dims: int = 64, k: int = 4,
     vec_id — co-partitioned by the same key, one shuffle stage each at
     cluster scale. Codebook training cost is m small kmeans runs over
     sliced columns of ONE scan lineage, not m passes over wide rows."""
+    # fused m-subspace training (r08, §1.2): one init collect, one
+    # centroid-update job per round, codes + errors from ONE projection —
+    # see kmeans_multi_quantized. Bit-identical per subspace; the m-way
+    # vec_id join of the per-subspace assignments is gone.
     dsub = n_dims // m
-    out = None
-    for s in range(m):
-        sub = emb.select(
-            "vec_id",
-            F.expr(f"slice(embedding, {s * dsub + 1}, {dsub})")
-            .alias("embedding"),
-        )
-        a = kmeans_quantized(sub, k=k, iters=iters, scale=scale).select(
-            "vec_id",
-            F.col("cluster").alias(f"code_{s}"),
-            F.col("dist2").alias(f"__e{s}"),
-        )
-        out = a if out is None else out.join(a, "vec_id")
-    err = sum(F.col(f"__e{s}") for s in range(1, m)) + F.col("__e0")
+    out, _ = kmeans_multi_quantized(
+        emb,
+        [(f"code_{s}", k, iters, s * dsub, dsub) for s in range(m)],
+        scale=scale,
+    )
+    err = (sum(F.col(f"code_{s}_dist2") for s in range(1, m))
+           + F.col("code_0_dist2"))
     return out.select(
         "vec_id",
         *[f"code_{s}" for s in range(m)],
@@ -1383,22 +1486,23 @@ def ivf_pq_adc_topk(emb: DataFrame, k_cells: int = 8, cell_iters: int = 3,
     and broadcast into the candidate joins. Bit-deterministic end to end —
     the DuckDB oracle (ivf_pq_adc_oracle) reproduces cells, codes, probe
     ranking, LUTs and the final ranking exactly."""
-    assign, ccents = kmeans_quantized(emb, k=k_cells, iters=cell_iters,
-                                      scale=scale, return_state=True)
+    # fused coarse + m subspace trainings (r08, §1.2): one init collect,
+    # one centroid-update job per round, and ONE projection carrying the
+    # coarse cell AND all m codes — the per-subspace kmeans_quantized
+    # calls (m+1 init collects + a job per task per round) and the m-way
+    # codes join on vec_id are gone. Bit-identical per task (slices of
+    # the same quantized vectors; test-pinned), oracle unchanged.
     dsub = n_dims // m
-    codes = None
-    books: list[list] = []
-    for s in range(m):
-        sub = emb.select(
-            "vec_id",
-            F.expr(f"slice(embedding, {s * dsub + 1}, {dsub})")
-            .alias("embedding"),
-        )
-        a, cents = kmeans_quantized(sub, k=pq_k, iters=pq_iters, scale=scale,
-                                    return_state=True)
-        a = a.select("vec_id", F.col("cluster").alias(f"code_{s}"))
-        codes = a if codes is None else codes.join(a, "vec_id")
-        books.append(cents)
+    fused, all_books = kmeans_multi_quantized(
+        emb,
+        [("cluster", k_cells, cell_iters, 0, n_dims)]
+        + [(f"code_{s}", pq_k, pq_iters, s * dsub, dsub) for s in range(m)],
+        scale=scale,
+    )
+    ccents = all_books["cluster"]
+    books = [all_books[f"code_{s}"] for s in range(m)]
+    assign = fused.select("vec_id", "cluster",
+                          *[f"code_{s}" for s in range(m)])
 
     q = _quantized(emb, scale)
     queries = q.filter(F.col("vec_id") < n_queries).select(
@@ -1422,9 +1526,8 @@ def ivf_pq_adc_topk(emb: DataFrame, k_cells: int = 8, cell_iters: int = 3,
     ).select("q_id", "qqa", F.col("p.cluster").alias("cluster"))
     cand = (
         probes.select("q_id", "cluster")
-        .join(assign.select("vec_id", "cluster"), "cluster")
+        .join(assign, "cluster")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(codes, "vec_id")
     )
     # per-query ADC lookup tables: one m x k distance table per query,
     # computed once (n_queries x pq_k rows per subspace), broadcast-joined

@@ -1003,27 +1003,19 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod = F.col("id") % 4
     sh = tracked_persist(D.word_shingles(docs))
     bkts = tracked_persist(D.lsh_band_buckets(D.minhash_signatures(sh)))
-    # ONE verify pass for the whole query (r08): candidates are pure
-    # content-hash products (bucket keys are per-document signatures), so
-    # round 0's LSH pairs and BOTH ingest batches' incident candidates are
-    # state-independent and can be generated up front — the three Jaccard
-    # verify joins over the persisted shingle frame collapse to one.
-    # Verifying against the FULL shingle frame is value-identical (the
-    # verify join only touches a candidate's own endpoint ids), and the
-    # per-round pair sets come back out as endpoint filters: a pair
-    # belongs to the round of its LATER member, so round-0 pairs are
-    # exactly those with both endpoints in {0,1} and the ingest pairs are
-    # the rest.
+    # Per-ROUND verify passes, deliberately: an earlier r08 attempt
+    # collapsed the three Jaccard verifies into one pass over the union of
+    # all candidate sets (value-identical) and it measured SLOWER at sf0.1
+    # in a same-session 4-variant alternating A/B — min 11.2 s (one-verify
+    # + batched update) / 20.5 s (one-verify + sequential updates) vs
+    # 8.7-8.8 s for per-round verifies; the union.distinct of the three
+    # candidate sets plus verifying every round's pairs against the FULL
+    # shingle frame costs more than the two extra (small, filtered) verify
+    # joins it saves. Measured, reverted — the §1 "ideal pass count" plan
+    # lost to the gotcha, as the guide predicts it often does.
     cand0 = D.lsh_candidate_pairs(bkts.filter(mod <= 1))
-    cand2 = D.batch_incident_candidates(bkts.filter(mod <= 1),
-                                        bkts.filter(mod == 2))
-    cand3 = D.batch_incident_candidates(bkts.filter(mod <= 2),
-                                        bkts.filter(mod == 3))
-    verified = tracked_persist(
-        D.verify_jaccard(cand0.union(cand2).union(cand3).distinct(), sh,
-                         threshold=0.5).select("id_a", "id_b"))
-    pairs0 = verified.filter(
-        (F.col("id_a") % 4 <= 1) & (F.col("id_b") % 4 <= 1))
+    pairs0 = D.verify_jaccard(cand0, sh.filter(mod <= 1),
+                              threshold=0.5).select("id_a", "id_b")
     state = D.connected_components(pairs0)
     # BATCHED two-round contraction (r07 verdict #3): connected components
     # over an edge-set union are order-independent (union-find merges are
@@ -1031,9 +1023,15 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in ONE contracted update equals the two sequential updates —
     # equivalence pinned by tests/test_similarity.py — at half the
     # per-ingest fixed cost (one contracted CC + one relabel, not two).
-    state = D.incremental_components_update(
-        state, verified.filter(
-            (F.col("id_a") % 4 >= 2) | (F.col("id_b") % 4 >= 2)))
+    # Same-box A/B: 8.78 s min and a 0.7 s run spread vs the sequential
+    # form's 8.74 s min / 15.6 s spread — equal floor, far more stable.
+    p1 = tracked_persist(D.batch_incident_pairs(
+        None, None, b_cum=bkts.filter(mod <= 1),
+        b_batch=bkts.filter(mod == 2), sh_all=sh.filter(mod <= 2)))
+    p2 = tracked_persist(D.batch_incident_pairs(
+        None, None, b_cum=bkts.filter(mod <= 2),
+        b_batch=bkts.filter(mod == 3), sh_all=sh))
+    state = D.incremental_components_update(state, p1.union(p2))
     return state
 
 

@@ -812,3 +812,44 @@ def test_mmr_selection_scores_non_increasing_and_diverge_from_pure_rel(
         rel_order[q] = rel_rank2.vec_id != [r for r in sel if r.step == 2][0].vec_id or None
     assert any(v for v in rel_order.values())
     release_persisted()
+
+
+def test_kmeans_multi_quantized_equals_sequential(spark, sf_dir):
+    """r08: ivf_pq_adc_topk / pq_codes train their coarse + subspace
+    k-means through the FUSED kmeans_multi_quantized (one init collect,
+    one update job per round, one final projection). Pin bit-identity
+    against the sequential per-task kmeans_quantized calls it replaced —
+    final assignments, per-task dist2, AND the trained centroid books —
+    at the ann_topk_ivf_pq_adc task mix (coarse k=8/iters=3 + four
+    k=4/iters=2 subspaces)."""
+    from impalatogo_spark.session import release_persisted, table
+
+    emb = table(spark, sf_dir, "embeddings")
+    m, n_dims = 4, 64
+    dsub = n_dims // m
+    tasks = [("cluster", 8, 3, 0, n_dims)] + [
+        (f"code_{s}", 4, 2, s * dsub, dsub) for s in range(m)
+    ]
+    fused, books = S.kmeans_multi_quantized(emb, tasks)
+    got = {r.vec_id: r for r in fused.collect()}
+
+    ref_assign, ref_cents = S.kmeans_quantized(
+        emb, k=8, iters=3, return_state=True)
+    assert books["cluster"] == ref_cents
+    ref = {r.vec_id: r for r in ref_assign.collect()}
+    assert set(got) == set(ref) and len(got) > 0
+    for vid, r in ref.items():
+        assert got[vid].cluster == r.cluster, vid
+        assert got[vid].cluster_dist2 == r.dist2, vid
+    for s in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.expr(f"slice(embedding, {s * dsub + 1}, {dsub})")
+            .alias("embedding"),
+        )
+        a, cents = S.kmeans_quantized(sub, k=4, iters=2, return_state=True)
+        assert books[f"code_{s}"] == cents, s
+        for r in a.collect():
+            assert got[r.vec_id][f"code_{s}"] == r.cluster, (s, r.vec_id)
+            assert got[r.vec_id][f"code_{s}_dist2"] == r.dist2, (s, r.vec_id)
+    release_persisted()
